@@ -1,0 +1,122 @@
+"""Exact BM25 top-k scorer as a pure Catalyst plan (SURVEY §7 step 3).
+
+Semantics pinned to Lucene's BM25Similarity (the scoring ES applies
+implicitly on every ``search`` the reference issues — SURVEY §2.6 T3,
+§2.9 X4):
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tf_norm     = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    score(q, d) = Σ_{t ∈ unique(q)} idf(t) * tf_norm(t, d)
+    k1 = 1.2, b = 0.75; ties broken by doc_id ascending.
+
+Duplicate query terms are deduplicated (documented divergence from
+Lucene's per-occurrence boost; fixed and mirrored in the oracle).
+
+Plan shape: postings ⨝ broadcast(query terms) ⨝ doc_lens → per-term
+score → groupBy(doc_id) sum → TakeOrderedAndProject(k). Every
+expression is a built-in function (whole-stage codegen); the only
+Python is plan construction. This scorer is the rank-identity reference
+for the block-max WAND engine (wand.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analyze import SPLIT_RE_DUCKDB, tokenize_text
+from .postings import B, K1, CorpusStats
+
+SCORE_DECIMALS = 4  # rounding applied on comparison surfaces (float hashing)
+
+
+def bm25_score_expr(stats: CorpusStats, k1: float = K1, b: float = B):
+    """Per-(term,doc) BM25 contribution; needs columns tf, df, dl."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(stats.n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    norm = F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(float(stats.avgdl))
+    return idf * tf * F.lit(k1 + 1.0) / (tf + F.lit(k1) * norm)
+
+
+def bm25_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    tdf: DataFrame,
+    stats: CorpusStats,
+    query: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k (doc_id, score) for a free-text query, exact join scorer."""
+    terms = sorted(set(tokenize_text(query)))
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(tdf.join(qterms, "term")), "term")
+        .join(doc_lens, "doc_id")
+        .withColumn("contrib", bm25_score_expr(stats))
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round(F.col("score"), SCORE_DECIMALS).alias("score"))
+    )
+
+
+def bm25_topk_oracle_sql(
+    query: str,
+    k: int = 10,
+    doc_table: str = "documents",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """DuckDB SQL computing the identical top-k (rank-identity oracle)."""
+    terms = sorted(set(tokenize_text(query)))
+    terms_values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH tokens AS (
+    SELECT doc_id, t AS term
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower({text_col}), '{SPLIT_RE_DUCKDB}')) AS t
+        FROM {doc_table}
+    ) WHERE t <> ''
+),
+postings AS (
+    SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tokens GROUP BY term, doc_id
+),
+doc_lens AS (
+    SELECT doc_id, count(*)::DOUBLE AS dl FROM tokens GROUP BY doc_id
+),
+stats AS (
+    SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doc_lens
+),
+tdf AS (
+    SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term
+),
+qterms(term) AS (VALUES {terms_values}),
+scored AS (
+    SELECT p.doc_id,
+           sum(
+             ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+             * p.tf * ({k1} + 1)
+             / (p.tf + {k1} * (1 - {b} + {b} * d.dl / s.avgdl))
+           ) AS score
+    FROM postings p
+    JOIN qterms q USING (term)
+    JOIN tdf f USING (term)
+    JOIN doc_lens d USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, {SCORE_DECIMALS}) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
