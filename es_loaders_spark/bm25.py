@@ -59,13 +59,12 @@ def bm25_topk(
         .join(doc_lens, "doc_id")
         .withColumn("contrib", bm25_score_expr(stats))
         .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"))
+        .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
     )
-    return (
-        scored.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-        .select("doc_id", F.round(F.col("score"), SCORE_DECIMALS).alias("score"))
-    )
+    # order by the ROUNDED score then doc_id: float sums are order-sensitive
+    # at the ulp level, so ranking on raw sums is not reproducible across
+    # engines/plans; rounding defines the tie surface (SURVEY §7 "What's hard")
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def bm25_topk_oracle_sql(
@@ -117,6 +116,6 @@ scored AS (
 )
 SELECT doc_id, round(score, {SCORE_DECIMALS}) AS score
 FROM scored
-ORDER BY score DESC, doc_id ASC
+ORDER BY round(score, {SCORE_DECIMALS}) DESC, doc_id ASC
 LIMIT {k}
 """

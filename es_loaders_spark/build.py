@@ -1,0 +1,303 @@
+"""Partition-local inverted-index build with lineage checkpointing.
+
+Replaces the reference's load pipeline (mira/mira_loader.py:82-228:
+chunked scan → join → group → ES parallel_bulk) with a Spark-native
+build (SURVEY §7 step 5):
+
+1. deterministic docIDs (global rank of url — SURVEY §1.4: re-run and
+   cluster-size invariant, unlike ES auto-IDs),
+2. doc-shard assignment ``shard = doc_id % n_shards``,
+3. per-shard ``applyInPandas``: tokenize → local posting lists → delta+
+   varint blocks with block-max metadata (codec.py) — one shuffle total,
+4. parquet partitioned by shard + atomic manifest commit with per-shard
+   lineage/metrics (catalog.py); a killed build resumes by building only
+   missing shards.
+
+At 1000 executors each shard is one task; no driver-side loops, no
+collect of data rows (only shard-id bookkeeping, O(n_shards)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .analyze import tokenize_texts
+from .catalog import ManifestCatalog, PartitionEntry
+from .codec import encode_postings
+
+BLOCK_STRUCT = T.StructType(
+    [
+        T.StructField("min_doc", T.LongType()),
+        T.StructField("max_doc", T.LongType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("block_max", T.FloatType()),
+        T.StructField("docs_payload", T.BinaryType()),
+        T.StructField("tfs_payload", T.BinaryType()),
+    ]
+)
+
+INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("blocks", T.ArrayType(BLOCK_STRUCT)),
+    ]
+)
+
+DOCLEN_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dl", T.IntegerType()),
+    ]
+)
+
+
+def assign_doc_ids(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """doc_id = global rank of url (0-based) — deterministic at any parallelism.
+
+    Scale path: range-repartition by url, per-partition local ranks, then
+    add broadcast per-partition offsets — two light jobs, no global
+    single-task window. The rank of a unique url in the total order does
+    not depend on where range boundaries fall, so the assignment is
+    stable across runs and cluster sizes (rank-identity prerequisite,
+    SURVEY §1.4).
+    """
+    spark = docs.sparkSession
+    parted = (
+        docs.repartitionByRange(
+            max(docs.sparkSession.sparkContext.defaultParallelism, 2), F.col(url_col)
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        # persist is REQUIRED for correctness, not a cache hint: the offsets
+        # job and the consuming job must see the SAME range-partition
+        # membership (re-evaluating repartitionByRange re-samples boundaries
+        # and AQE may re-plan, yielding duplicate/unstable ids). In
+        # production the assignment is materialized once to a table at
+        # ingest (SURVEY §1.4) — callers should write the result out and
+        # read it back rather than keep recomputing this plan.
+        .persist()
+    )
+    counts = parted.groupBy("_pid").count().collect()
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+        )
+    )
+    local_rank = F.row_number().over(Window.partitionBy("_pid").orderBy(url_col)) - 1
+    return (
+        parted.join(offsets_df, "_pid")
+        .withColumn("doc_id", F.col("_offset") + local_rank)
+        .drop("_pid", "_offset")
+    )
+
+
+def _build_shard_fn(avgdl: float):
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(doc_ids)
+        doc_ids = doc_ids[order]
+        offsets, flat = tokenize_texts(pdf["text"].iloc[order].reset_index(drop=True))
+        lens = np.diff(offsets)
+        tok_doc = np.repeat(doc_ids, lens)
+        tok_dl = np.repeat(lens, lens)
+        if flat.size == 0:
+            return pd.DataFrame(
+                {
+                    "shard": pd.Series(dtype="int32"),
+                    "term": pd.Series(dtype="object"),
+                    "df": pd.Series(dtype="int64"),
+                    "blocks": pd.Series(dtype="object"),
+                }
+            )
+        tp = pd.DataFrame({"term": flat, "doc": tok_doc, "dl": tok_dl})
+        grouped = (
+            tp.groupby(["term", "doc"], sort=True)
+            .agg(tf=("doc", "size"), dl=("dl", "first"))
+            .reset_index()
+        )
+        rows = []
+        for term, g in grouped.groupby("term", sort=True):
+            blocks = encode_postings(
+                g["doc"].to_numpy(), g["tf"].to_numpy(), g["dl"].to_numpy(), avgdl
+            )
+            rows.append(
+                {
+                    "shard": shard,
+                    "term": term,
+                    "df": len(g),
+                    "blocks": [vars(b) for b in blocks],
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return build_shard
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    resume: bool = True,
+) -> dict:
+    """Build the sharded compressed index under ``index_dir``.
+
+    Returns the stats dict. Idempotent: committed shards are skipped on
+    re-run (manifest), partially-written shard dirs are cleaned first.
+    """
+    cat = ManifestCatalog(index_dir)
+    docs = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
+
+    # --- stage 1: doc lengths + corpus stats (JVM tokenizer, one pass) ---
+    doclens_dir = os.path.join(index_dir, "doclens")
+    stats_path = os.path.join(index_dir, "stats.json")
+    done = cat.committed_partitions("doclens", "doclens") if resume else set()
+    missing = sorted(set(range(n_shards)) - done)
+    if missing or not os.path.exists(stats_path):
+        cat.clean_uncommitted("doclens")
+        t0 = time.time()
+        dl_df = docs.filter(F.col("shard").isin(missing)).select(
+            "shard",
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"[^\p{L}\p{N}]+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("dl"),
+        )
+        dl_df.write.partitionBy("shard").mode("append").parquet(doclens_dir)
+        wall = int((time.time() - t0) * 1000)
+        per_shard = {
+            r["shard"]: (r["cnt"], r["sdl"])
+            for r in spark.read.parquet(doclens_dir)
+            .filter(F.col("shard").isin(missing))
+            .groupBy("shard")
+            .agg(F.count("*").alias("cnt"), F.sum("dl").alias("sdl"))
+            .collect()
+        }
+        cat.commit(
+            "doclens",
+            [
+                PartitionEntry(
+                    partition_id=s,
+                    stage="doclens",
+                    input_rows=per_shard.get(s, (0, 0))[0],
+                    docs=per_shard.get(s, (0, 0))[0],
+                    terms=0,
+                    bytes=int(per_shard.get(s, (0, 0))[1] or 0),
+                    wall_ms=wall,
+                )
+                for s in missing
+            ],
+        )
+        agg = (
+            spark.read.parquet(doclens_dir)
+            .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+            .collect()[0]
+        )
+        stats = {"n_docs": int(agg["n"]), "avgdl": float(agg["avgdl"] or 0.0)}
+        with open(stats_path, "w") as f:
+            json.dump(stats, f)
+    with open(stats_path) as f:
+        stats = json.load(f)
+
+    # --- stage 2: per-shard posting build (one shuffle, applyInPandas) ---
+    shards_dir = os.path.join(index_dir, "shards")
+    done = cat.committed_partitions("shards", "postings") if resume else set()
+    missing = sorted(set(range(n_shards)) - done)
+    if missing:
+        cat.clean_uncommitted("shards")
+        t0 = time.time()
+        built = (
+            docs.filter(F.col("shard").isin(missing))
+            .repartition(len(missing), "shard")
+            .groupBy("shard")
+            .applyInPandas(_build_shard_fn(stats["avgdl"]), INDEX_SCHEMA)
+        )
+        built.write.partitionBy("shard").mode("append").parquet(shards_dir)
+        wall = int((time.time() - t0) * 1000)
+        lineage = {
+            r["shard"]: r
+            for r in spark.read.parquet(shards_dir)
+            .filter(F.col("shard").isin(missing))
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("terms"),
+                F.sum("df").alias("postings"),
+                F.sum(
+                    F.aggregate(
+                        "blocks",
+                        F.lit(0).cast("long"),
+                        lambda acc, b: acc
+                        + F.length(b["docs_payload"])
+                        + F.length(b["tfs_payload"]),
+                    )
+                ).alias("bytes"),
+            )
+            .collect()
+        }
+        cat.commit(
+            "shards",
+            [
+                PartitionEntry(
+                    partition_id=s,
+                    stage="postings",
+                    input_rows=int(lineage[s]["postings"]) if s in lineage else 0,
+                    docs=0,
+                    terms=int(lineage[s]["terms"]) if s in lineage else 0,
+                    bytes=int(lineage[s]["bytes"]) if s in lineage else 0,
+                    wall_ms=wall,
+                )
+                for s in missing
+            ],
+            props={"n_shards": n_shards, "avgdl": stats["avgdl"], "n_docs": stats["n_docs"]},
+        )
+
+    # --- stage 3: global term document frequencies (for idf) ---
+    terms_dir = os.path.join(index_dir, "terms")
+    if not cat.committed_partitions("terms", "terms"):
+        t0 = time.time()
+        tdf = (
+            spark.read.parquet(shards_dir)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+        tdf.write.mode("overwrite").parquet(terms_dir)
+        n_terms = spark.read.parquet(terms_dir).count()
+        cat.commit(
+            "terms",
+            [
+                PartitionEntry(
+                    partition_id=0,
+                    stage="terms",
+                    input_rows=n_terms,
+                    docs=0,
+                    terms=n_terms,
+                    bytes=0,
+                    wall_ms=int((time.time() - t0) * 1000),
+                )
+            ],
+        )
+    return stats

@@ -1,0 +1,121 @@
+"""Manifest-based atomic snapshot catalog (Iceberg-shaped, jar-free).
+
+The reference controls sink visibility with ES ``refresh_interval: -1``
+plus an explicit refresh on the final batch (mira/constants.py:25,
+mira/elasticsearch.py:157-159) and guards idempotence with
+delete-then-reload (mira/elasticsearch.py:211-225). Here both collapse
+into atomic manifest commits: a build's output is invisible until the
+manifest file is atomically renamed into place, and resume is
+"skip partitions already in the manifest" (SURVEY §1.4, §7 step 0 note).
+
+On a real cluster this module is swapped for an Iceberg catalog
+(``df.writeTo(...).append()`` + snapshot commits); the sandbox has no
+Iceberg jar, so the same semantics are provided over partitioned
+parquet + a JSON manifest. Interface kept deliberately small.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class PartitionEntry:
+    """Lineage + metrics for one committed build partition (SURVEY §7 step 5).
+
+    Mirrors the reference's exactly-once accounting
+    (mira/mira_loader.py:220-228) as data instead of asserts.
+    """
+
+    partition_id: int
+    stage: str
+    input_rows: int
+    docs: int
+    terms: int
+    bytes: int
+    wall_ms: int
+    committed: bool = True
+
+
+@dataclass
+class Manifest:
+    table: str
+    partitions: list[dict] = field(default_factory=list)
+    props: dict = field(default_factory=dict)
+    version: int = 0
+
+
+class ManifestCatalog:
+    """Atomic-commit manifest over a directory of partitioned parquet."""
+
+    MANIFEST = "_manifest.json"
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table, self.MANIFEST)
+
+    def table_dir(self, table: str) -> str:
+        d = os.path.join(self.root, table)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def load(self, table: str) -> Manifest:
+        p = self._path(table)
+        if not os.path.exists(p):
+            return Manifest(table=table)
+        with open(p) as f:
+            raw = json.load(f)
+        return Manifest(**raw)
+
+    def committed_partitions(self, table: str, stage: str | None = None) -> set[int]:
+        m = self.load(table)
+        return {
+            e["partition_id"]
+            for e in m.partitions
+            if e.get("committed") and (stage is None or e["stage"] == stage)
+        }
+
+    def commit(
+        self, table: str, new_entries: list[PartitionEntry], props: dict | None = None
+    ) -> Manifest:
+        """Append entries + bump version; atomic via tmpfile + rename."""
+        m = self.load(table)
+        m.partitions.extend(asdict(e) for e in new_entries)
+        if props:
+            m.props.update(props)
+        m.version += 1
+        m.props["committed_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        d = self.table_dir(table)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(asdict(m), f, indent=1)
+        os.replace(tmp, self._path(table))  # atomic on POSIX
+        return m
+
+    def drop(self, table: str) -> None:
+        """DROP TABLE IF EXISTS (reference K6: es.indices.delete, ignore 404)."""
+        shutil.rmtree(os.path.join(self.root, table), ignore_errors=True)
+
+    def clean_uncommitted(self, table: str, partition_col: str = "shard") -> None:
+        """Remove partition dirs not recorded in the manifest.
+
+        Replaces the reference's delete-then-reload guard
+        (alhena_cli.py:47-50): a killed build leaves partial partition
+        dirs; they are deleted before rebuild so resume is idempotent.
+        """
+        committed = self.committed_partitions(table)
+        d = self.table_dir(table)
+        for name in os.listdir(d):
+            if not name.startswith(f"{partition_col}="):
+                continue
+            pid = int(name.split("=", 1)[1])
+            if pid not in committed:
+                shutil.rmtree(os.path.join(d, name), ignore_errors=True)

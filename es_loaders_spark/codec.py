@@ -1,0 +1,165 @@
+"""Posting-block codec: delta + varint compression with block-max metadata.
+
+The reference gets this for free from Lucene (every ES index the loaders
+create — mira/elasticsearch.py:181-186 — stores postings as docID-sorted,
+delta-compressed blocks with skip data / block-max impact metadata). We
+rebuild it natively, numpy-vectorized end-to-end so it runs inside Arrow
+UDF boundaries with no per-row Python (input_hint UDF policy).
+
+Layout per (term[, salt]) row:
+
+    blocks: list of Block(min_doc, max_doc, n, block_max, docs_payload, tfs_payload)
+
+- ``docs_payload``: varint(delta(docIDs)) — first delta is vs (block-local
+  base) min_doc, so each block decodes independently (skip-friendly).
+- ``tfs_payload``: varint(tf - 1) (tf ≥ 1, so the common tf=1 is one 0x00).
+- ``block_max``: float32 upper bound of the BM25 tf-norm term
+  tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)) over the block's postings —
+  multiplied by idf at query time it bounds the block's score contribution
+  (block-max WAND pruning, wand.py).
+
+BLOCK_SIZE = 128 postings, as in Lucene's postings format.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+_THRESHOLDS = [1 << (7 * i) for i in range(1, 10)]
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128 encode a uint64 array, fully vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (v >= np.uint64(t)).astype(np.int64)
+    starts = np.zeros(v.size, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    out = np.zeros(int(starts[-1] + nbytes[-1]), dtype=np.uint8)
+    for j in range(10):
+        sel = nbytes > j
+        if not sel.any():
+            break
+        byte = (v[sel] >> np.uint64(7 * j)).astype(np.uint64) & np.uint64(0x7F)
+        cont = (nbytes[sel] > j + 1).astype(np.uint8) << 7
+        out[starts[sel] + j] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(payload: bytes) -> np.ndarray:
+    """Decode LEB128 bytes → uint64 array, fully vectorized."""
+    b = np.frombuffer(payload, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = (b & 0x80) == 0
+    n = int(ends.sum())
+    value_id = np.zeros(b.size, dtype=np.int64)
+    value_id[1:] = np.cumsum(ends)[:-1]
+    first_byte_pos = np.zeros(n, dtype=np.int64)
+    end_positions = np.flatnonzero(ends)
+    first_byte_pos[1:] = end_positions[:-1] + 1
+    pos = np.arange(b.size, dtype=np.int64) - first_byte_pos[value_id]
+    result = np.zeros(n, dtype=np.uint64)
+    for j in range(10):
+        sel = pos == j
+        if not sel.any():
+            break
+        result[value_id[sel]] |= (b[sel] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+    return result
+
+
+@dataclass
+class Block:
+    min_doc: int
+    max_doc: int
+    n: int
+    block_max: float  # max BM25 tf-norm over postings in the block
+    docs_payload: bytes
+    tfs_payload: bytes
+
+
+def tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float = 1.2, b: float = 0.75) -> np.ndarray:
+    """Lucene BM25 term-frequency normalization (vectorized, float64)."""
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+) -> list[Block]:
+    """Encode one term's docID-sorted postings into compressed blocks.
+
+    ``dls`` are the document lengths aligned with doc_ids (needed only for
+    the block-max metadata; they are not stored in the block).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    assert doc_ids.size == tfs.size
+    if doc_ids.size == 0:
+        return []
+    if not np.all(doc_ids[1:] > doc_ids[:-1]):
+        raise ValueError("doc_ids must be strictly increasing")
+    norms = tf_norm(tfs, np.asarray(dls), avgdl)
+    blocks: list[Block] = []
+    for start in range(0, doc_ids.size, block_size):
+        d = doc_ids[start : start + block_size]
+        t = tfs[start : start + block_size]
+        m = norms[start : start + block_size]
+        deltas = np.empty(d.size, dtype=np.uint64)
+        deltas[0] = 0  # first doc stored as min_doc
+        deltas[1:] = np.diff(d).astype(np.uint64)
+        # float32 must never round BELOW the true max — pruning soundness
+        bm = np.float32(m.max())
+        if float(bm) < float(m.max()):
+            bm = np.nextafter(bm, np.float32(np.inf))
+        blocks.append(
+            Block(
+                min_doc=int(d[0]),
+                max_doc=int(d[-1]),
+                n=int(d.size),
+                block_max=float(bm),
+                docs_payload=varint_encode(deltas),
+                tfs_payload=varint_encode((t - 1).astype(np.uint64)),
+            )
+        )
+    return blocks
+
+
+def decode_block(block: Block | dict) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one block → (doc_ids int64, tfs int64). Accepts Row/dict too."""
+    if not isinstance(block, Block):
+        block = Block(
+            min_doc=block["min_doc"],
+            max_doc=block["max_doc"],
+            n=block["n"],
+            block_max=block["block_max"],
+            docs_payload=bytes(block["docs_payload"]),
+            tfs_payload=bytes(block["tfs_payload"]),
+        )
+    deltas = varint_decode(block.docs_payload).astype(np.int64)
+    doc_ids = np.cumsum(deltas) + block.min_doc
+    tfs = varint_decode(block.tfs_payload).astype(np.int64) + 1
+    return doc_ids, tfs
+
+
+def decode_postings(blocks) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a block list → full (doc_ids, tfs)."""
+    if not blocks:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    parts = [decode_block(b) for b in blocks]
+    return (
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+    )

@@ -1,0 +1,267 @@
+"""Global sort-merge of shard-local postings with hot-term salting.
+
+North-rule component: merge the per-shard posting lists (build.py) into
+a single term-partitioned index, handling stopword-class skew
+explicitly. Without salting, ``groupBy(term)`` puts ALL postings of
+'the' (df ≈ N) into one task — the classic Zipf-head hot key. AQE
+skew-join cannot fix an aggregation key with one giant group (SURVEY
+§4), so:
+
+- terms with global df > ``hot_df_threshold`` are split by
+  ``salt = doc_id // span`` (span a global constant derived from
+  n_docs), producing (term, salt) groups of bounded size whose docID
+  ranges are disjoint — merged independently, concat is trivially
+  correct;
+- the salt explosion happens BEFORE the shuffle using only block
+  metadata (JVM higher-order filter on [min_doc, max_doc] — no decode,
+  no Python), so the shuffle itself is balanced.
+
+Merged block_max values are propagated per-posting from source blocks
+(sound upper bounds — pruning stays exact, SURVEY §7 step 6). Resume:
+output is hash-bucketed by term; completed buckets are recorded in the
+manifest and skipped on re-run (mid-merge idempotence, north_star).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .catalog import ManifestCatalog, PartitionEntry
+from .codec import BLOCK_SIZE, Block, decode_block, varint_encode
+from .wand import load_index_meta
+
+MERGED_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("salt", T.IntegerType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("blocks", T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("min_doc", T.LongType()),
+                    T.StructField("max_doc", T.LongType()),
+                    T.StructField("n", T.IntegerType()),
+                    T.StructField("block_max", T.FloatType()),
+                    T.StructField("docs_payload", T.BinaryType()),
+                    T.StructField("tfs_payload", T.BinaryType()),
+                ]
+            )
+        )),
+    ]
+)
+
+
+def _merge_group_fn(span: int):
+    def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, salt, bucket = key[0], int(key[1]), int(key[2])
+        # salt == -1 is the unsalted sentinel: full doc range, stored as salt 0
+        if salt < 0:
+            lo, hi, salt = 0, 1 << 62, 0
+        else:
+            lo, hi = salt * span, (salt + 1) * span
+        docs_parts, tfs_parts, ubs_parts = [], [], []
+        for _, row in pdf.iterrows():
+            for blk in row["blocks"]:
+                d, t = decode_block(blk)
+                # trim to this salt's doc range (boundary blocks overlap)
+                sel = (d >= lo) & (d < hi)
+                if not sel.any():
+                    continue
+                docs_parts.append(d[sel])
+                tfs_parts.append(t[sel])
+                ubs_parts.append(np.full(int(sel.sum()), blk["block_max"], dtype=np.float32))
+        if not docs_parts:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series(dtype="int32"),
+                    "term": pd.Series(dtype="object"),
+                    "salt": pd.Series(dtype="int32"),
+                    "df": pd.Series(dtype="int64"),
+                    "blocks": pd.Series(dtype="object"),
+                }
+            )
+        docs = np.concatenate(docs_parts)
+        tfs = np.concatenate(tfs_parts)
+        ubs = np.concatenate(ubs_parts)
+        order = np.argsort(docs)  # k-way merge of sorted runs ≡ global sort
+        docs, tfs, ubs = docs[order], tfs[order], ubs[order]
+        if docs.size > 1 and (np.diff(docs) == 0).any():
+            raise ValueError(f"duplicate doc_id in merged postings for term {term!r}")
+        blocks = []
+        for start in range(0, docs.size, BLOCK_SIZE):
+            d = docs[start : start + BLOCK_SIZE]
+            t = tfs[start : start + BLOCK_SIZE]
+            u = ubs[start : start + BLOCK_SIZE]
+            deltas = np.empty(d.size, dtype=np.uint64)
+            deltas[0] = 0
+            deltas[1:] = np.diff(d).astype(np.uint64)
+            blocks.append(
+                vars(
+                    Block(
+                        min_doc=int(d[0]),
+                        max_doc=int(d[-1]),
+                        n=int(d.size),
+                        block_max=float(u.max()),
+                        docs_payload=varint_encode(deltas),
+                        tfs_payload=varint_encode((t - 1).astype(np.uint64)),
+                    )
+                )
+            )
+        return pd.DataFrame(
+            [
+                {
+                    "bucket": bucket,
+                    "term": term,
+                    "salt": salt,
+                    "df": int(docs.size),
+                    "blocks": blocks,
+                }
+            ]
+        )
+
+    return merge_group
+
+
+def merge_index(
+    spark: SparkSession,
+    index_dir: str,
+    hot_df_threshold: int | None = None,
+    n_salts: int = 16,
+    n_buckets: int = 32,
+    resume: bool = True,
+) -> str:
+    """Merge shard-local postings into merged/ (term-partitioned, salted).
+
+    Returns the merged directory path.
+    """
+    stats = load_index_meta(spark, index_dir)
+    n_docs = int(stats["n_docs"])
+    if hot_df_threshold is None:
+        hot_df_threshold = max(64, n_docs // 10)
+    span = max(1, -(-n_docs // n_salts))
+
+    cat = ManifestCatalog(index_dir)
+    merged_dir = os.path.join(index_dir, "merged")
+    done = cat.committed_partitions("merged", "merge") if resume else set()
+    missing = sorted(set(range(n_buckets)) - done)
+    if not missing:
+        return merged_dir
+    cat.clean_uncommitted("merged", partition_col="bucket")
+
+    shards = spark.read.parquet(os.path.join(index_dir, "shards"))
+    tdf = spark.read.parquet(os.path.join(index_dir, "terms"))
+    hot = tdf.filter(F.col("df") > hot_df_threshold).select(
+        "term", F.lit(True).alias("is_hot")
+    )
+
+    bucketed = (
+        shards.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        .filter(F.col("bucket").isin(missing))
+        .join(F.broadcast(hot), "term", "left")
+    )
+    # explode hot terms into per-salt rows using block METADATA only (JVM);
+    # non-hot terms get sentinel salt -1 = unsalted full range
+    salted = (
+        bucketed.withColumn(
+            "salt",
+            F.explode(
+                F.when(
+                    F.col("is_hot").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(n_salts - 1)),
+                ).otherwise(F.array(F.lit(-1)))
+            ),
+        )
+        .withColumn(
+            "lo",
+            F.when(F.col("salt") < 0, F.lit(0)).otherwise(
+                F.col("salt").cast("long") * F.lit(span)
+            ),
+        )
+        .withColumn(
+            "hi",
+            F.when(F.col("salt") < 0, F.lit(1 << 62)).otherwise(
+                (F.col("salt").cast("long") + 1) * F.lit(span)
+            ),
+        )
+        .withColumn(
+            "blocks",
+            F.filter(
+                "blocks",
+                lambda blk: (blk["max_doc"] >= F.col("lo")) & (blk["min_doc"] < F.col("hi")),
+            ),
+        )
+        .filter(F.size("blocks") > 0)
+        .select("bucket", "term", "salt", "shard", "blocks")
+    )
+    t0 = time.time()
+    merged = salted.groupBy("term", "salt", "bucket").applyInPandas(
+        _merge_group_fn(span), MERGED_SCHEMA
+    )
+    merged.write.partitionBy("bucket").mode("append").parquet(merged_dir)
+    wall = int((time.time() - t0) * 1000)
+
+    lineage = {
+        r["bucket"]: r
+        for r in spark.read.parquet(merged_dir)
+        .filter(F.col("bucket").isin(missing))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("rows"), F.sum("df").alias("postings"))
+        .collect()
+    }
+    cat.commit(
+        "merged",
+        [
+            PartitionEntry(
+                partition_id=bkt,
+                stage="merge",
+                input_rows=int(lineage[bkt]["postings"]) if bkt in lineage else 0,
+                docs=0,
+                terms=int(lineage[bkt]["rows"]) if bkt in lineage else 0,
+                bytes=0,
+                wall_ms=wall,
+            )
+            for bkt in missing
+        ],
+        props={"n_salts": n_salts, "span": span, "hot_df_threshold": hot_df_threshold,
+               "n_buckets": n_buckets},
+    )
+    return merged_dir
+
+
+def merged_postings(spark: SparkSession, index_dir: str, terms: list[str]) -> DataFrame:
+    """Decode merged postings for given terms → (term, doc_id, tf) long form.
+
+    Used by tests (merged == single-shot) and the term-lookup query path.
+    Parquet predicate pushdown keeps the scan to the requested terms.
+    """
+    merged = spark.read.parquet(os.path.join(index_dir, "merged")).filter(
+        F.col("term").isin(terms)
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            out_t, out_d, out_f = [], [], []
+            for _, row in pdf.iterrows():
+                for blk in row["blocks"]:
+                    d, t = decode_block(blk)
+                    out_t.extend([row["term"]] * d.size)
+                    out_d.append(d)
+                    out_f.append(t)
+            if out_d:
+                yield pd.DataFrame(
+                    {
+                        "term": out_t,
+                        "doc_id": np.concatenate(out_d),
+                        "tf": np.concatenate(out_f),
+                    }
+                )
+
+    return merged.mapInPandas(decode, "term string, doc_id long, tf long")

@@ -1,0 +1,229 @@
+"""Block-max top-k BM25 query engine over the compressed sharded index.
+
+Architecture mirrors what Elasticsearch does for every ``search`` the
+reference issues (public ES/Lucene execution model; SURVEY §2.6 T3,
+§3.3): each shard computes a local top-k with block-max pruning, a
+coordinator merge takes the global top-k. Here: per-shard
+``applyInPandas`` kernels → ``orderBy(desc(score)).limit(k)``
+(TakeOrderedAndProject) — no collect of posting data on the driver.
+
+Pruning kernel: **Block-Max MaxScore** — the vectorizable member of the
+block-max WAND family (same skip guarantees as classic BMW:
+a block of term t is decoded only if
+``block_ub(t) + Σ ub(weaker terms) > θ``). Chosen over pivot-based
+document-at-a-time WAND because it vectorizes with numpy inside Arrow
+batches instead of a per-doc Python loop; results are EXACT — tests
+assert rank-identity (ids and scores) with the uncompressed join scorer
+(bm25.py) and the DuckDB oracle.
+
+Scores accumulate in float64 over terms sorted by descending term upper
+bound; final scores rounded to SCORE_DECIMALS like the exact scorer.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analyze import tokenize_text
+from .bm25 import SCORE_DECIMALS
+from .codec import decode_block
+from .postings import B, K1
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+class _TermCursor:
+    """Decoded-on-demand postings of one term inside one shard."""
+
+    __slots__ = ("blocks", "idf", "block_ubs", "min_docs", "max_docs", "_decoded", "ub")
+
+    def __init__(self, blocks: list, term_idf: float):
+        self.blocks = blocks
+        self.idf = term_idf
+        self.block_ubs = np.asarray([term_idf * b["block_max"] for b in blocks])
+        self.min_docs = np.asarray([b["min_doc"] for b in blocks], dtype=np.int64)
+        self.max_docs = np.asarray([b["max_doc"] for b in blocks], dtype=np.int64)
+        self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.ub = float(self.block_ubs.max()) if blocks else 0.0
+
+    def decode(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        if i not in self._decoded:
+            self._decoded[i] = decode_block(self.blocks[i])
+        return self._decoded[i]
+
+    @property
+    def blocks_decoded(self) -> int:
+        return len(self._decoded)
+
+    def all_docs(self, block_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if block_ids.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        parts = [self.decode(int(i)) for i in block_ids]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+
+    def tf_for(self, docs: np.ndarray) -> np.ndarray:
+        """tf per requested doc (0 if absent) — decodes only covering blocks."""
+        tfs = np.zeros(docs.size, dtype=np.int64)
+        if not self.blocks or docs.size == 0:
+            return tfs
+        bi = np.searchsorted(self.max_docs, docs)  # candidate covering block
+        valid = (bi < len(self.blocks)) & (docs >= self.min_docs[np.minimum(bi, len(self.blocks) - 1)])
+        for i in np.unique(bi[valid]):
+            d, t = self.decode(int(i))
+            sel = valid & (bi == i)
+            pos = np.searchsorted(d, docs[sel])
+            hit = (pos < d.size) & (d[np.minimum(pos, d.size - 1)] == docs[sel])
+            out = np.zeros(sel.sum(), dtype=np.int64)
+            out[hit] = t[pos[hit]]
+            tfs[sel] = out
+        return tfs
+
+
+def bmw_topk_kernel(
+    term_blocks: dict[str, list],
+    term_idfs: dict[str, float],
+    doc_ids_sorted: np.ndarray,
+    dls_sorted: np.ndarray,
+    avgdl: float,
+    k: int,
+    k1: float = K1,
+    b: float = B,
+) -> tuple[np.ndarray, np.ndarray, dict]:
+    """Exact block-max-pruned top-k over one shard's postings.
+
+    Returns (doc_ids, scores, metrics) with metrics counting decoded vs
+    total blocks (proof of skipping in tests/bench).
+    """
+    cursors = [
+        _TermCursor(term_blocks[t], term_idfs[t]) for t in sorted(term_blocks)
+    ]
+    cursors = [c for c in cursors if c.blocks]
+    if not cursors:
+        return np.empty(0, dtype=np.int64), np.empty(0), {"decoded": 0, "total": 0}
+    cursors.sort(key=lambda c: -c.ub)
+    tail_ub = np.zeros(len(cursors) + 1)  # tail_ub[j] = Σ ub of cursors[j:]
+    for j in range(len(cursors) - 1, -1, -1):
+        tail_ub[j] = tail_ub[j + 1] + cursors[j].ub
+
+    def dl_lookup(docs: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(doc_ids_sorted, docs)
+        return dls_sorted[pos]
+
+    def full_score(docs: np.ndarray) -> np.ndarray:
+        dl = dl_lookup(docs).astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        total = np.zeros(docs.size)
+        for c in cursors:
+            tf = c.tf_for(docs).astype(np.float64)
+            total += np.where(tf > 0, c.idf * tf * (k1 + 1.0) / (tf + norm), 0.0)
+        return total
+
+    theta = -np.inf
+    top_docs = np.empty(0, dtype=np.int64)
+    top_scores = np.empty(0)
+    seen = np.empty(0, dtype=np.int64)  # sorted already-scored docs
+
+    for j, c in enumerate(cursors):
+        # a block of cursor j is worth decoding only if its own bound plus
+        # the combined bound of all weaker terms can still reach theta
+        # (>= not >: a doc tying the k-th score but with smaller docID wins
+        # the docID tie-break, so bound-equal blocks must be scored)
+        need = c.block_ubs + tail_ub[j + 1] >= theta
+        cand, _ = c.all_docs(np.flatnonzero(need))
+        if seen.size:
+            cand = cand[~np.isin(cand, seen)]
+        if cand.size == 0:
+            continue
+        scores = full_score(cand)
+        seen = np.sort(np.concatenate([seen, cand]))
+        all_d = np.concatenate([top_docs, cand])
+        all_s = np.concatenate([top_scores, scores])
+        # select on the ROUNDED score (the engine-wide tie surface) with
+        # docID tiebreak, so the per-shard cut matches the global ordering
+        order = np.lexsort((all_d, -np.round(all_s, SCORE_DECIMALS)))[:k]
+        top_docs, top_scores = all_d[order], all_s[order]
+        if top_docs.size >= k:
+            # guard band: a doc whose raw score is within one rounding
+            # quantum of the k-th can still tie after rounding and win on
+            # docID — it must not be pruned
+            theta = float(top_scores[-1]) - 10.0 ** (-SCORE_DECIMALS)
+
+    metrics = {
+        "decoded": sum(c.blocks_decoded for c in cursors),
+        "total": sum(len(c.blocks) for c in cursors),
+    }
+    return top_docs, top_scores, metrics
+
+
+def load_index_meta(spark: SparkSession, index_dir: str):
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    return stats
+
+
+def topk(
+    spark: SparkSession, index_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """Distributed BM25 top-k over the sharded compressed index.
+
+    Per-shard block-max kernels emit local top-k; global
+    TakeOrderedAndProject merges. Parquet term filter is pushed down, so
+    only the query terms' posting rows are read from each shard.
+    """
+    stats = load_index_meta(spark, index_dir)
+    terms = sorted(set(tokenize_text(query)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    tdf_rows = (
+        spark.read.parquet(os.path.join(index_dir, "terms"))
+        .filter(F.col("term").isin(terms))
+        .collect()
+    )
+    term_idfs = {r["term"]: idf(stats["n_docs"], r["df"]) for r in tdf_rows}
+    if not term_idfs:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    idx = spark.read.parquet(os.path.join(index_dir, "shards")).filter(
+        F.col("term").isin(list(term_idfs))
+    )
+    dls = spark.read.parquet(os.path.join(index_dir, "doclens"))
+    avgdl = float(stats["avgdl"])
+
+    def score_shard(key, idx_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+        if idx_pdf.empty or dl_pdf.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+            )
+        order = np.argsort(dl_pdf["doc_id"].to_numpy())
+        doc_sorted = dl_pdf["doc_id"].to_numpy(dtype=np.int64)[order]
+        dl_sorted = dl_pdf["dl"].to_numpy(dtype=np.int64)[order]
+        term_blocks = {
+            r["term"]: list(r["blocks"]) for _, r in idx_pdf.iterrows()
+        }
+        docs, scores, _ = bmw_topk_kernel(
+            term_blocks, term_idfs, doc_sorted, dl_sorted, avgdl, k
+        )
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    local = (
+        idx.groupBy("shard")
+        .cogroup(dls.groupBy("shard"))
+        .applyInPandas(score_shard, "doc_id long, score double")
+    )
+    return (
+        local.select("doc_id", F.round(F.col("score"), SCORE_DECIMALS).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

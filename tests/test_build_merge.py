@@ -1,0 +1,181 @@
+"""Index build + merge: parity with single-shot postings, salting, resume."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_loaders_spark.build import assign_doc_ids, build_index
+from es_loaders_spark.catalog import ManifestCatalog
+from es_loaders_spark.merge import merge_index, merged_postings
+from es_loaders_spark.postings import postings_long
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    build_index(spark, documents, d, n_shards=4)
+    merge_index(spark, d, hot_df_threshold=50, n_salts=4, n_buckets=8)
+    return d
+
+
+def test_build_stats_and_lineage(spark, documents, index_dir):
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    assert stats["n_docs"] == documents.count()
+    cat = ManifestCatalog(index_dir)
+    assert cat.committed_partitions("doclens") == {0, 1, 2, 3}
+    assert cat.committed_partitions("shards") == {0, 1, 2, 3}
+    m = cat.load("shards")
+    assert all(e["terms"] > 0 and e["bytes"] > 0 for e in m.partitions)
+
+
+def test_sharded_postings_match_single_shot(spark, documents, index_dir):
+    """Decoded shard-local postings == postings built in one shot (SURVEY §5.3)."""
+    want = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in postings_long(documents).collect()
+    }
+    from es_loaders_spark.codec import decode_block
+    got = {}
+    for row in spark.read.parquet(os.path.join(index_dir, "shards")).collect():
+        for blk in row["blocks"]:
+            import numpy as np
+            d, t = decode_block(blk.asDict())
+            for doc, tf in zip(d, t):
+                got[(row["term"], int(doc))] = int(tf)
+    assert got == want
+
+
+def test_merged_equals_single_shot(spark, documents, index_dir):
+    terms = ["the", "spark", "data", "w0005"]
+    got = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in merged_postings(spark, index_dir, terms).collect()
+    }
+    want = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in postings_long(documents).filter(F.col("term").isin(terms)).collect()
+    }
+    assert got == want
+
+
+def test_salted_equals_unsalted(spark, documents, tmp_path_factory):
+    d1 = str(tmp_path_factory.mktemp("idx_salted"))
+    d2 = str(tmp_path_factory.mktemp("idx_unsalted"))
+    for d in (d1, d2):
+        build_index(spark, documents, d, n_shards=2)
+    merge_index(spark, d1, hot_df_threshold=20, n_salts=4, n_buckets=4)   # salts many terms
+    merge_index(spark, d2, hot_df_threshold=10**9, n_salts=4, n_buckets=4)  # salts none
+    terms = ["the", "of", "query", "w0010"]
+    a = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in merged_postings(spark, d1, terms).collect()
+    }
+    b = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in merged_postings(spark, d2, terms).collect()
+    }
+    assert a == b
+    # salting actually produced multiple salt rows for the hot term
+    hot_rows = (
+        spark.read.parquet(os.path.join(d1, "merged"))
+        .filter(F.col("term") == "the")
+        .count()
+    )
+    assert hot_rows > 1
+
+
+def test_build_resume_skips_committed_and_rebuilds_missing(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_resume"))
+    build_index(spark, documents, d, n_shards=4)
+    full = {
+        (r["term"], r["doc_id"])
+        for r in merged_postings_all(spark, d)
+    }
+    # simulate a crash that lost shard 2: drop its files + manifest entry
+    cat = ManifestCatalog(d)
+    m = cat.load("shards")
+    m.partitions = [e for e in m.partitions if e["partition_id"] != 2]
+    import tempfile, json as js
+    with open(os.path.join(d, "shards", "_manifest.json"), "w") as f:
+        js.dump(
+            {"table": m.table, "partitions": m.partitions, "props": m.props,
+             "version": m.version},
+            f,
+        )
+    shutil.rmtree(os.path.join(d, "shards", "shard=2"))
+    build_index(spark, documents, d, n_shards=4)  # resume
+    after = {(r["term"], r["doc_id"]) for r in merged_postings_all(spark, d)}
+    assert after == full
+    assert cat.committed_partitions("shards") == {0, 1, 2, 3}
+
+
+def merged_postings_all(spark, index_dir):
+    """Decode ALL shard postings (test helper)."""
+    import numpy as np
+    import pandas as pd
+
+    from es_loaders_spark.codec import decode_block
+
+    def decode(batches):
+        for pdf in batches:
+            ts, ds = [], []
+            for _, row in pdf.iterrows():
+                for blk in row["blocks"]:
+                    dd, _ = decode_block(blk)
+                    ts.extend([row["term"]] * dd.size)
+                    ds.append(dd)
+            if ds:
+                yield pd.DataFrame({"term": ts, "doc_id": np.concatenate(ds)})
+
+    return (
+        spark.read.parquet(os.path.join(index_dir, "shards"))
+        .mapInPandas(decode, "term string, doc_id long")
+        .collect()
+    )
+
+
+def test_merge_resume_mid_merge(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_merge_resume"))
+    build_index(spark, documents, d, n_shards=2)
+    merge_index(spark, d, hot_df_threshold=50, n_salts=4, n_buckets=8)
+    terms = ["the", "spark", "w0020"]
+    full = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in merged_postings(spark, d, terms).collect()
+    }
+    # crash: drop two committed buckets
+    cat = ManifestCatalog(d)
+    m = cat.load("merged")
+    lost = {1, 5}
+    m.partitions = [e for e in m.partitions if e["partition_id"] not in lost]
+    import json as js
+    with open(os.path.join(d, "merged", "_manifest.json"), "w") as f:
+        js.dump({"table": m.table, "partitions": m.partitions, "props": m.props,
+                 "version": m.version}, f)
+    for b in lost:
+        shutil.rmtree(os.path.join(d, "merged", f"bucket={b}"), ignore_errors=True)
+    merge_index(spark, d, hot_df_threshold=50, n_salts=4, n_buckets=8)  # resume
+    after = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in merged_postings(spark, d, terms).collect()
+    }
+    assert after == full
+    assert cat.committed_partitions("merged") == set(range(8))
+
+
+def test_assign_doc_ids_deterministic(spark, web_pages):
+    a = {r["url"]: r["doc_id"] for r in assign_doc_ids(web_pages).select("url", "doc_id").collect()}
+    b = {
+        r["url"]: r["doc_id"]
+        for r in assign_doc_ids(web_pages.repartition(13)).select("url", "doc_id").collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(len(a)))
+    urls_sorted = sorted(a)
+    assert [a[u] for u in urls_sorted] == list(range(len(a)))

@@ -1,0 +1,84 @@
+"""Codec: varint/delta round-trip (property-based) + block-max correctness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from es_loaders_spark.codec import (
+    BLOCK_SIZE,
+    decode_block,
+    decode_postings,
+    encode_postings,
+    tf_norm,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip_property(values):
+    arr = np.asarray(values, dtype=np.uint64)
+    assert list(varint_decode(varint_encode(arr))) == values
+
+
+def test_varint_edges():
+    edges = [0, 1, 127, 128, 16383, 16384, 2**32 - 1, 2**63 - 1, 2**64 - 1]
+    arr = np.asarray(edges, dtype=np.uint64)
+    out = varint_decode(varint_encode(arr))
+    assert [int(x) for x in out] == edges
+    assert varint_encode(np.asarray([0], dtype=np.uint64)) == b"\x00"
+    assert varint_encode(np.asarray([127], dtype=np.uint64)) == b"\x7f"
+    assert varint_encode(np.asarray([128], dtype=np.uint64)) == b"\x80\x01"
+    assert varint_decode(b"") .size == 0
+
+
+@given(st.integers(min_value=1, max_value=1000), st.integers(min_value=0, max_value=99))
+@settings(max_examples=50, deadline=None)
+def test_postings_roundtrip_property(n, seed):
+    rng = np.random.RandomState(seed)
+    doc_ids = np.unique(rng.randint(0, 10_000_000, size=n))
+    tfs = rng.randint(1, 50, size=doc_ids.size)
+    dls = rng.randint(1, 500, size=doc_ids.size)
+    blocks = encode_postings(doc_ids, tfs, dls, avgdl=100.0)
+    got_docs, got_tfs = decode_postings(blocks)
+    assert np.array_equal(got_docs, doc_ids)
+    assert np.array_equal(got_tfs, tfs)
+
+
+def test_blocks_are_independent_and_sized():
+    doc_ids = np.arange(0, 1000, 3, dtype=np.int64)
+    tfs = np.ones(doc_ids.size, dtype=np.int64)
+    dls = np.full(doc_ids.size, 100, dtype=np.int64)
+    blocks = encode_postings(doc_ids, tfs, dls, avgdl=100.0)
+    assert len(blocks) == -(-doc_ids.size // BLOCK_SIZE)
+    # each block decodes on its own (skip support)
+    d1, t1 = decode_block(blocks[1])
+    assert d1[0] == blocks[1].min_doc and d1[-1] == blocks[1].max_doc
+    assert all(b.n <= BLOCK_SIZE for b in blocks)
+
+
+def test_block_max_bounds_all_contained():
+    rng = np.random.RandomState(7)
+    doc_ids = np.unique(rng.randint(0, 100000, size=500))
+    tfs = rng.randint(1, 30, size=doc_ids.size)
+    dls = rng.randint(10, 400, size=doc_ids.size)
+    avgdl = 120.0
+    blocks = encode_postings(doc_ids, tfs, dls, avgdl=avgdl)
+    norms = tf_norm(tfs, dls, avgdl)
+    i = 0
+    for b in blocks:
+        contained = norms[i : i + b.n]
+        # float32 block max is rounded UP: must dominate all float64 norms exactly
+        assert b.block_max >= contained.max()
+        i += b.n
+
+
+def test_unsorted_docids_rejected():
+    with pytest.raises(ValueError):
+        encode_postings(
+            np.asarray([5, 3]), np.asarray([1, 1]), np.asarray([10, 10]), avgdl=10.0
+        )

@@ -1,0 +1,99 @@
+"""Block-max WAND engine: rank-identity with exact scorer + real block skipping."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from es_loaders_spark.bm25 import bm25_topk
+from es_loaders_spark.build import build_index
+from es_loaders_spark.codec import encode_postings
+from es_loaders_spark.postings import corpus_stats, doc_lengths, postings_long, term_df
+from es_loaders_spark.wand import bmw_topk_kernel, idf, topk
+
+QUERIES = [
+    "spark query data",
+    "the fast table scan",
+    "customer order line window merge",
+    "hash join",
+    "the of and",          # pure stopwords — worst case
+    "w0500 w0700",         # rare terms
+    "zzz_not_a_term",      # OOV
+    "spark",               # single term
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("wand_index"))
+    build_index(spark, documents, d, n_shards=4)
+    postings = postings_long(documents).cache()
+    dl = doc_lengths(documents).cache()
+    tdf = term_df(postings).cache()
+    stats = corpus_stats(dl)
+    return d, postings, dl, tdf, stats
+
+
+def test_wand_rank_identity_vs_exact(spark, built):
+    d, postings, dl, tdf, stats = built
+    for q in QUERIES:
+        got = [(r["doc_id"], r["score"]) for r in topk(spark, d, q, k=10).collect()]
+        want = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(spark, postings, dl, tdf, stats, q, k=10).collect()
+        ]
+        assert [x for x, _ in got] == [x for x, _ in want], f"rank differs for {q!r}"
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-3, f"score mismatch for {q!r}"
+
+
+def test_wand_k_variants(spark, built):
+    d, postings, dl, tdf, stats = built
+    for k in (1, 3, 100, 1000):
+        got = [(r["doc_id"], r["score"]) for r in topk(spark, d, "spark data the", k=k).collect()]
+        want = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(spark, postings, dl, tdf, stats, "spark data the", k=k).collect()
+        ]
+        assert [x for x, _ in got] == [x for x, _ in want], f"k={k}"
+
+
+def test_kernel_skips_blocks():
+    """Selective term + stopword: most stopword blocks must be skipped."""
+    rng = np.random.RandomState(0)
+    n_docs = 50_000
+    avgdl = 100.0
+    dls = np.full(n_docs, 100, dtype=np.int64)
+
+    # 'common' in every doc, tf=1; 'rare' in 50 docs with high tf
+    common_docs = np.arange(n_docs, dtype=np.int64)
+    common_tfs = np.ones(n_docs, dtype=np.int64)
+    rare_docs = np.sort(rng.choice(n_docs, size=50, replace=False)).astype(np.int64)
+    rare_tfs = np.full(50, 20, dtype=np.int64)
+
+    term_blocks = {
+        "common": [vars(b) for b in encode_postings(common_docs, common_tfs, dls, avgdl)],
+        "rare": [vars(b) for b in encode_postings(rare_docs, rare_tfs, dls[:50], avgdl)],
+    }
+    term_idfs = {
+        "common": idf(n_docs, n_docs),
+        "rare": idf(n_docs, 50),
+    }
+    docs, scores, metrics = bmw_topk_kernel(
+        term_blocks, term_idfs, common_docs, dls, avgdl, k=10
+    )
+    assert docs.size == 10
+    # every top doc must contain 'rare' (its idf dwarfs 'common')
+    assert set(docs).issubset(set(rare_docs.tolist()))
+    assert metrics["decoded"] < metrics["total"] * 0.2, metrics  # real skipping
+
+    # exactness: brute force over the same postings
+    brute = np.zeros(n_docs)
+    for t, blocks in term_blocks.items():
+        from es_loaders_spark.codec import decode_postings
+        d, tf = decode_postings(blocks)
+        tfn = tf.astype(float) * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * 100 / avgdl))
+        brute[d] += term_idfs[t] * tfn
+    order = np.lexsort((np.arange(n_docs), -brute))[:10]
+    assert list(docs) == list(order)
+    assert np.allclose(scores, brute[order], atol=1e-9)
