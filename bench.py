@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline pipeline at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": docs_per_sec, "unit": ..., "queries":
+{name: sec}, "sf": ...}.
+
+Headline metric: full index-build throughput (docs/sec) over a
+synthesized Common-Crawl-style corpus — extract(html) → deterministic
+docIDs → sharded compressed postings (the BASELINE.json metric). Query
+timings cover BM25 top-k via block-max WAND (single query and the
+msearch-style batch, amortized) plus representative SURVEY §2
+operators. Stdout carries only the JSON line.
+
+Scaling evidence (N vs 4N cores) lives in bench/scaling.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def build_pipeline(spark, n_pages: int, idx_dir: str, n_shards: int, seed: int = 42):
+    """The full north-star build: synthesize → extract → ids → ingest → index.
+
+    The docID-assigned extracted corpus is materialized to a table before
+    indexing (SURVEY §1.4: ids assigned once at ingest) — so the two
+    index passes (doclens, postings) read parquet instead of recomputing
+    the synthesize/extract/rank chain.
+    """
+    from pyspark.sql import functions as F
+
+    from es_loaders_spark.build import assign_doc_ids, build_index
+    from es_loaders_spark.corpus import synthesize_web_pages
+    from es_loaders_spark.extract import extract_text
+
+    pages = synthesize_web_pages(spark, n_pages, seed=seed)
+    # rank only the (small) url column through the range shuffle; join ids
+    # back onto the wide rows — html bytes never enter the sort
+    ids = assign_doc_ids(pages.select("url"))
+    docs = (
+        pages.join(ids, "url")
+        .withColumn("text", extract_text(F.col("html")))
+        .select("doc_id", "text")
+    )
+    ingest_dir = os.path.join(idx_dir, "ingest")
+    docs.write.mode("overwrite").parquet(ingest_dir)
+    spark.catalog.clearCache()  # drop the assign_doc_ids persist
+    return build_index(
+        spark, spark.read.parquet(ingest_dir), idx_dir, n_shards=n_shards
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from es_loaders_spark.bm25 import bm25_topk
+    from es_loaders_spark.postings import corpus_stats, doc_lengths, postings_long, term_df
+    from es_loaders_spark.queries import QUERIES
+    from es_loaders_spark.session import get_spark
+    from es_loaders_spark.wand import topk, topk_batch
+
+    spark = get_spark("bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    # --- headline: full build pipeline on the synthesized web corpus ---
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t_build, _ = timed(
+        lambda: build_pipeline(spark, n_pages, idx_dir, n_shards=max(8, cpus))
+    )
+    timings["index_build_web"] = round(t_build, 4)
+    docs_per_sec = round(n_pages / t_build, 2)
+
+    # --- BM25 latency over the web index: single query + amortized batch ---
+    bm25_queries = [
+        "spark index crawl data",
+        "the fast query merge",
+        "w0500 w0123 batch window",
+        "hash join group filter",
+        "page web the scan",
+    ]
+    t = time.time()
+    for q in bm25_queries:
+        topk(spark, idx_dir, q, k=20).collect()
+    timings["bm25_wand_single_avg"] = round((time.time() - t) / len(bm25_queries), 4)
+
+    batch = {f"q{i}": bm25_queries[i % len(bm25_queries)] + f" w{i:04d}" for i in range(50)}
+    t, _ = timed(lambda: topk_batch(spark, idx_dir, batch, k=20).collect())
+    timings["bm25_wand_batch50_total"] = round(t, 4)
+    timings["bm25_wand_batch50_avg"] = round(t / 50, 4)
+
+    # --- driver documents corpus: build + exact scorer (oracle-scale data) ---
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    from es_loaders_spark.build import build_index
+
+    idx2 = tempfile.mkdtemp(prefix="bench_idx2_")
+    shutil.rmtree(idx2, ignore_errors=True)
+    t_b2, _ = timed(lambda: build_index(spark, docs, idx2, n_shards=max(8, cpus)))
+    timings["index_build_documents"] = round(t_b2, 4)
+
+    p = postings_long(docs).cache()
+    dl = doc_lengths(docs).cache()
+    p.count(), dl.count()
+    tdf = term_df(p).cache()
+    stats = corpus_stats(dl)
+    t = time.time()
+    for q in bm25_queries:
+        bm25_topk(spark, p, dl, tdf, stats, q, k=20).collect()
+    timings["bm25_exact_topk_avg"] = round((time.time() - t) / len(bm25_queries), 4)
+
+    # --- representative operator suite (SURVEY §2 + pipeline ops) ---
+    for name in [
+        "groupby_sum_q1",
+        "histogram2d_mode",
+        "join_broadcast_dim",
+        "postings",
+        "quality_score",
+        "dedup_exact_groups",
+        "minhash_lsh_dups",
+        "ann_bruteforce",
+    ]:
+        fn = QUERIES[name]
+        t, _ = timed(lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
+        timings[name] = round(t, 4)
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(idx2, ignore_errors=True)
+    result = {
+        "metric": "index-build throughput (docs/sec) + BM25 top-k latency",
+        "value": docs_per_sec,
+        "unit": "docs/sec",
+        "queries": timings,
+        "sf": sf,
+        "n_pages": n_pages,
+        "n_docs": n_docs,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,23 +34,22 @@ from .analyze import tokenize_texts
 from .catalog import ManifestCatalog, PartitionEntry
 from .codec import encode_postings
 
-BLOCK_STRUCT = T.StructType(
+# FLAT index layout: one row per posting block. Nested array<struct>
+# was ~10× slower through Arrow (per-block Python dicts); flat rows are
+# native numpy/bytes columns, parquet-columnar, and make the merge's
+# salt-range filtering a plain row predicate.
+INDEX_SCHEMA = T.StructType(
     [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("block_id", T.IntegerType()),
         T.StructField("min_doc", T.LongType()),
         T.StructField("max_doc", T.LongType()),
         T.StructField("n", T.IntegerType()),
         T.StructField("block_max", T.FloatType()),
         T.StructField("docs_payload", T.BinaryType()),
         T.StructField("tfs_payload", T.BinaryType()),
-    ]
-)
-
-INDEX_SCHEMA = T.StructType(
-    [
-        T.StructField("shard", T.IntegerType()),
-        T.StructField("term", T.StringType()),
-        T.StructField("df", T.LongType()),
-        T.StructField("blocks", T.ArrayType(BLOCK_STRUCT)),
     ]
 )
 
@@ -115,37 +114,60 @@ def _build_shard_fn(avgdl: float):
         doc_ids = doc_ids[order]
         offsets, flat = tokenize_texts(pdf["text"].iloc[order].reset_index(drop=True))
         lens = np.diff(offsets)
+        empty = pd.DataFrame(
+            {
+                "shard": pd.Series(dtype="int32"),
+                "term": pd.Series(dtype="object"),
+                "df": pd.Series(dtype="int64"),
+                "block_id": pd.Series(dtype="int32"),
+                "min_doc": pd.Series(dtype="int64"),
+                "max_doc": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int32"),
+                "block_max": pd.Series(dtype="float32"),
+                "docs_payload": pd.Series(dtype="object"),
+                "tfs_payload": pd.Series(dtype="object"),
+            }
+        )
+        if flat.size == 0:
+            return empty
         tok_doc = np.repeat(doc_ids, lens)
         tok_dl = np.repeat(lens, lens)
-        if flat.size == 0:
-            return pd.DataFrame(
-                {
-                    "shard": pd.Series(dtype="int32"),
-                    "term": pd.Series(dtype="object"),
-                    "df": pd.Series(dtype="int64"),
-                    "blocks": pd.Series(dtype="object"),
-                }
-            )
-        tp = pd.DataFrame({"term": flat, "doc": tok_doc, "dl": tok_dl})
-        grouped = (
-            tp.groupby(["term", "doc"], sort=True)
-            .agg(tf=("doc", "size"), dl=("dl", "first"))
-            .reset_index()
+
+        # (term, doc) → tf, all-numpy: factorize terms, lexsort, run-length
+        codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+        ordr = np.lexsort((tok_doc, codes))
+        c, d, dls = codes[ordr], tok_doc[ordr], tok_dl[ordr]
+        new = np.empty(c.size, dtype=bool)
+        new[0] = True
+        new[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, c.size))
+        p_doc, p_code, p_dl = d[starts], c[starts], dls[starts]
+
+        from .codec import encode_blocks_flat, tf_norm
+
+        norms = tf_norm(tf, p_dl, avgdl)
+        seg = np.concatenate(
+            [[0], np.flatnonzero(np.diff(p_code)) + 1, [p_code.size]]
+        ).astype(np.int64)
+        term_codes = p_code[seg[:-1]]
+        fb = encode_blocks_flat(p_doc, tf, norms, seg)
+        term_strs = np.asarray(uniques, dtype=object)
+        seg_df = np.diff(seg)
+        return pd.DataFrame(
+            {
+                "shard": np.full(fb["term_idx"].size, shard, dtype=np.int32),
+                "term": term_strs[term_codes[fb["term_idx"]]],
+                "df": seg_df[fb["term_idx"]],
+                "block_id": fb["block_id"],
+                "min_doc": fb["min_doc"],
+                "max_doc": fb["max_doc"],
+                "n": fb["n"],
+                "block_max": fb["block_max"],
+                "docs_payload": fb["docs_payload"],
+                "tfs_payload": fb["tfs_payload"],
+            }
         )
-        rows = []
-        for term, g in grouped.groupby("term", sort=True):
-            blocks = encode_postings(
-                g["doc"].to_numpy(), g["tf"].to_numpy(), g["dl"].to_numpy(), avgdl
-            )
-            rows.append(
-                {
-                    "shard": shard,
-                    "term": term,
-                    "df": len(g),
-                    "blocks": [vars(b) for b in blocks],
-                }
-            )
-        return pd.DataFrame(rows)
 
     return build_shard
 
@@ -244,16 +266,10 @@ def build_index(
             .filter(F.col("shard").isin(missing))
             .groupBy("shard")
             .agg(
-                F.count("*").alias("terms"),
-                F.sum("df").alias("postings"),
+                F.count_distinct("term").alias("terms"),
+                F.sum(F.when(F.col("block_id") == 0, F.col("df"))).alias("postings"),
                 F.sum(
-                    F.aggregate(
-                        "blocks",
-                        F.lit(0).cast("long"),
-                        lambda acc, b: acc
-                        + F.length(b["docs_payload"])
-                        + F.length(b["tfs_payload"]),
-                    )
+                    F.length("docs_payload") + F.length("tfs_payload")
                 ).alias("bytes"),
             )
             .collect()
@@ -281,6 +297,7 @@ def build_index(
         t0 = time.time()
         tdf = (
             spark.read.parquet(shards_dir)
+            .filter(F.col("block_id") == 0)  # df is per-(shard,term), on every block row
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
         )

@@ -32,14 +32,20 @@ BLOCK_SIZE = 128
 _THRESHOLDS = [1 << (7 * i) for i in range(1, 10)]
 
 
+def varint_nbytes(v: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized, exact)."""
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (v >= np.uint64(t)).astype(np.int64)
+    return nbytes
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128 encode a uint64 array, fully vectorized."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    for t in _THRESHOLDS:
-        nbytes += (v >= np.uint64(t)).astype(np.int64)
+    nbytes = varint_nbytes(v)
     starts = np.zeros(v.size, dtype=np.int64)
     np.cumsum(nbytes[:-1], out=starts[1:])
     out = np.zeros(int(starts[-1] + nbytes[-1]), dtype=np.uint8)
@@ -135,6 +141,112 @@ def encode_postings(
             )
         )
     return blocks
+
+
+def encode_blocks_flat(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    norms: np.ndarray,
+    seg_starts: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Encode MANY terms' postings in one vectorized pass → flat block rows.
+
+    Inputs are the concatenation of all terms' docID-sorted postings;
+    ``seg_starts`` (len = n_terms + 1) delimits each term's segment.
+    Equivalent to :func:`encode_postings` per term but with two varint
+    passes total instead of two per term — the index-build hot path
+    (build.py) at 64k terms/shard is ~10× faster this way.
+
+    Returns columnar arrays: term_idx, block_id, min_doc, max_doc, n,
+    block_max (all numpy) and docs_payload/tfs_payload (lists of bytes).
+    """
+    n = doc_ids.size
+    if n == 0:
+        return {
+            "term_idx": np.empty(0, dtype=np.int64),
+            "block_id": np.empty(0, dtype=np.int32),
+            "min_doc": np.empty(0, dtype=np.int64),
+            "max_doc": np.empty(0, dtype=np.int64),
+            "n": np.empty(0, dtype=np.int32),
+            "block_max": np.empty(0, dtype=np.float32),
+            "docs_payload": [],
+            "tfs_payload": [],
+        }
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+
+    # global block segmentation: per-posting block index within its term
+    pos_in_term = np.arange(n, dtype=np.int64) - np.repeat(
+        seg_starts[:-1], np.diff(seg_starts)
+    )
+    is_block_start = (pos_in_term % block_size) == 0
+    block_starts = np.flatnonzero(is_block_start)
+    block_ends = np.empty_like(block_starts)
+    block_ends[:-1] = block_starts[1:]
+    block_ends[-1] = n
+    blocks_per_term = np.ceil(np.diff(seg_starts) / block_size).astype(np.int64)
+    block_term = np.repeat(np.arange(seg_starts.size - 1), blocks_per_term)
+    block_id = (pos_in_term[block_starts] // block_size).astype(np.int32)
+
+    # deltas: doc - prev_doc, zeroed at block starts (first doc == min_doc)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = 0
+    deltas[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
+    deltas[block_starts] = 0
+
+    # one global varint pass each for deltas and tfs
+    d_bytes = varint_encode(deltas)
+    t_bytes = varint_encode((tfs - 1).astype(np.uint64))
+    d_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(varint_nbytes(deltas), out=d_off[1:])
+    t_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(varint_nbytes((tfs - 1).astype(np.uint64)), out=t_off[1:])
+
+    # per-block max of tf-norm (rounded UP to float32 — pruning soundness)
+    bm = np.maximum.reduceat(norms, block_starts)
+    bm32 = bm.astype(np.float32)
+    low = bm32.astype(np.float64) < bm
+    bm32[low] = np.nextafter(bm32[low], np.float32(np.inf))
+
+    return {
+        "term_idx": block_term,
+        "block_id": block_id,
+        "min_doc": doc_ids[block_starts],
+        "max_doc": doc_ids[block_ends - 1],
+        "n": (block_ends - block_starts).astype(np.int32),
+        "block_max": bm32,
+        "docs_payload": [
+            d_bytes[d_off[s] : d_off[e]] for s, e in zip(block_starts, block_ends)
+        ],
+        "tfs_payload": [
+            t_bytes[t_off[s] : t_off[e]] for s, e in zip(block_starts, block_ends)
+        ],
+    }
+
+
+def encode_blocks_batch(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    norms: np.ndarray,
+    seg_starts: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> list[list[Block]]:
+    """Nested view of :func:`encode_blocks_flat` (tests / merge helpers)."""
+    flat = encode_blocks_flat(doc_ids, tfs, norms, seg_starts, block_size)
+    out: list[list[Block]] = [[] for _ in range(seg_starts.size - 1)]
+    for i in range(flat["term_idx"].size):
+        out[int(flat["term_idx"][i])].append(
+            Block(
+                min_doc=int(flat["min_doc"][i]),
+                max_doc=int(flat["max_doc"][i]),
+                n=int(flat["n"][i]),
+                block_max=float(flat["block_max"][i]),
+                docs_payload=flat["docs_payload"][i],
+                tfs_payload=flat["tfs_payload"][i],
+            )
+        )
+    return out
 
 
 def decode_block(block: Block | dict) -> tuple[np.ndarray, np.ndarray]:

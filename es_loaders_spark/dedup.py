@@ -1,0 +1,272 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale-first designs (the 100 TB rationale, per operator):
+
+- **exact**: fingerprint groupBy — one shuffle on the md5 hash, map-side
+  combine; the canonical survivor is min(doc_id) (deterministic).
+- **n-gram Jaccard**: word-3-gram shingles; candidate pairs via a join on
+  *rare* shingles (df ≤ threshold) — joining on ALL shingles explodes on
+  Zipf-head shingles exactly like the hot-term merge (merge.py), so the
+  blocking key is restricted before the self-join; full Jaccard is then
+  computed only for candidates.
+- **MinHash+LSH**: H universal-hash minima per doc (one aggregation over
+  exploded shingles — no per-doc Python), banded into B buckets; docs
+  sharing a band-bucket are candidates (classic banding; band join is the
+  only shuffle).
+- **SimHash**: 64-bit fingerprint from per-token md5 bits, weighted by tf;
+  near-dups = equal fingerprints (or Hamming ≤ r via bit-band blocking).
+
+MinHash/SimHash parameters are deterministic constants so results are
+reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analyze import terms_array
+from .textstats import fingerprint
+
+# --- exact -----------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) docs: (fp, canonical_id, n_dups)."""
+    return (
+        fingerprint(df, text_col)
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one doc per fingerprint (min doc_id wins — deterministic)."""
+    fps = fingerprint(df, text_col)
+    keep = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return df.join(keep, "doc_id", "left_semi")
+
+
+# --- shingles ----------------------------------------------------------------
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = terms_array(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+
+def jaccard_candidates(
+    sh: DataFrame, rare_df_max: int = 10
+) -> DataFrame:
+    """Candidate pairs (a < b) sharing at least one rare shingle."""
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= rare_df_max)
+        .filter(F.col("df") >= 2)
+        .select("shingle")
+    )
+    rs = sh.join(rare, "shingle")
+    a = rs.select(F.col("shingle"), F.col("doc_id").alias("a"))
+    b = rs.select(F.col("shingle"), F.col("doc_id").alias("b"))
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    rare_df_max: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, jaccard) for candidate pairs with full Jaccard ≥ threshold."""
+    sh = shingles(df, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cand = jaccard_candidates(sh, rare_df_max)
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("shingle").alias("sh_b")), "b")
+        .filter(F.col("shingle") == F.col("sh_b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+# 2^31-1: keeps x*a < 2^62 so the affine hash never overflows a Spark
+# LongType under ANSI mode (x, a, b all < 2^31)
+_MERSENNE = (1 << 31) - 1
+
+
+def _minhash_params(h: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=h, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=h, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame, n: int = 3, num_hashes: int = 32, seed: int = 42,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig array<long>) MinHash signatures over word shingles.
+
+    Shingle → 64-bit int via xxhash64 (JVM), then H affine universal
+    hashes mod a Mersenne prime; per-doc minima via one groupBy with
+    map-side partial aggregation. No Python UDF anywhere.
+    """
+    a, b = _minhash_params(num_hashes, seed)
+    sh = shingles(df, n, text_col).withColumn(
+        "x", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    )
+    mins = [
+        F.min(F.pmod(F.col("x") * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE))).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs (a, b, est_jaccard) via banded MinHash LSH.
+
+    rows-per-band = num_hashes / bands; docs agreeing on a full band land
+    in the same bucket (band join). est_jaccard = fraction of agreeing
+    hash functions over the full signature.
+    """
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    sig = minhash_signatures(df, n, num_hashes, seed, text_col).cache()
+    buckets = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[j] for j in range(i * rpb, (i + 1) * rpb)]
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = buckets.select("band", "bucket", F.col("doc_id").alias("a"))
+    b = buckets.select("band", "bucket", F.col("doc_id").alias("b"))
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(float(num_hashes)),
+                4,
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long): 64-bit SimHash over analyzer tokens.
+
+    Token → xxhash64 bits; each bit contributes +tf / −tf; sign of the
+    per-bit sum gives the fingerprint bit. Pure Catalyst: explode tokens,
+    one groupBy(doc_id) with 64 conditional sums folded into a packed
+    bigint (bits summed via stack of bit tests).
+    """
+    toks = (
+        df.select("doc_id", F.explode(terms_array(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.xxhash64("term"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    packed = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return agg.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Docs with identical SimHash: (simhash, canonical_id, n_docs)."""
+    return (
+        simhash(df, text_col)
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -13,8 +13,8 @@ skew-join cannot fix an aggregation key with one giant group (SURVEY
   ranges are disjoint — merged independently, concat is trivially
   correct;
 - the salt explosion happens BEFORE the shuffle using only block
-  metadata (JVM higher-order filter on [min_doc, max_doc] — no decode,
-  no Python), so the shuffle itself is balanced.
+  metadata (plain min_doc/max_doc row predicates on the FLAT block
+  layout — no decode, no Python), so the shuffle itself is balanced.
 
 Merged block_max values are propagated per-posting from source blocks
 (sound upper bounds — pruning stays exact, SURVEY §7 step 6). Resume:
@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .catalog import ManifestCatalog, PartitionEntry
-from .codec import BLOCK_SIZE, Block, decode_block, varint_encode
+from .codec import BLOCK_SIZE, decode_block, varint_encode, varint_nbytes
 from .wand import load_index_meta
 
 MERGED_SCHEMA = T.StructType(
@@ -43,18 +43,13 @@ MERGED_SCHEMA = T.StructType(
         T.StructField("term", T.StringType()),
         T.StructField("salt", T.IntegerType()),
         T.StructField("df", T.LongType()),
-        T.StructField("blocks", T.ArrayType(
-            T.StructType(
-                [
-                    T.StructField("min_doc", T.LongType()),
-                    T.StructField("max_doc", T.LongType()),
-                    T.StructField("n", T.IntegerType()),
-                    T.StructField("block_max", T.FloatType()),
-                    T.StructField("docs_payload", T.BinaryType()),
-                    T.StructField("tfs_payload", T.BinaryType()),
-                ]
-            )
-        )),
+        T.StructField("block_id", T.IntegerType()),
+        T.StructField("min_doc", T.LongType()),
+        T.StructField("max_doc", T.LongType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("block_max", T.FloatType()),
+        T.StructField("docs_payload", T.BinaryType()),
+        T.StructField("tfs_payload", T.BinaryType()),
     ]
 )
 
@@ -69,15 +64,15 @@ def _merge_group_fn(span: int):
             lo, hi = salt * span, (salt + 1) * span
         docs_parts, tfs_parts, ubs_parts = [], [], []
         for _, row in pdf.iterrows():
-            for blk in row["blocks"]:
-                d, t = decode_block(blk)
-                # trim to this salt's doc range (boundary blocks overlap)
-                sel = (d >= lo) & (d < hi)
-                if not sel.any():
-                    continue
-                docs_parts.append(d[sel])
-                tfs_parts.append(t[sel])
-                ubs_parts.append(np.full(int(sel.sum()), blk["block_max"], dtype=np.float32))
+            d, t = decode_block(row)
+            sel = (d >= lo) & (d < hi)  # boundary blocks overlap salt ranges
+            if not sel.any():
+                continue
+            docs_parts.append(d[sel])
+            tfs_parts.append(t[sel])
+            ubs_parts.append(
+                np.full(int(sel.sum()), row["block_max"], dtype=np.float32)
+            )
         if not docs_parts:
             return pd.DataFrame(
                 {
@@ -85,7 +80,13 @@ def _merge_group_fn(span: int):
                     "term": pd.Series(dtype="object"),
                     "salt": pd.Series(dtype="int32"),
                     "df": pd.Series(dtype="int64"),
-                    "blocks": pd.Series(dtype="object"),
+                    "block_id": pd.Series(dtype="int32"),
+                    "min_doc": pd.Series(dtype="int64"),
+                    "max_doc": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int32"),
+                    "block_max": pd.Series(dtype="float32"),
+                    "docs_payload": pd.Series(dtype="object"),
+                    "tfs_payload": pd.Series(dtype="object"),
                 }
             )
         docs = np.concatenate(docs_parts)
@@ -95,36 +96,35 @@ def _merge_group_fn(span: int):
         docs, tfs, ubs = docs[order], tfs[order], ubs[order]
         if docs.size > 1 and (np.diff(docs) == 0).any():
             raise ValueError(f"duplicate doc_id in merged postings for term {term!r}")
-        blocks = []
-        for start in range(0, docs.size, BLOCK_SIZE):
-            d = docs[start : start + BLOCK_SIZE]
-            t = tfs[start : start + BLOCK_SIZE]
-            u = ubs[start : start + BLOCK_SIZE]
-            deltas = np.empty(d.size, dtype=np.uint64)
-            deltas[0] = 0
-            deltas[1:] = np.diff(d).astype(np.uint64)
-            blocks.append(
-                vars(
-                    Block(
-                        min_doc=int(d[0]),
-                        max_doc=int(d[-1]),
-                        n=int(d.size),
-                        block_max=float(u.max()),
-                        docs_payload=varint_encode(deltas),
-                        tfs_payload=varint_encode((t - 1).astype(np.uint64)),
-                    )
-                )
-            )
+
+        n = docs.size
+        starts = np.arange(0, n, BLOCK_SIZE, dtype=np.int64)
+        ends = np.minimum(starts + BLOCK_SIZE, n)
+        deltas = np.empty(n, dtype=np.uint64)
+        deltas[0] = 0
+        deltas[1:] = np.diff(docs).astype(np.uint64)
+        deltas[starts] = 0
+        d_bytes = varint_encode(deltas)
+        t_bytes = varint_encode((tfs - 1).astype(np.uint64))
+        d_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(varint_nbytes(deltas), out=d_off[1:])
+        t_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(varint_nbytes((tfs - 1).astype(np.uint64)), out=t_off[1:])
+        bmax = np.maximum.reduceat(ubs, starts)
         return pd.DataFrame(
-            [
-                {
-                    "bucket": bucket,
-                    "term": term,
-                    "salt": salt,
-                    "df": int(docs.size),
-                    "blocks": blocks,
-                }
-            ]
+            {
+                "bucket": np.full(starts.size, bucket, dtype=np.int32),
+                "term": term,
+                "salt": np.full(starts.size, salt, dtype=np.int32),
+                "df": np.int64(n),
+                "block_id": np.arange(starts.size, dtype=np.int32),
+                "min_doc": docs[starts],
+                "max_doc": docs[ends - 1],
+                "n": (ends - starts).astype(np.int32),
+                "block_max": bmax,
+                "docs_payload": [d_bytes[d_off[s] : d_off[e]] for s, e in zip(starts, ends)],
+                "tfs_payload": [t_bytes[t_off[s] : t_off[e]] for s, e in zip(starts, ends)],
+            }
         )
 
     return merge_group
@@ -167,7 +167,8 @@ def merge_index(
         .filter(F.col("bucket").isin(missing))
         .join(F.broadcast(hot), "term", "left")
     )
-    # explode hot terms into per-salt rows using block METADATA only (JVM);
+    # explode hot terms into per-salt rows; keep only blocks whose doc
+    # range intersects the salt range (plain metadata predicates — JVM);
     # non-hot terms get sentinel salt -1 = unsalted full range
     salted = (
         bucketed.withColumn(
@@ -179,28 +180,19 @@ def merge_index(
                 ).otherwise(F.array(F.lit(-1)))
             ),
         )
-        .withColumn(
-            "lo",
-            F.when(F.col("salt") < 0, F.lit(0)).otherwise(
-                F.col("salt").cast("long") * F.lit(span)
-            ),
+        .filter(
+            (F.col("salt") < 0)
+            | (
+                (F.col("max_doc") >= F.col("salt").cast("long") * F.lit(span))
+                & (F.col("min_doc") < (F.col("salt").cast("long") + 1) * F.lit(span))
+            )
         )
-        .withColumn(
-            "hi",
-            F.when(F.col("salt") < 0, F.lit(1 << 62)).otherwise(
-                (F.col("salt").cast("long") + 1) * F.lit(span)
-            ),
+        .select(
+            "bucket", "term", "salt", "shard", "block_id",
+            "min_doc", "max_doc", "n", "block_max", "docs_payload", "tfs_payload",
         )
-        .withColumn(
-            "blocks",
-            F.filter(
-                "blocks",
-                lambda blk: (blk["max_doc"] >= F.col("lo")) & (blk["min_doc"] < F.col("hi")),
-            ),
-        )
-        .filter(F.size("blocks") > 0)
-        .select("bucket", "term", "salt", "shard", "blocks")
     )
+
     t0 = time.time()
     merged = salted.groupBy("term", "salt", "bucket").applyInPandas(
         _merge_group_fn(span), MERGED_SCHEMA
@@ -213,7 +205,10 @@ def merge_index(
         for r in spark.read.parquet(merged_dir)
         .filter(F.col("bucket").isin(missing))
         .groupBy("bucket")
-        .agg(F.count("*").alias("rows"), F.sum("df").alias("postings"))
+        .agg(
+            F.count_distinct("term", "salt").alias("rows"),
+            F.sum(F.when(F.col("block_id") == 0, F.col("df"))).alias("postings"),
+        )
         .collect()
     }
     cat.commit(
@@ -250,11 +245,10 @@ def merged_postings(spark: SparkSession, index_dir: str, terms: list[str]) -> Da
         for pdf in batches:
             out_t, out_d, out_f = [], [], []
             for _, row in pdf.iterrows():
-                for blk in row["blocks"]:
-                    d, t = decode_block(blk)
-                    out_t.extend([row["term"]] * d.size)
-                    out_d.append(d)
-                    out_f.append(t)
+                d, t = decode_block(row)
+                out_t.extend([row["term"]] * d.size)
+                out_d.append(d)
+                out_f.append(t)
             if out_d:
                 yield pd.DataFrame(
                     {

@@ -1,0 +1,770 @@
+"""Operator parity layer: every SURVEY §2 operator as a (spark, sf_dir)
+callable plus its DuckDB oracle SQL (the driver's correctness gate).
+
+Conventions (driver contract, __spark_entry__.py):
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- every float comparison surface is ``round(x, 4)``;
+- every top-k has a deterministic total order (explicit tiebreak key).
+
+Sections mirror SURVEY §2; each query cites the reference operator it
+re-expresses. Non-SQL-expressible ops (MinHash LSH, SimHash, hyperplane
+LSH, WAND) have queries() entries without oracles — the driver records
+rows-only checks; their exactness is covered by pytest instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .analyze import SPLIT_RE_DUCKDB, tokens_df
+from .bm25 import bm25_topk, bm25_topk_oracle_sql
+from .postings import corpus_stats, doc_lengths, postings_long, term_df
+from .textstats import LANG_MARKERS, STOPWORDS_EN, fingerprint, lang_scores, quality_features
+
+_T = lambda spark, sf_dir, name: spark.read.parquet(f"{sf_dir}/{name}.parquet")  # noqa: E731
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.3 projections / filters  (reference: mira_loader.py:141-149, 233-237)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "scan_project",
+    "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+)
+def scan_project(spark, sf_dir):
+    """P1 column projection (mira_loader.py:147-149) — pruned parquet scan."""
+    return _T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+
+
+@q(
+    "filter_numeric",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 10",
+)
+def filter_numeric(spark, sf_dir):
+    """P3 numeric row filter (mira_loader.py:233-237) — pushed to the scan."""
+    return (
+        _T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@q(
+    "rename_normalize",
+    "SELECT c_custkey AS id, upper(c_name) AS name, round(c_acctbal, 4) AS balance "
+    "FROM customer",
+)
+def rename_normalize(spark, sf_dir):
+    """P2/F2/F4 rename + normalize (mira_loader.py:110,122; metadata.py:71)."""
+    return _T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.upper("c_name").alias("name"),
+        F.round("c_acctbal", 4).alias("balance"),
+    )
+
+
+@q(
+    "dedup_rows",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def dedup_rows(spark, sf_dir):
+    """P8 drop_duplicates (mira_loader.py:199)."""
+    return _T(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.4 joins  (reference: mira_loader.py:121-149)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "join_broadcast_dim",
+    "SELECT l.l_orderkey, l.l_linenumber, p.p_brand, round(l.l_extendedprice, 4) AS price "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey",
+)
+def join_broadcast_dim(spark, sf_dir):
+    """J1 fact×dim equi-join (mira_loader.py:147-148) — dim broadcast."""
+    li = _T(spark, sf_dir, "lineitem")
+    part = _T(spark, sf_dir, "part")
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_brand",
+        F.round("l_extendedprice", 4).alias("price"),
+    )
+
+
+@q(
+    "left_join_integrity",
+    "SELECT o.o_orderkey, o.o_custkey, c.c_name "
+    "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey",
+)
+def left_join_integrity(spark, sf_dir):
+    """J2 left join preserving row count (mira_loader.py:121-134)."""
+    o = _T(spark, sf_dir, "orders")
+    c = _T(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+
+
+@q(
+    "semi_join_filter",
+    "SELECT l_orderkey, l_linenumber FROM lineitem l WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')",
+)
+def semi_join_filter(spark, sf_dir):
+    """J3 semi-join used purely as a filter (mira_loader.py:149)."""
+    li = _T(spark, sf_dir, "lineitem")
+    keys = _T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return li.join(
+        keys, li.l_orderkey == keys.o_orderkey, "left_semi"
+    ).select("l_orderkey", "l_linenumber")
+
+
+@q(
+    "union_distinct",
+    "SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 5 "
+    "UNION SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 45",
+)
+def union_distinct(spark, sf_dir):
+    """U1/U2 concat + dedup (mira_loader.py:188; metadata.py:114-120)."""
+    li = _T(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 5).select("l_returnflag", "l_linestatus")
+    b = li.filter(F.col("l_quantity") > 45).select("l_returnflag", "l_linestatus")
+    return a.unionByName(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregations  (reference: mira_loader.py:350-432; elasticsearch.py aggs)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "groupby_count",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def groupby_count(spark, sf_dir):
+    """A1 hash group-by count (mira_loader.py:350-355)."""
+    return _T(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "groupby_sum_q1",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 4)                        AS sum_qty,
+              round(sum(l_extendedprice), 4)                   AS sum_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+              round(avg(l_discount), 4)                        AS avg_disc,
+              count(*)                                         AS n
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def groupby_sum_q1(spark, sf_dir):
+    """A3 multi-aggregate hash agg (mira_loader.py:371-399), TPC-H Q1 shape."""
+    return (
+        _T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "distinct_count",
+    "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def distinct_count(spark, sf_dir):
+    """A5 distinct count (mira_loader.py:172,200)."""
+    return (
+        _T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+    )
+
+
+@q(
+    "filtered_count",
+    "SELECT count(*) AS n FROM events WHERE event_type = 'error'",
+)
+def filtered_count(spark, sf_dir):
+    """A6 exact count under keyword filter (mira/elasticsearch.py:72-92)."""
+    return (
+        _T(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "stats_agg",
+    "SELECT round(min(l_extendedprice), 4) AS min_v, round(max(l_extendedprice), 4) AS max_v, "
+    "round(avg(l_extendedprice), 4) AS avg_v, round(sum(l_extendedprice), 4) AS sum_v, "
+    "count(l_extendedprice) AS n FROM lineitem",
+)
+def stats_agg(spark, sf_dir):
+    """A7 ES stats agg — min/max/avg/sum/count one pass (elasticsearch.py:15-42)."""
+    return _T(spark, sf_dir, "lineitem").agg(
+        F.round(F.min("l_extendedprice"), 4).alias("min_v"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_v"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_v"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_v"),
+        F.count("l_extendedprice").alias("n"),
+    )
+
+
+@q(
+    "histogram2d_mode",
+    """WITH binned AS (
+         SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS binx,
+                CAST(floor(l_extendedprice / 10000) AS BIGINT) AS biny,
+                l_returnflag, count(*) AS n
+         FROM lineitem GROUP BY 1, 2, 3
+       ), ranked AS (
+         SELECT binx, biny, l_returnflag AS mode_flag, n,
+                row_number() OVER (PARTITION BY binx, biny
+                                   ORDER BY n DESC, l_returnflag ASC) AS rn,
+                CAST(sum(n) OVER (PARTITION BY binx, biny) AS BIGINT) AS bin_count
+         FROM binned
+       )
+       SELECT binx, biny, bin_count, mode_flag FROM ranked WHERE rn = 1""",
+)
+def histogram2d_mode(spark, sf_dir):
+    """A8/A9 two-level histogram + per-bin mode (mira_loader.py:262-319).
+
+    The reference's 7-query ES msearch collapses into ONE groupBy +
+    window (SURVEY §3.3): histogram ≙ floor-div bucketing, terms(size=1)
+    ≙ row_number()=1, min_doc_count=1 ≙ only observed bins.
+    """
+    li = _T(spark, sf_dir, "lineitem")
+    binned = (
+        li.select(
+            F.floor(F.col("l_quantity") / 5).alias("binx"),
+            F.floor(F.col("l_extendedprice") / 10000).alias("biny"),
+            "l_returnflag",
+        )
+        .groupBy("binx", "biny", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("binx", "biny")
+    return (
+        binned.withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.desc("n"), F.asc("l_returnflag"))),
+        )
+        .withColumn("bin_count", F.sum("n").over(w))
+        .filter(F.col("rn") == 1)
+        .select("binx", "biny", "bin_count", F.col("l_returnflag").alias("mode_flag"))
+    )
+
+
+@q(
+    "exists_check",
+    "SELECT count(*) > 0 AS found FROM orders "
+    "WHERE o_orderstatus = 'F' AND o_orderdate >= TIMESTAMP '1997-01-01'",
+)
+def exists_check(spark, sf_dir):
+    """A10 exists under term+range filter (mira/elasticsearch.py:96-127)."""
+    return (
+        _T(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        )
+        .agg((F.count(F.lit(1)) > 0).alias("found"))
+    )
+
+
+@q(
+    "nested_collect",
+    """SELECT o_orderkey, string_agg(l_partkey::VARCHAR, ',' ORDER BY l_partkey) AS parts
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_custkey < 50 GROUP BY o_orderkey""",
+)
+def nested_collect(spark, sf_dir):
+    """A2/D3 grouped nesting (mira_loader.py:239-250 get_records).
+
+    The reference's per-group to_dict('records') ≙ collect_list(struct);
+    serialized as a sorted CSV string so the oracle compare is exact.
+    """
+    li = _T(spark, sf_dir, "lineitem")
+    o = _T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.concat_ws(
+                ",", F.transform(F.sort_array(F.collect_list("l_partkey")), lambda x: x.cast("string"))
+            ).alias("parts")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / top-k  (reference: mira/elasticsearch.py:45-61)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "sort_limit",
+    "SELECT o_orderkey, round(o_totalprice, 4) AS price FROM orders "
+    "ORDER BY round(o_totalprice, 4) DESC, o_orderkey ASC LIMIT 100",
+)
+def sort_limit(spark, sf_dir):
+    """T1 sort+size top-k (get_genes, elasticsearch.py:45-61) — TakeOrdered."""
+    return (
+        _T(spark, sf_dir, "orders")
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("price"))
+        .orderBy(F.desc("price"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@q(
+    "topk_per_group",
+    """SELECT user_id, event_id, round(value, 4) AS value FROM (
+         SELECT user_id, event_id, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id ASC) AS rn
+         FROM events) WHERE rn = 1""",
+)
+def topk_per_group(spark, sf_dir):
+    """terms(size=1) per group ≙ windowed top-1 (SURVEY A8)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        _T(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.round("value", 4).alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions  (reference: alhena_loader.py:48-77; mira_data.py)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ratio_projection",
+    "SELECT l_orderkey, l_linenumber, "
+    "floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) / 10000 AS charged "
+    "FROM lineitem",
+)
+def ratio_projection(spark, sf_dir):
+    """F5/F8 ratio + rounding (alhena_loader.py:48; mira_loader.py:151).
+
+    Quantized by floor (not round): round()'s half-way behavior differs
+    between engines at binary-float boundaries (observed: 17947.60995 →
+    .6100 in Spark, .6099 in DuckDB); floor on the identical IEEE double
+    is deterministic.
+    """
+    return _T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 10000
+            )
+            / 10000
+        ).alias("charged"),
+    )
+
+
+@q(
+    "when_encode",
+    "SELECT event_id, CASE event_type WHEN 'click' THEN 'C' WHEN 'view' THEN 'V' "
+    "WHEN 'error' THEN 'E' ELSE 'O' END AS code FROM events",
+)
+def when_encode(spark, sf_dir):
+    """F3 dict-encode categorical (SORT_ENCODER, mira_data.py:26-27)."""
+    e = F.col("event_type")
+    return _T(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(e == "click", "C")
+        .when(e == "view", "V")
+        .when(e == "error", "E")
+        .otherwise("O")
+        .alias("code"),
+    )
+
+
+@q(
+    "unpivot_melt",
+    """SELECT l_orderkey, l_linenumber, metric, round(value, 4) AS value FROM (
+         SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)""",
+)
+def unpivot_melt(spark, sf_dir):
+    """F12 wide→long unpivot (alhena_loader.py:66-77 gc_bias stack)."""
+    li = _T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax) "
+            "AS (metric, value)"
+        ),
+    ).select("l_orderkey", "l_linenumber", "metric", F.round("value", 4).alias("value"))
+
+
+@q(
+    "date_range_filter",
+    "SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'",
+)
+def date_range_filter(spark, sf_dir):
+    """F11 date range predicate (mira/elasticsearch.py:113-120)."""
+    return (
+        _T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate")
+    )
+
+
+@q(
+    "json_extract",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+)
+def json_extract(spark, sf_dir):
+    """F16 JSON de/serialization (mira_data.py:194-209)."""
+    return _T(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 full-text surface over documents (the rebuild target)
+# ---------------------------------------------------------------------------
+
+_TOKENS_CTE = f"""
+    SELECT doc_id, t AS term
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '{SPLIT_RE_DUCKDB}')) AS t
+          FROM documents)
+    WHERE t <> ''
+"""
+
+
+@q(
+    "postings",
+    f"SELECT term, doc_id, count(*) AS tf FROM ({_TOKENS_CTE}) GROUP BY term, doc_id",
+)
+def postings(spark, sf_dir):
+    """X1 inverted-index long form (ES implicit index build)."""
+    return postings_long(_T(spark, sf_dir, "documents"))
+
+
+@q(
+    "doc_lengths",
+    f"SELECT doc_id, count(*) AS dl FROM ({_TOKENS_CTE}) GROUP BY doc_id",
+)
+def doc_lengths_q(spark, sf_dir):
+    """Lucene field-length norms."""
+    return doc_lengths(_T(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("dl").cast("long").alias("dl")
+    )
+
+
+@q(
+    "term_doc_freq",
+    f"SELECT term, count(DISTINCT doc_id) AS df FROM ({_TOKENS_CTE}) GROUP BY term",
+)
+def term_doc_freq(spark, sf_dir):
+    """Document frequency per term (idf input)."""
+    return term_df(postings_long(_T(spark, sf_dir, "documents")))
+
+
+@q(
+    "term_filter",
+    f"SELECT DISTINCT doc_id FROM ({_TOKENS_CTE}) WHERE term = 'spark'",
+)
+def term_filter(spark, sf_dir):
+    """X2 exact term filter (mira/elasticsearch.py:83-89)."""
+    return (
+        tokens_df(_T(spark, sf_dir, "documents"))
+        .filter(F.col("term") == "spark")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+@q(
+    "bool_filter",
+    f"""SELECT d.doc_id FROM documents d
+        WHERE d.lang = 'en'
+          AND EXISTS (SELECT 1 FROM ({_TOKENS_CTE}) t
+                      WHERE t.doc_id = d.doc_id AND t.term = 'spark')
+          AND EXISTS (SELECT 1 FROM ({_TOKENS_CTE}) t
+                      WHERE t.doc_id = d.doc_id AND t.term = 'data')""",
+)
+def bool_filter(spark, sf_dir):
+    """X3 bool.must compound filter (mira/elasticsearch.py:104-124)."""
+    docs = _T(spark, sf_dir, "documents")
+    toks = tokens_df(docs)
+    has_spark = toks.filter(F.col("term") == "spark").select("doc_id").distinct()
+    has_data = toks.filter(F.col("term") == "data").select("doc_id").distinct()
+    return (
+        docs.filter(F.col("lang") == "en")
+        .join(has_spark, "doc_id", "left_semi")
+        .join(has_data, "doc_id", "left_semi")
+        .select("doc_id")
+    )
+
+
+BM25_QUERY = "spark query data table"
+BM25_K = 20
+
+
+@q("bm25_topk", bm25_topk_oracle_sql(BM25_QUERY, k=BM25_K))
+def bm25_topk_q(spark, sf_dir):
+    """X4 BM25 relevance top-k — exact join scorer (SURVEY §7 step 3)."""
+    docs = _T(spark, sf_dir, "documents")
+    p = postings_long(docs)
+    dl = doc_lengths(docs)
+    stats = corpus_stats(dl)
+    return bm25_topk(spark, p, dl, term_df(p), stats, BM25_QUERY, k=BM25_K)
+
+
+_WAND_CACHE: dict = {}
+
+
+@q("bm25_topk_wand", bm25_topk_oracle_sql(BM25_QUERY, k=BM25_K))
+def bm25_topk_wand(spark, sf_dir):
+    """X4 via the COMPRESSED index + block-max WAND (SURVEY §7 step 7).
+
+    Builds (once per sf_dir) the sharded delta+varint index and queries
+    it; oracle is the same SQL as bm25_topk — proving the compressed
+    path is rank-identical to uncompressed scoring.
+    """
+    import tempfile
+
+    from .build import build_index
+    from .wand import topk
+
+    if sf_dir not in _WAND_CACHE:
+        d = tempfile.mkdtemp(prefix="wand_idx_")
+        build_index(spark, _T(spark, sf_dir, "documents"), d, n_shards=8)
+        _WAND_CACHE[sf_dir] = d
+    return topk(spark, _WAND_CACHE[sf_dir], BM25_QUERY, k=BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "token_count",
+    f"SELECT doc_id, count(*) AS n_tokens FROM ({_TOKENS_CTE}) GROUP BY doc_id",
+)
+def token_count(spark, sf_dir):
+    """Token counting (whitespace+punct grammar, analyze.py)."""
+    docs = _T(spark, sf_dir, "documents")
+    return doc_lengths(docs).select("doc_id", F.col("dl").cast("long").alias("n_tokens"))
+
+
+@q(
+    "quality_score",
+    f"""WITH tok AS (SELECT doc_id, count(*) AS n_tokens FROM ({_TOKENS_CTE}) GROUP BY doc_id),
+        stop AS (SELECT doc_id, count(*) AS n_stop FROM ({_TOKENS_CTE})
+                 WHERE term IN ({", ".join(f"'{w}'" for w in STOPWORDS_EN)}) GROUP BY doc_id)
+     SELECT d.doc_id,
+            length(d.text) AS n_chars,
+            coalesce(tok.n_tokens, 0) AS n_tokens,
+            round(length(regexp_replace(d.text, '[^.,;:!?]', '', 'g'))
+                  / greatest(length(d.text), 1), 4) AS punct_ratio,
+            round(coalesce(stop.n_stop, 0) / greatest(coalesce(tok.n_tokens, 0), 1), 4)
+                  AS stopword_ratio,
+            round(length(d.text) / greatest(coalesce(tok.n_tokens, 0), 1), 4)
+                  AS chars_per_token
+     FROM documents d LEFT JOIN tok USING (doc_id) LEFT JOIN stop USING (doc_id)""",
+)
+def quality_score(spark, sf_dir):
+    """Quality features: length / punctuation / stopword ratios."""
+    return quality_features(_T(spark, sf_dir, "documents"))
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"coalesce(sum(CASE WHEN term IN ({markers}) THEN 1 ELSE 0 END), 0)"
+        f" AS hits_{lang}"
+    )
+
+
+@q(
+    "lang_id",
+    f"""WITH hits AS (
+         SELECT doc_id, {", ".join(_lang_hits_sql(lang) for lang in sorted(LANG_MARKERS))}
+         FROM ({_TOKENS_CTE}) GROUP BY doc_id
+       ), all_docs AS (
+         SELECT d.doc_id,
+                {", ".join(f"coalesce(h.hits_{lang}, 0) AS hits_{lang}" for lang in sorted(LANG_MARKERS))}
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+       )
+       SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+              CASE greatest(hits_de, hits_en, hits_es, hits_fr)
+                   WHEN hits_de THEN 'de' WHEN hits_en THEN 'en'
+                   WHEN hits_es THEN 'es' ELSE 'fr' END AS pred_lang
+       FROM all_docs""",
+)
+def lang_id(spark, sf_dir):
+    """Language-ID marker heuristic (argmax, alphabetical tiebreak)."""
+    return lang_scores(_T(spark, sf_dir, "documents"))
+
+
+@q(
+    "fingerprint_docs",
+    "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+)
+def fingerprint_docs(spark, sf_dir):
+    """Document fingerprinting (md5 — shared with the oracle)."""
+    return fingerprint(_T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deduplication
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_exact_groups",
+    """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS canonical_id,
+              count(*) AS n_docs
+       FROM documents GROUP BY 1 HAVING count(*) > 1""",
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup via fingerprint groupBy (hash shuffle, map-side combine)."""
+    from .dedup import exact_duplicates
+
+    return exact_duplicates(_T(spark, sf_dir, "documents"))
+
+
+@q(
+    "ngram_jaccard_dups",
+    f"""WITH base AS (
+       SELECT doc_id,
+              regexp_split_to_array(lower(text), '{SPLIT_RE_DUCKDB}') AS raw
+       FROM documents
+     ), toklist AS (
+       SELECT doc_id, list_filter(raw, x -> x <> '') AS toks FROM base
+     ), sh AS (
+       SELECT DISTINCT doc_id, unnest(
+                list_transform(generate_series(1, len(toks) - 2),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ) AS shingle
+       FROM toklist WHERE len(toks) >= 3
+     ), sizes AS (
+       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+     ), rare AS (
+       SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 10
+     ), cand AS (
+       SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
+       FROM sh s1 JOIN rare USING (shingle) JOIN sh s2 USING (shingle)
+       WHERE s1.doc_id < s2.doc_id
+     ), inter AS (
+       SELECT c.a, c.b, count(*) AS inter
+       FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b
+                 AND x.shingle = y.shingle
+       GROUP BY c.a, c.b
+     )
+     SELECT i.a, i.b,
+            round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 4) AS jaccard
+     FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+     WHERE round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 4) >= 0.8""",
+)
+def ngram_jaccard_dups(spark, sf_dir):
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.8, rare-shingle blocking."""
+    from .dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_T(spark, sf_dir, "documents"), n=3, threshold=0.8)
+
+
+@q("minhash_lsh_dups")  # no SQL oracle: banded xxhash64 LSH — pytest-validated
+def minhash_lsh_dups(spark, sf_dir):
+    """MinHash+LSH candidate pairs with signature-estimated Jaccard."""
+    from .dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_T(spark, sf_dir, "documents")).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
+@q("simhash_fingerprints")  # no SQL oracle: xxhash64 bit ops — pytest-validated
+def simhash_fingerprints(spark, sf_dir):
+    """64-bit SimHash per document."""
+    from .dedup import simhash
+
+    return simhash(_T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        _T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@q(
+    "ann_bruteforce",
+    """SELECT vec_id,
+              round(list_cosine_similarity(
+                  embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4)
+                  AS cosine
+       FROM embeddings
+       ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
+)
+def ann_bruteforce(spark, sf_dir):
+    """Exact cosine top-20 vs vec_id=0 (zip_with/aggregate dot product)."""
+    from .similarity import cosine_topk
+
+    emb = _T(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+@q("ann_lsh")  # no SQL oracle: hyperplane LSH — recall tested in pytest
+def ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate cosine top-20 (multi-probe)."""
+    from .similarity import lsh_topk
+
+    emb = _T(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, _query_vec(spark, sf_dir), k=20)

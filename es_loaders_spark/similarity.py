@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact cosine top-k — the correctness
+  baseline. Dot products via ``F.zip_with`` + ``F.aggregate`` (JVM
+  higher-order functions; no Python), ``TakeOrderedAndProject`` for the
+  top-k. At scale this is one full scan, embarrassingly parallel.
+- ``lsh_topk``: random-hyperplane LSH scale path — H signed projections
+  pack into a bucket key; only the query's bucket (plus multi-probe
+  neighbors at Hamming distance 1) is scanned. Recall measured in tests
+  against the brute-force baseline.
+
+Hyperplanes are generated from a fixed seed (deterministic across runs
+and cluster sizes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k vs a literal query vector. Ties → id ascending."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sim = _dot(vec, q) / (_norm(vec) * _norm(q))
+    return (
+        df.select(F.col(id_col), F.round(sim, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim))
+
+
+def lsh_bucket_col(vec_col, planes: np.ndarray):
+    """Packed sign-bit bucket id for a vector column (JVM expressions)."""
+    vec = F.transform(vec_col, lambda x: x.cast("double"))
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket.bitwiseOR(
+            F.shiftleft(F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0)), i)
+        )
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: scan only the query's LSH bucket(s).
+
+    Multi-probe: buckets within Hamming distance ``probe_hamming`` of the
+    query bucket are also scanned (recall/cost trade-off; recall depends
+    on how clustered the embedding space is — tests measure it against
+    the brute-force baseline). At 100 TB the bucket column is
+    precomputed/partitioned at ingest so each probe is a partition-pruned
+    scan, not a full pass.
+    """
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if float(plane @ qv) > 0:
+            qbucket |= 1 << i
+    probes = {qbucket}
+    if probe_hamming >= 1:
+        probes |= {qbucket ^ (1 << i) for i in range(n_planes)}
+    if probe_hamming >= 2:
+        probes |= {
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    probes = sorted(probes)
+    bucketed = df.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
+    return cosine_topk(
+        bucketed.filter(F.col("_bucket").isin(probes)),
+        query_vec,
+        k,
+        id_col,
+        vec_col,
+    )

@@ -1,0 +1,64 @@
+"""Structured Streaming analogues of the reference's streaming surface.
+
+The reference streams a matrix file in ordered 1e6-row chunks with
+group-boundary carry-over state (mira/mira_loader.py:156-228, SURVEY
+§2.11 W1-W4): rows of the last group in each chunk are withheld and
+prepended to the next chunk so a group is never split. In Spark that
+hand-rolled state machine is:
+
+- batch: nothing — ``groupBy`` shuffles whole groups (SURVEY W2);
+- streaming: a watermarked windowed aggregation, or
+  ``applyInPandasWithState`` for the custom carry-over semantics.
+
+Both provided here over a file/rate stream of ``events``-shaped rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Tumbling-window counts per event_type with late-data watermark.
+
+    The streaming analogue of the reference's per-chunk accounting
+    (mira_loader.py:220-228): counts become final once the watermark
+    passes, replacing the explicit final-flush (W3).
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def incremental_load(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str, trigger_once: bool = True
+):
+    """File-sink incremental load with exactly-once checkpointing.
+
+    Spark's checkpoint + idempotent file sink replace the reference's
+    date-high-watermark skip logic (is_dashboard_loaded,
+    mira/elasticsearch.py:96-127, SURVEY W6).
+    """
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

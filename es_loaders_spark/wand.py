@@ -41,6 +41,15 @@ def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def term_blocks_from_flat(idx_pdf: pd.DataFrame) -> dict[str, list[dict]]:
+    """Group flat block rows (build.INDEX_SCHEMA) into term → ordered blocks."""
+    out: dict[str, list[dict]] = {}
+    srt = idx_pdf.sort_values(["term", "block_id"], kind="stable")
+    for term, g in srt.groupby("term", sort=False):
+        out[term] = g.to_dict("records")
+    return out
+
+
 class _TermCursor:
     """Decoded-on-demand postings of one term inside one shard."""
 
@@ -109,6 +118,19 @@ def bmw_topk_kernel(
     cursors = [
         _TermCursor(term_blocks[t], term_idfs[t]) for t in sorted(term_blocks)
     ]
+    return bmw_topk_cursors(cursors, doc_ids_sorted, dls_sorted, avgdl, k, k1, b)
+
+
+def bmw_topk_cursors(
+    cursors: list[_TermCursor],
+    doc_ids_sorted: np.ndarray,
+    dls_sorted: np.ndarray,
+    avgdl: float,
+    k: int,
+    k1: float = K1,
+    b: float = B,
+) -> tuple[np.ndarray, np.ndarray, dict]:
+    """Kernel over prebuilt cursors (batched queries share decode caches)."""
     cursors = [c for c in cursors if c.blocks]
     if not cursors:
         return np.empty(0, dtype=np.int64), np.empty(0), {"decoded": 0, "total": 0}
@@ -209,9 +231,7 @@ def topk(
         order = np.argsort(dl_pdf["doc_id"].to_numpy())
         doc_sorted = dl_pdf["doc_id"].to_numpy(dtype=np.int64)[order]
         dl_sorted = dl_pdf["dl"].to_numpy(dtype=np.int64)[order]
-        term_blocks = {
-            r["term"]: list(r["blocks"]) for _, r in idx_pdf.iterrows()
-        }
+        term_blocks = term_blocks_from_flat(idx_pdf)
         docs, scores, _ = bmw_topk_kernel(
             term_blocks, term_idfs, doc_sorted, dl_sorted, avgdl, k
         )
@@ -226,4 +246,85 @@ def topk(
         local.select("doc_id", F.round(F.col("score"), SCORE_DECIMALS).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def topk_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[str, str] | list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Batched multi-query BM25 top-k — ONE distributed pass for N queries.
+
+    The Spark answer to the reference's ES ``msearch`` batching (SURVEY
+    §2.5 A9, mira_loader.py:267-300): the 7-queries-one-round-trip trick
+    becomes N queries in one cogroup job. Per-shard, all queries share
+    one block-decode cache (a hot term decodes once for the whole batch),
+    then a window per query_id takes the global top-k.
+
+    Returns (query_id, rank, doc_id, score).
+    """
+    if isinstance(queries, list):
+        queries = {f"q{i}": q for i, q in enumerate(queries)}
+    stats = load_index_meta(spark, index_dir)
+    avgdl = float(stats["avgdl"])
+    qterms = {qid: sorted(set(tokenize_text(text))) for qid, text in queries.items()}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], "query_id string, rank int, doc_id long, score double")
+    tdf_rows = (
+        spark.read.parquet(os.path.join(index_dir, "terms"))
+        .filter(F.col("term").isin(all_terms))
+        .collect()
+    )
+    term_idfs = {r["term"]: idf(stats["n_docs"], r["df"]) for r in tdf_rows}
+
+    idx = spark.read.parquet(os.path.join(index_dir, "shards")).filter(
+        F.col("term").isin(list(term_idfs))
+    )
+    dls = spark.read.parquet(os.path.join(index_dir, "doclens"))
+
+    def score_shard(key, idx_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+        if idx_pdf.empty or dl_pdf.empty:
+            return empty
+        order = np.argsort(dl_pdf["doc_id"].to_numpy())
+        doc_sorted = dl_pdf["doc_id"].to_numpy(dtype=np.int64)[order]
+        dl_sorted = dl_pdf["dl"].to_numpy(dtype=np.int64)[order]
+        cursors = {
+            term: _TermCursor(blocks, term_idfs[term])
+            for term, blocks in term_blocks_from_flat(idx_pdf).items()
+            if term in term_idfs
+        }
+        frames = []
+        for qid, terms in qterms.items():
+            qc = [cursors[t] for t in terms if t in cursors]
+            if not qc:
+                continue
+            docs, scores, _ = bmw_topk_cursors(qc, doc_sorted, dl_sorted, avgdl, k)
+            if docs.size:
+                frames.append(pd.DataFrame({"query_id": qid, "doc_id": docs, "score": scores}))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    local = (
+        idx.groupBy("shard")
+        .cogroup(dls.groupBy("shard"))
+        .applyInPandas(score_shard, "query_id string, doc_id long, score double")
+    ).select(
+        "query_id", "doc_id", F.round(F.col("score"), SCORE_DECIMALS).alias("score")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
     )

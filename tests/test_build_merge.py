@@ -43,11 +43,9 @@ def test_sharded_postings_match_single_shot(spark, documents, index_dir):
     from es_loaders_spark.codec import decode_block
     got = {}
     for row in spark.read.parquet(os.path.join(index_dir, "shards")).collect():
-        for blk in row["blocks"]:
-            import numpy as np
-            d, t = decode_block(blk.asDict())
-            for doc, tf in zip(d, t):
-                got[(row["term"], int(doc))] = int(tf)
+        d, t = decode_block(row.asDict())
+        for doc, tf in zip(d, t):
+            got[(row["term"], int(doc))] = int(tf)
     assert got == want
 
 
@@ -81,13 +79,15 @@ def test_salted_equals_unsalted(spark, documents, tmp_path_factory):
         for r in merged_postings(spark, d2, terms).collect()
     }
     assert a == b
-    # salting actually produced multiple salt rows for the hot term
-    hot_rows = (
+    # salting actually produced multiple salt groups for the hot term
+    hot_salts = (
         spark.read.parquet(os.path.join(d1, "merged"))
         .filter(F.col("term") == "the")
+        .select("salt")
+        .distinct()
         .count()
     )
-    assert hot_rows > 1
+    assert hot_salts > 1
 
 
 def test_build_resume_skips_committed_and_rebuilds_missing(spark, documents, tmp_path_factory):
@@ -126,10 +126,9 @@ def merged_postings_all(spark, index_dir):
         for pdf in batches:
             ts, ds = [], []
             for _, row in pdf.iterrows():
-                for blk in row["blocks"]:
-                    dd, _ = decode_block(blk)
-                    ts.extend([row["term"]] * dd.size)
-                    ds.append(dd)
+                dd, _ = decode_block(row)
+                ts.extend([row["term"]] * dd.size)
+                ds.append(dd)
             if ds:
                 yield pd.DataFrame({"term": ts, "doc_id": np.concatenate(ds)})
 

@@ -1,0 +1,98 @@
+"""Dedup operators: MinHash-LSH vs exact Jaccard ground truth, SimHash, exact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_loaders_spark.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    """Corpus with planted near-duplicates."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs through the green "
+        "forest while the hunter watches from a distance with great patience"
+    )
+    rows = []
+    for i in range(20):
+        rows.append((i, f"unique document number {i} " + " ".join(f"tok{i}_{j}" for j in range(30))))
+    rows.append((100, base))
+    rows.append((101, base))  # exact dup of 100
+    rows.append((102, base.replace("green", "dark")))  # near dup
+    rows.append((103, base.replace("quick", "slow").replace("lazy", "sleepy")))  # near dup
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(spark, dup_corpus):
+    groups = exact_duplicates(dup_corpus).collect()
+    assert len(groups) == 1
+    assert groups[0]["canonical_id"] == 100
+    assert groups[0]["n_docs"] == 2
+    kept = dedup_exact(dup_corpus)
+    assert kept.count() == dup_corpus.count() - 1
+    assert kept.filter(F.col("doc_id") == 101).count() == 0
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark, dup_corpus):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_corpus, threshold=0.5).collect()
+    }
+    assert (100, 101) in pairs and pairs[(100, 101)] == 1.0
+    assert (100, 102) in pairs
+    # unrelated docs never pair
+    assert all(a >= 100 and b >= 100 for a, b in pairs)
+
+
+def test_minhash_estimates_jaccard(spark, dup_corpus):
+    exact = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_corpus, threshold=0.3).collect()
+    }
+    est = {
+        (r["a"], r["b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(dup_corpus, num_hashes=64, bands=16).collect()
+    }
+    # exact dup pair: estimate must be 1.0
+    assert est.get((100, 101)) == 1.0
+    # every high-jaccard exact pair must be recalled by LSH
+    for pair, j in exact.items():
+        if j >= 0.6:
+            assert pair in est, f"LSH missed {pair} (jaccard={j})"
+            assert abs(est[pair] - j) < 0.35, f"estimate off for {pair}: {est[pair]} vs {j}"
+
+
+def test_minhash_signature_deterministic(spark, dup_corpus):
+    a = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(dup_corpus).collect()}
+    b = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(dup_corpus.repartition(7)).collect()
+    }
+    assert a == b
+
+
+def test_simhash_properties(spark, dup_corpus):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(dup_corpus).collect()}
+    assert fps[100] == fps[101]  # identical text → identical fingerprint
+    # near dup: small Hamming distance; unrelated: large
+    def hamming(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(fps[100], fps[102]) <= 12
+    assert hamming(fps[100], fps[0]) > 20
+
+
+def test_shingles_count(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    got = sorted(r["shingle"] for r in shingles(df, 3).collect())
+    assert got == ["a b c", "b c d", "c d e"]

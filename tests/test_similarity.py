@@ -1,0 +1,57 @@
+"""Similarity search: brute-force correctness vs numpy; LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from es_loaders_spark.similarity import cosine_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.collect()
+    ids = np.asarray([r["vec_id"] for r in rows])
+    mat = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def test_bruteforce_matches_numpy(spark, emb, emb_np):
+    ids, mat = emb_np
+    q = mat[ids == 0][0]
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -np.round(sims, 4)))[:10]
+    want = [(int(ids[i]), float(np.round(sims[i], 4))) for i in order]
+    got = [(r["vec_id"], r["cosine"]) for r in cosine_topk(emb, list(q), k=10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-4
+
+
+def test_lsh_recall(spark, emb, emb_np):
+    """These embeddings are near-random (max non-self cosine ≈ 0.33), the
+    hardest case for LSH; recall is measured, not assumed."""
+    ids, mat = emb_np
+    q = list(mat[ids == 0][0])
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in lsh_topk(emb, q, k=10, n_planes=4, probe_hamming=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # query vector itself always found (same bucket by construction)
+    assert 0 in approx
+
+
+def test_lsh_is_actually_approximate(spark, emb, emb_np):
+    """LSH must scan a strict subset (narrow probe → few candidates)."""
+    ids, mat = emb_np
+    q = list(mat[ids == 0][0])
+    narrow = lsh_topk(emb, q, k=500, n_planes=8, probe_hamming=0).count()
+    assert narrow < len(ids) * 0.25

@@ -1,0 +1,70 @@
+"""Structured Streaming: windowed counts equal batch aggregation; file sink."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from es_loaders_spark.streaming.pipeline import incremental_load, windowed_event_counts
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, tmp_path):
+    # driver parquet stores ts as TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["win_start"], r["event_type"]): (r["n"], round(r["total_value"], 4))
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["win_start"], r["event_type"]): (r["n"], round(r["total_value"], 4))
+        for r in events.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total_value")
+        .collect()
+    }
+    # append-mode emits only watermark-closed windows: everything emitted
+    # must match batch, and most windows must have been emitted
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(got) >= len(want) - 5  # tail windows may still be open
+
+
+def test_incremental_load_exactly_once(spark, sf_dir, tmp_path):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "src2")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    q = incremental_load(stream.select("event_id", "ts", "value"), out, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == events.count()
+    # re-run with same checkpoint: no new data → no duplicates (W6 analogue)
+    stream2 = spark.readStream.schema(events.schema).parquet(src)
+    q2 = incremental_load(stream2.select("event_id", "ts", "value"), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1

@@ -58,6 +58,24 @@ def test_wand_k_variants(spark, built):
         assert [x for x, _ in got] == [x for x, _ in want], f"k={k}"
 
 
+def test_topk_batch_matches_per_query(spark, built):
+    """msearch-analogue batch == N individual queries (SURVEY A9)."""
+    from es_loaders_spark.wand import topk_batch
+
+    d, postings, dl, tdf, stats = built
+    batch = {f"q{i}": q for i, q in enumerate(QUERIES)}
+    got = topk_batch(spark, d, batch, k=10).collect()
+    by_query: dict = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in batch.items():
+        want = [
+            (i + 1, r["doc_id"], r["score"])
+            for i, r in enumerate(topk(spark, d, q, k=10).collect())
+        ]
+        assert sorted(by_query.get(qid, [])) == want, f"batch differs for {q!r}"
+
+
 def test_kernel_skips_blocks():
     """Selective term + stopword: most stopword blocks must be skipped."""
     rng = np.random.RandomState(0)
