@@ -48,6 +48,8 @@ def build_pipeline(spark, n_pages: int, idx_dir: str, n_shards: int, seed: int =
     from es_loaders_spark.corpus import synthesize_web_pages
     from es_loaders_spark.extract import extract_text
 
+    from es_loaders_spark.analyze import SPLIT_RE_JAVA
+
     pages = synthesize_web_pages(spark, n_pages, seed=seed)
     # rank only the (small) url column through the range shuffle; join ids
     # back onto the wide rows — html bytes never enter the sort
@@ -55,7 +57,18 @@ def build_pipeline(spark, n_pages: int, idx_dir: str, n_shards: int, seed: int =
     docs = (
         pages.join(ids, "url")
         .withColumn("text", extract_text(F.col("html")))
-        .select("doc_id", "text")
+        # token count computed once here; build_index's stats stage then
+        # reads a columnar dl instead of re-tokenizing the corpus
+        .withColumn(
+            "dl",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), SPLIT_RE_JAVA),
+                    lambda t: t != F.lit(""),
+                )
+            ),
+        )
+        .select("doc_id", "text", "dl")
     )
     ingest_dir = os.path.join(idx_dir, "ingest")
     docs.write.mode("overwrite").parquet(ingest_dir)

@@ -106,7 +106,7 @@ def assign_doc_ids(docs: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
-def _build_shard_fn(avgdl: float):
+def _build_shard_fn(avgdl: float, doclens_dir: str | None = None):
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
@@ -114,6 +114,21 @@ def _build_shard_fn(avgdl: float):
         doc_ids = doc_ids[order]
         offsets, flat = tokenize_texts(pdf["text"].iloc[order].reset_index(drop=True))
         lens = np.diff(offsets)
+        if doclens_dir is not None:
+            # side-write this shard's doc lengths from the SAME tokenization
+            # the postings use (one text pass total). Deterministic filename
+            # → a retried task overwrites, never duplicates (idempotent).
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            d = os.path.join(doclens_dir, f"shard={shard}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {"doc_id": doc_ids, "dl": lens.astype(np.int32)}
+                ),
+                os.path.join(d, "data.parquet"),
+            )
         empty = pd.DataFrame(
             {
                 "shard": pd.Series(dtype="int32"),
@@ -187,76 +202,56 @@ def build_index(
     re-run (manifest), partially-written shard dirs are cleaned first.
     """
     cat = ManifestCatalog(index_dir)
-    docs = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
+    has_dl = "dl" in docs.columns  # precomputed token counts from ingest
+    cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
+    docs = docs.select(*cols + ([F.col("dl")] if has_dl else [])).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+    )
 
-    # --- stage 1: doc lengths + corpus stats (JVM tokenizer, one pass) ---
-    doclens_dir = os.path.join(index_dir, "doclens")
+    # --- stage 1: corpus stats — single-row agg; a precomputed `dl` column
+    # (written at ingest) makes this a columnar scan with no tokenization ---
     stats_path = os.path.join(index_dir, "stats.json")
-    done = cat.committed_partitions("doclens", "doclens") if resume else set()
-    missing = sorted(set(range(n_shards)) - done)
-    if missing or not os.path.exists(stats_path):
-        cat.clean_uncommitted("doclens")
-        t0 = time.time()
-        dl_df = docs.filter(F.col("shard").isin(missing)).select(
-            "shard",
-            "doc_id",
-            F.size(
+    if not os.path.exists(stats_path):
+        dl_col = (
+            F.col("dl")
+            if has_dl
+            else F.size(
                 F.filter(
                     F.split(F.lower(F.col("text")), r"[^\p{L}\p{N}]+"),
                     lambda t: t != F.lit(""),
                 )
-            ).alias("dl"),
+            )
         )
-        dl_df.write.partitionBy("shard").mode("append").parquet(doclens_dir)
-        wall = int((time.time() - t0) * 1000)
-        per_shard = {
-            r["shard"]: (r["cnt"], r["sdl"])
-            for r in spark.read.parquet(doclens_dir)
-            .filter(F.col("shard").isin(missing))
-            .groupBy("shard")
-            .agg(F.count("*").alias("cnt"), F.sum("dl").alias("sdl"))
-            .collect()
-        }
-        cat.commit(
-            "doclens",
-            [
-                PartitionEntry(
-                    partition_id=s,
-                    stage="doclens",
-                    input_rows=per_shard.get(s, (0, 0))[0],
-                    docs=per_shard.get(s, (0, 0))[0],
-                    terms=0,
-                    bytes=int(per_shard.get(s, (0, 0))[1] or 0),
-                    wall_ms=wall,
-                )
-                for s in missing
-            ],
-        )
-        agg = (
-            spark.read.parquet(doclens_dir)
-            .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-            .collect()[0]
-        )
+        agg = docs.select(dl_col.alias("dl")).agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
         stats = {"n_docs": int(agg["n"]), "avgdl": float(agg["avgdl"] or 0.0)}
+        os.makedirs(index_dir, exist_ok=True)
         with open(stats_path, "w") as f:
             json.dump(stats, f)
     with open(stats_path) as f:
         stats = json.load(f)
 
-    # --- stage 2: per-shard posting build (one shuffle, applyInPandas) ---
+    # --- stage 2: per-shard posting build — THE one heavy pass over text.
+    # One shuffle by shard; the UDF tokenizes once, emits posting blocks,
+    # and side-writes the shard's doclens file from the same tokens. ---
+    doclens_dir = os.path.join(index_dir, "doclens")
     shards_dir = os.path.join(index_dir, "shards")
     done = cat.committed_partitions("shards", "postings") if resume else set()
     missing = sorted(set(range(n_shards)) - done)
     if missing:
         cat.clean_uncommitted("shards")
+        cat.clean_uncommitted("doclens")
+        os.makedirs(doclens_dir, exist_ok=True)
         t0 = time.time()
         built = (
-            docs.filter(F.col("shard").isin(missing))
+            docs.select("shard", "doc_id", "text")
+            .filter(F.col("shard").isin(missing))
             .repartition(len(missing), "shard")
             .groupBy("shard")
-            .applyInPandas(_build_shard_fn(stats["avgdl"]), INDEX_SCHEMA)
+            .applyInPandas(
+                _build_shard_fn(stats["avgdl"], doclens_dir), INDEX_SCHEMA
+            )
         )
         built.write.partitionBy("shard").mode("append").parquet(shards_dir)
         wall = int((time.time() - t0) * 1000)
@@ -274,6 +269,14 @@ def build_index(
             )
             .collect()
         }
+        docs_per_shard = {
+            r["shard"]: r["cnt"]
+            for r in spark.read.parquet(doclens_dir)
+            .filter(F.col("shard").isin(missing))
+            .groupBy("shard")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
         cat.commit(
             "shards",
             [
@@ -281,7 +284,7 @@ def build_index(
                     partition_id=s,
                     stage="postings",
                     input_rows=int(lineage[s]["postings"]) if s in lineage else 0,
-                    docs=0,
+                    docs=int(docs_per_shard.get(s, 0)),
                     terms=int(lineage[s]["terms"]) if s in lineage else 0,
                     bytes=int(lineage[s]["bytes"]) if s in lineage else 0,
                     wall_ms=wall,
@@ -289,6 +292,21 @@ def build_index(
                 for s in missing
             ],
             props={"n_shards": n_shards, "avgdl": stats["avgdl"], "n_docs": stats["n_docs"]},
+        )
+        cat.commit(
+            "doclens",
+            [
+                PartitionEntry(
+                    partition_id=s,
+                    stage="doclens",
+                    input_rows=int(docs_per_shard.get(s, 0)),
+                    docs=int(docs_per_shard.get(s, 0)),
+                    terms=0,
+                    bytes=0,
+                    wall_ms=wall,
+                )
+                for s in missing
+            ],
         )
 
     # --- stage 3: global term document frequencies (for idf) ---

@@ -1,0 +1,108 @@
+"""spark-submit entry points.
+
+Cluster deployment (north_star): zip the package and submit —
+
+    cd /root/repo && zip -r es_loaders_spark.zip es_loaders_spark
+    spark-submit --py-files es_loaders_spark.zip \
+        -m es_loaders_spark.cli build --input s3://bucket/web_pages \
+        --index-dir s3://bucket/index --shards 4096
+
+Local smoke: ``python -m es_loaders_spark.cli demo``.
+
+Replaces the reference's click CLIs (mira_cli.py / alhena_cli.py): the
+--reload delete-then-rebuild flag becomes manifest-driven resume (the
+default), and the ES host/port plumbing disappears.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="es_loaders_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the sharded compressed index")
+    b.add_argument("--input", required=True, help="parquet dir of (doc_id, text[, dl])")
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--shards", type=int, default=64)
+    b.add_argument("--no-resume", action="store_true")
+
+    m = sub.add_parser("merge", help="global salted posting merge")
+    m.add_argument("--index-dir", required=True)
+    m.add_argument("--salts", type=int, default=16)
+    m.add_argument("--buckets", type=int, default=32)
+
+    q = sub.add_parser("query", help="BM25 top-k over the index")
+    q.add_argument("--index-dir", required=True)
+    q.add_argument("--query", action="append", required=True, help="repeatable")
+    q.add_argument("-k", type=int, default=10)
+
+    d = sub.add_parser("demo", help="synthesize a corpus, build, query (smoke)")
+    d.add_argument("--pages", type=int, default=5000)
+    d.add_argument("--index-dir", default="/tmp/es_loaders_spark_demo")
+
+    args = ap.parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark(f"es-loaders-spark-{args.cmd}")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.cmd == "build":
+        from .build import build_index
+
+        stats = build_index(
+            spark,
+            spark.read.parquet(args.input),
+            args.index_dir,
+            n_shards=args.shards,
+            resume=not args.no_resume,
+        )
+        print(json.dumps({"built": args.index_dir, **stats}))
+    elif args.cmd == "merge":
+        from .merge import merge_index
+
+        out = merge_index(spark, args.index_dir, n_salts=args.salts, n_buckets=args.buckets)
+        print(json.dumps({"merged": out}))
+    elif args.cmd == "query":
+        from .wand import topk_batch
+
+        batch = {f"q{i}": text for i, text in enumerate(args.query)}
+        rows = topk_batch(spark, args.index_dir, batch, k=args.k).collect()
+        for r in rows:
+            print(json.dumps({"query": batch[r["query_id"]], "rank": r["rank"],
+                              "doc_id": r["doc_id"], "score": r["score"]}))
+    elif args.cmd == "demo":
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from .build import assign_doc_ids, build_index
+        from .corpus import synthesize_web_pages
+        from .extract import extract_text
+        from .merge import merge_index
+        from .wand import topk
+
+        shutil.rmtree(args.index_dir, ignore_errors=True)
+        pages = synthesize_web_pages(spark, args.pages)
+        ids = assign_doc_ids(pages.select("url"))
+        docs = (
+            pages.join(ids, "url")
+            .withColumn("text", extract_text(F.col("html")))
+            .select("doc_id", "text")
+        )
+        stats = build_index(spark, docs, args.index_dir, n_shards=16)
+        merge_index(spark, args.index_dir, n_salts=4, n_buckets=8)
+        print(json.dumps({"stats": stats}))
+        for qtext in ("spark index crawl", "the data page"):
+            hits = topk(spark, args.index_dir, qtext, k=5).collect()
+            print(json.dumps({"query": qtext,
+                              "hits": [[r["doc_id"], r["score"]] for r in hits]}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -42,7 +42,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # sandbox corpora are small (MBs, not the 128MB-file world this is
+        # designed for): split scans finer so a 100-file/200MB table still
+        # fans out across all cores instead of coalescing into 2 tasks
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        # local mode = driver IS the executor: size the heap like one.
+        # 8g caused GC collapse (3x slowdown) at ~1M-doc builds on this box
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -1,0 +1,69 @@
+"""Physical-plan assertions: pushdown, pruning, broadcast — the 100 TB story.
+
+A plan that reads all columns for a 2-column projection, or scans every
+term row for a 3-term query, is wrong at scale even if results match.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def explain_str(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_parquet_filter_pushdown(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") < 10)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = explain_str(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)" in plan
+    # column pruning: only the two projected columns in ReadSchema
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_index_term_scan_is_pushed_down(spark, documents, tmp_path_factory):
+    from es_loaders_spark.build import build_index
+
+    d = str(tmp_path_factory.mktemp("plan_idx"))
+    build_index(spark, documents, d, n_shards=2)
+    scan = spark.read.parquet(f"{d}/shards").filter(F.col("term").isin(["spark", "data"]))
+    plan = explain_str(scan)
+    assert "PushedFilters: [In(term" in plan, plan
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    plan = explain_str(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .orderBy(F.desc("o_totalprice"))
+        .limit(10)
+    )
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_uses_partial_aggregation(spark, sf_dir):
+    from es_loaders_spark.queries import QUERIES
+
+    plan = explain_str(QUERIES["groupby_sum_q1"](spark, sf_dir))
+    # partial (map-side) + final hash aggregate pair, filter pushed to scan
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
