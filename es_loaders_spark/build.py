@@ -47,7 +47,8 @@ INDEX_SCHEMA = T.StructType(
         T.StructField("min_doc", T.LongType()),
         T.StructField("max_doc", T.LongType()),
         T.StructField("n", T.IntegerType()),
-        T.StructField("block_max", T.FloatType()),
+        T.StructField("max_tf", T.LongType()),
+        T.StructField("min_dl", T.LongType()),
         T.StructField("docs_payload", T.BinaryType()),
         T.StructField("tfs_payload", T.BinaryType()),
     ]
@@ -106,7 +107,7 @@ def assign_doc_ids(docs: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
-def _build_shard_fn(avgdl: float, doclens_dir: str | None = None):
+def _build_shard_fn(doclens_dir: str | None = None):
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
@@ -138,7 +139,8 @@ def _build_shard_fn(avgdl: float, doclens_dir: str | None = None):
                 "min_doc": pd.Series(dtype="int64"),
                 "max_doc": pd.Series(dtype="int64"),
                 "n": pd.Series(dtype="int32"),
-                "block_max": pd.Series(dtype="float32"),
+                "max_tf": pd.Series(dtype="int64"),
+                "min_dl": pd.Series(dtype="int64"),
                 "docs_payload": pd.Series(dtype="object"),
                 "tfs_payload": pd.Series(dtype="object"),
             }
@@ -159,14 +161,13 @@ def _build_shard_fn(avgdl: float, doclens_dir: str | None = None):
         tf = np.diff(np.append(starts, c.size))
         p_doc, p_code, p_dl = d[starts], c[starts], dls[starts]
 
-        from .codec import encode_blocks_flat, tf_norm
+        from .codec import encode_blocks_flat
 
-        norms = tf_norm(tf, p_dl, avgdl)
         seg = np.concatenate(
             [[0], np.flatnonzero(np.diff(p_code)) + 1, [p_code.size]]
         ).astype(np.int64)
         term_codes = p_code[seg[:-1]]
-        fb = encode_blocks_flat(p_doc, tf, norms, seg)
+        fb = encode_blocks_flat(p_doc, tf, p_dl, seg)
         term_strs = np.asarray(uniques, dtype=object)
         seg_df = np.diff(seg)
         return pd.DataFrame(
@@ -178,7 +179,8 @@ def _build_shard_fn(avgdl: float, doclens_dir: str | None = None):
                 "min_doc": fb["min_doc"],
                 "max_doc": fb["max_doc"],
                 "n": fb["n"],
-                "block_max": fb["block_max"],
+                "max_tf": fb["max_tf"],
+                "min_dl": fb["min_dl"],
                 "docs_payload": fb["docs_payload"],
                 "tfs_payload": fb["tfs_payload"],
             }
@@ -222,10 +224,17 @@ def build_index(
                 )
             )
         )
-        agg = docs.select(dl_col.alias("dl")).agg(
-            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        agg = docs.select("doc_id", dl_col.alias("dl")).agg(
+            F.count("*").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            F.max("doc_id").alias("max_id"),
         ).collect()[0]
-        stats = {"n_docs": int(agg["n"]), "avgdl": float(agg["avgdl"] or 0.0)}
+        stats = {
+            "n_docs": int(agg["n"]),
+            "avgdl": float(agg["avgdl"] or 0.0),
+            "max_doc_id": int(agg["max_id"] if agg["max_id"] is not None else -1),
+            "generations": 1,
+        }
         os.makedirs(index_dir, exist_ok=True)
         with open(stats_path, "w") as f:
             json.dump(stats, f)
@@ -249,9 +258,7 @@ def build_index(
             .filter(F.col("shard").isin(missing))
             .repartition(len(missing), "shard")
             .groupBy("shard")
-            .applyInPandas(
-                _build_shard_fn(stats["avgdl"], doclens_dir), INDEX_SCHEMA
-            )
+            .applyInPandas(_build_shard_fn(doclens_dir), INDEX_SCHEMA)
         )
         built.write.partitionBy("shard").mode("append").parquet(shards_dir)
         wall = int((time.time() - t0) * 1000)
@@ -335,4 +342,164 @@ def build_index(
                 )
             ],
         )
+    return stats
+
+
+def generation_dirs(index_dir: str, table: str = "shards") -> list[str]:
+    """All generation directories of an index table, gen-0 first.
+
+    The segment model (Lucene-style): each ``append_documents`` call adds
+    a generation with a disjoint, higher docID range. Readers union all
+    generations; ``merge_index`` compacts them.
+    """
+    stats_path = os.path.join(index_dir, "stats.json")
+    with open(stats_path) as f:
+        gens = int(json.load(f).get("generations", 1))
+    dirs = [os.path.join(index_dir, table)]
+    dirs += [os.path.join(index_dir, f"{table}_gen{g}") for g in range(1, gens)]
+    return [d for d in dirs if os.path.exists(d)]
+
+
+def read_generations(spark: SparkSession, index_dir: str, table: str = "shards") -> DataFrame:
+    """Union scan over all generations of an index table.
+
+    One parquet scan per generation unioned by name (a single multi-root
+    read trips Spark's partition discovery); filters/pruning push into
+    each scan independently.
+    """
+    dfs = [spark.read.parquet(d) for d in generation_dirs(index_dir, table)]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def append_documents(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    resume: bool = True,
+) -> dict:
+    """Append a new generation of documents to an existing index.
+
+    Replaces the reference's incremental-load watermark + delete-then-
+    reload dance (SURVEY §2.11 W6, mira/elasticsearch.py:96-127,211-225)
+    with Lucene-style segments: the new docs (whose doc_ids MUST all
+    exceed the index's current max — deterministic, append-only) are
+    built into ``shards_gen{g}`` / ``doclens_gen{g}`` with the same shard
+    function, corpus stats are updated, and term document frequencies are
+    recomputed. Queries need no special handling: block score bounds are
+    derived from stored (max_tf, min_dl) at query time under the NEW
+    avgdl (codec.py), and cursors order blocks by min_doc across
+    generations. ``merge_index`` remains the compaction path.
+    """
+    cat = ManifestCatalog(index_dir)
+    stats_path = os.path.join(index_dir, "stats.json")
+    with open(stats_path) as f:
+        stats = json.load(f)
+    props = cat.load("shards").props
+    n_shards = int(props["n_shards"])
+    gen = int(stats.get("generations", 1))
+
+    docs = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
+
+    agg = docs.agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    ).collect()[0]
+    if agg["n"] == 0:
+        return stats
+    if int(agg["min_id"]) <= int(stats.get("max_doc_id", -1)):
+        raise ValueError(
+            f"appended doc_ids must exceed current max {stats.get('max_doc_id')}; "
+            f"got min {agg['min_id']}"
+        )
+
+    table = f"shards_gen{gen}"
+    doclens_dir = os.path.join(index_dir, f"doclens_gen{gen}")
+    shards_dir = os.path.join(index_dir, table)
+    done = cat.committed_partitions(table, "postings") if resume else set()
+    missing = sorted(set(range(n_shards)) - done)
+    if missing:
+        cat.clean_uncommitted(table)
+        cat.clean_uncommitted(f"doclens_gen{gen}")
+        os.makedirs(doclens_dir, exist_ok=True)
+        t0 = time.time()
+        built = (
+            docs.filter(F.col("shard").isin(missing))
+            .repartition(len(missing), "shard")
+            .groupBy("shard")
+            .applyInPandas(_build_shard_fn(doclens_dir), INDEX_SCHEMA)
+        )
+        built.write.partitionBy("shard").mode("append").parquet(shards_dir)
+        wall = int((time.time() - t0) * 1000)
+        docs_per_shard = {
+            r["shard"]: r["cnt"]
+            for r in spark.read.parquet(doclens_dir)
+            .groupBy("shard")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        cat.commit(
+            table,
+            [
+                PartitionEntry(
+                    partition_id=s,
+                    stage="postings",
+                    input_rows=0,
+                    docs=int(docs_per_shard.get(s, 0)),
+                    terms=0,
+                    bytes=0,
+                    wall_ms=wall,
+                )
+                for s in missing
+            ],
+            props={"generation": gen},
+        )
+
+    # update corpus stats (weighted avgdl) and generation count
+    dl_agg = (
+        spark.read.parquet(doclens_dir)
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
+        .collect()[0]
+    )
+    old_total_dl = stats["avgdl"] * stats["n_docs"]
+    new_n = stats["n_docs"] + int(dl_agg["n"])
+    stats = {
+        "n_docs": new_n,
+        "avgdl": (old_total_dl + float(dl_agg["sdl"] or 0)) / max(new_n, 1),
+        "max_doc_id": int(agg["max_id"]),
+        "generations": gen + 1,
+    }
+    with open(stats_path, "w") as f:
+        json.dump(stats, f)
+
+    # recompute global term document frequencies over ALL generations
+    terms_dir = os.path.join(index_dir, "terms")
+    tdf = (
+        read_generations(spark, index_dir, "shards")
+        .filter(F.col("block_id") == 0)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    tdf.write.mode("overwrite").parquet(terms_dir)
+    cat.commit(
+        "terms",
+        [
+            PartitionEntry(
+                partition_id=gen,
+                stage="terms",
+                input_rows=0,
+                docs=0,
+                terms=0,
+                bytes=0,
+                wall_ms=0,
+            )
+        ],
+    )
     return stats

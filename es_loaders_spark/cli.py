@@ -31,6 +31,10 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--shards", type=int, default=64)
     b.add_argument("--no-resume", action="store_true")
 
+    a = sub.add_parser("append", help="append a new document generation")
+    a.add_argument("--input", required=True, help="parquet dir of (doc_id, text)")
+    a.add_argument("--index-dir", required=True)
+
     m = sub.add_parser("merge", help="global salted posting merge")
     m.add_argument("--index-dir", required=True)
     m.add_argument("--salts", type=int, default=16)
@@ -62,6 +66,13 @@ def main(argv: list[str] | None = None) -> None:
             resume=not args.no_resume,
         )
         print(json.dumps({"built": args.index_dir, **stats}))
+    elif args.cmd == "append":
+        from .build import append_documents
+
+        stats = append_documents(
+            spark, spark.read.parquet(args.input), args.index_dir
+        )
+        print(json.dumps({"appended": args.index_dir, **stats}))
     elif args.cmd == "merge":
         from .merge import merge_index
 

@@ -8,15 +8,19 @@ UDF boundaries with no per-row Python (input_hint UDF policy).
 
 Layout per (term[, salt]) row:
 
-    blocks: list of Block(min_doc, max_doc, n, block_max, docs_payload, tfs_payload)
+    blocks: list of Block(min_doc, max_doc, n, max_tf, min_dl, docs_payload, tfs_payload)
 
 - ``docs_payload``: varint(delta(docIDs)) — first delta is vs (block-local
   base) min_doc, so each block decodes independently (skip-friendly).
 - ``tfs_payload``: varint(tf - 1) (tf ≥ 1, so the common tf=1 is one 0x00).
-- ``block_max``: float32 upper bound of the BM25 tf-norm term
-  tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)) over the block's postings —
-  multiplied by idf at query time it bounds the block's score contribution
-  (block-max WAND pruning, wand.py).
+- ``max_tf`` / ``min_dl``: per-block impact metadata (Lucene-style).
+  The BM25 tf-norm tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)) is monotone
+  increasing in tf and decreasing in dl, so
+  ``tf_norm(max_tf, min_dl, avgdl) ≥ tf_norm(tf_i, dl_i, avgdl)`` for every
+  posting in the block — a sound score bound computed AT QUERY TIME with
+  the current corpus avgdl (block-max WAND pruning, wand.py). Storing raw
+  (max_tf, min_dl) instead of a baked bound keeps bounds valid when new
+  document generations are appended and avgdl shifts (build.append_documents).
 
 BLOCK_SIZE = 128 postings, as in Lucene's postings format.
 """
@@ -86,7 +90,8 @@ class Block:
     min_doc: int
     max_doc: int
     n: int
-    block_max: float  # max BM25 tf-norm over postings in the block
+    max_tf: int   # max term frequency in the block
+    min_dl: int   # min doc length among the block's postings
     docs_payload: bytes
     tfs_payload: bytes
 
@@ -102,13 +107,12 @@ def encode_postings(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    avgdl: float,
     block_size: int = BLOCK_SIZE,
 ) -> list[Block]:
     """Encode one term's docID-sorted postings into compressed blocks.
 
     ``dls`` are the document lengths aligned with doc_ids (needed only for
-    the block-max metadata; they are not stored in the block).
+    the per-block min_dl impact metadata; they are not stored per posting).
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
@@ -117,25 +121,22 @@ def encode_postings(
         return []
     if not np.all(doc_ids[1:] > doc_ids[:-1]):
         raise ValueError("doc_ids must be strictly increasing")
-    norms = tf_norm(tfs, np.asarray(dls), avgdl)
+    dls = np.asarray(dls, dtype=np.int64)
     blocks: list[Block] = []
     for start in range(0, doc_ids.size, block_size):
         d = doc_ids[start : start + block_size]
         t = tfs[start : start + block_size]
-        m = norms[start : start + block_size]
+        l = dls[start : start + block_size]
         deltas = np.empty(d.size, dtype=np.uint64)
         deltas[0] = 0  # first doc stored as min_doc
         deltas[1:] = np.diff(d).astype(np.uint64)
-        # float32 must never round BELOW the true max — pruning soundness
-        bm = np.float32(m.max())
-        if float(bm) < float(m.max()):
-            bm = np.nextafter(bm, np.float32(np.inf))
         blocks.append(
             Block(
                 min_doc=int(d[0]),
                 max_doc=int(d[-1]),
                 n=int(d.size),
-                block_max=float(bm),
+                max_tf=int(t.max()),
+                min_dl=int(l.min()),
                 docs_payload=varint_encode(deltas),
                 tfs_payload=varint_encode((t - 1).astype(np.uint64)),
             )
@@ -146,7 +147,7 @@ def encode_postings(
 def encode_blocks_flat(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
-    norms: np.ndarray,
+    dls: np.ndarray,
     seg_starts: np.ndarray,
     block_size: int = BLOCK_SIZE,
 ) -> dict:
@@ -159,7 +160,7 @@ def encode_blocks_flat(
     (build.py) at 64k terms/shard is ~10× faster this way.
 
     Returns columnar arrays: term_idx, block_id, min_doc, max_doc, n,
-    block_max (all numpy) and docs_payload/tfs_payload (lists of bytes).
+    max_tf, min_dl (all numpy) and docs_payload/tfs_payload (lists of bytes).
     """
     n = doc_ids.size
     if n == 0:
@@ -169,7 +170,8 @@ def encode_blocks_flat(
             "min_doc": np.empty(0, dtype=np.int64),
             "max_doc": np.empty(0, dtype=np.int64),
             "n": np.empty(0, dtype=np.int32),
-            "block_max": np.empty(0, dtype=np.float32),
+            "max_tf": np.empty(0, dtype=np.int64),
+            "min_dl": np.empty(0, dtype=np.int64),
             "docs_payload": [],
             "tfs_payload": [],
         }
@@ -203,11 +205,9 @@ def encode_blocks_flat(
     t_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(varint_nbytes((tfs - 1).astype(np.uint64)), out=t_off[1:])
 
-    # per-block max of tf-norm (rounded UP to float32 — pruning soundness)
-    bm = np.maximum.reduceat(norms, block_starts)
-    bm32 = bm.astype(np.float32)
-    low = bm32.astype(np.float64) < bm
-    bm32[low] = np.nextafter(bm32[low], np.float32(np.inf))
+    # per-block impact metadata: max tf and min dl (exact, query-time bound)
+    max_tf = np.maximum.reduceat(tfs, block_starts)
+    min_dl = np.minimum.reduceat(np.asarray(dls, dtype=np.int64), block_starts)
 
     return {
         "term_idx": block_term,
@@ -215,7 +215,8 @@ def encode_blocks_flat(
         "min_doc": doc_ids[block_starts],
         "max_doc": doc_ids[block_ends - 1],
         "n": (block_ends - block_starts).astype(np.int32),
-        "block_max": bm32,
+        "max_tf": max_tf.astype(np.int64),
+        "min_dl": min_dl,
         "docs_payload": [
             d_bytes[d_off[s] : d_off[e]] for s, e in zip(block_starts, block_ends)
         ],
@@ -228,12 +229,12 @@ def encode_blocks_flat(
 def encode_blocks_batch(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
-    norms: np.ndarray,
+    dls: np.ndarray,
     seg_starts: np.ndarray,
     block_size: int = BLOCK_SIZE,
 ) -> list[list[Block]]:
     """Nested view of :func:`encode_blocks_flat` (tests / merge helpers)."""
-    flat = encode_blocks_flat(doc_ids, tfs, norms, seg_starts, block_size)
+    flat = encode_blocks_flat(doc_ids, tfs, dls, seg_starts, block_size)
     out: list[list[Block]] = [[] for _ in range(seg_starts.size - 1)]
     for i in range(flat["term_idx"].size):
         out[int(flat["term_idx"][i])].append(
@@ -241,7 +242,8 @@ def encode_blocks_batch(
                 min_doc=int(flat["min_doc"][i]),
                 max_doc=int(flat["max_doc"][i]),
                 n=int(flat["n"][i]),
-                block_max=float(flat["block_max"][i]),
+                max_tf=int(flat["max_tf"][i]),
+                min_dl=int(flat["min_dl"][i]),
                 docs_payload=flat["docs_payload"][i],
                 tfs_payload=flat["tfs_payload"][i],
             )
@@ -256,7 +258,8 @@ def decode_block(block: Block | dict) -> tuple[np.ndarray, np.ndarray]:
             min_doc=block["min_doc"],
             max_doc=block["max_doc"],
             n=block["n"],
-            block_max=block["block_max"],
+            max_tf=int(block["max_tf"]),
+            min_dl=int(block["min_dl"]),
             docs_payload=bytes(block["docs_payload"]),
             tfs_payload=bytes(block["tfs_payload"]),
         )

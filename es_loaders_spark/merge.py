@@ -16,8 +16,9 @@ skew-join cannot fix an aggregation key with one giant group (SURVEY
   metadata (plain min_doc/max_doc row predicates on the FLAT block
   layout — no decode, no Python), so the shuffle itself is balanced.
 
-Merged block_max values are propagated per-posting from source blocks
-(sound upper bounds — pruning stays exact, SURVEY §7 step 6). Resume:
+Merged impact metadata: max_tf is recomputed exactly from decoded tfs;
+min_dl is propagated per-posting from source blocks (a sound lower bound
+— pruning stays exact, SURVEY §7 step 6). Resume:
 output is hash-bucketed by term; completed buckets are recorded in the
 manifest and skipped on re-run (mid-merge idempotence, north_star).
 """
@@ -47,7 +48,8 @@ MERGED_SCHEMA = T.StructType(
         T.StructField("min_doc", T.LongType()),
         T.StructField("max_doc", T.LongType()),
         T.StructField("n", T.IntegerType()),
-        T.StructField("block_max", T.FloatType()),
+        T.StructField("max_tf", T.LongType()),
+        T.StructField("min_dl", T.LongType()),
         T.StructField("docs_payload", T.BinaryType()),
         T.StructField("tfs_payload", T.BinaryType()),
     ]
@@ -71,7 +73,7 @@ def _merge_group_fn(span: int):
             docs_parts.append(d[sel])
             tfs_parts.append(t[sel])
             ubs_parts.append(
-                np.full(int(sel.sum()), row["block_max"], dtype=np.float32)
+                np.full(int(sel.sum()), row["min_dl"], dtype=np.int64)
             )
         if not docs_parts:
             return pd.DataFrame(
@@ -84,7 +86,8 @@ def _merge_group_fn(span: int):
                     "min_doc": pd.Series(dtype="int64"),
                     "max_doc": pd.Series(dtype="int64"),
                     "n": pd.Series(dtype="int32"),
-                    "block_max": pd.Series(dtype="float32"),
+                    "max_tf": pd.Series(dtype="int64"),
+                    "min_dl": pd.Series(dtype="int64"),
                     "docs_payload": pd.Series(dtype="object"),
                     "tfs_payload": pd.Series(dtype="object"),
                 }
@@ -110,7 +113,8 @@ def _merge_group_fn(span: int):
         np.cumsum(varint_nbytes(deltas), out=d_off[1:])
         t_off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(varint_nbytes((tfs - 1).astype(np.uint64)), out=t_off[1:])
-        bmax = np.maximum.reduceat(ubs, starts)
+        bmax_tf = np.maximum.reduceat(tfs, starts)
+        bmin_dl = np.minimum.reduceat(ubs, starts)
         return pd.DataFrame(
             {
                 "bucket": np.full(starts.size, bucket, dtype=np.int32),
@@ -121,7 +125,8 @@ def _merge_group_fn(span: int):
                 "min_doc": docs[starts],
                 "max_doc": docs[ends - 1],
                 "n": (ends - starts).astype(np.int32),
-                "block_max": bmax,
+                "max_tf": bmax_tf.astype(np.int64),
+                "min_dl": bmin_dl.astype(np.int64),
                 "docs_payload": [d_bytes[d_off[s] : d_off[e]] for s, e in zip(starts, ends)],
                 "tfs_payload": [t_bytes[t_off[s] : t_off[e]] for s, e in zip(starts, ends)],
             }
@@ -156,7 +161,9 @@ def merge_index(
         return merged_dir
     cat.clean_uncommitted("merged", partition_col="bucket")
 
-    shards = spark.read.parquet(os.path.join(index_dir, "shards"))
+    from .build import read_generations
+
+    shards = read_generations(spark, index_dir, "shards")
     tdf = spark.read.parquet(os.path.join(index_dir, "terms"))
     hot = tdf.filter(F.col("df") > hot_df_threshold).select(
         "term", F.lit(True).alias("is_hot")
@@ -189,7 +196,7 @@ def merge_index(
         )
         .select(
             "bucket", "term", "salt", "shard", "block_id",
-            "min_doc", "max_doc", "n", "block_max", "docs_payload", "tfs_payload",
+            "min_doc", "max_doc", "n", "max_tf", "min_dl", "docs_payload", "tfs_payload",
         )
     )
 

@@ -42,23 +42,39 @@ def idf(n_docs: int, df: int) -> float:
 
 
 def term_blocks_from_flat(idx_pdf: pd.DataFrame) -> dict[str, list[dict]]:
-    """Group flat block rows (build.INDEX_SCHEMA) into term → ordered blocks."""
+    """Group flat block rows (build.INDEX_SCHEMA) into term → ordered blocks.
+
+    Ordered by min_doc (not block_id): appended generations contribute
+    additional block rows with disjoint higher docID ranges, and cursor
+    skip logic needs blocks in global doc order.
+    """
     out: dict[str, list[dict]] = {}
-    srt = idx_pdf.sort_values(["term", "block_id"], kind="stable")
+    srt = idx_pdf.sort_values(["term", "min_doc"], kind="stable")
     for term, g in srt.groupby("term", sort=False):
         out[term] = g.to_dict("records")
     return out
 
 
 class _TermCursor:
-    """Decoded-on-demand postings of one term inside one shard."""
+    """Decoded-on-demand postings of one term inside one shard.
+
+    Block score bounds are computed AT QUERY TIME from the stored
+    (max_tf, min_dl) impact metadata and the current corpus avgdl —
+    tf_norm is monotone ↑ in tf and ↓ in dl, so
+    idf · tf_norm(max_tf, min_dl, avgdl) dominates every posting in the
+    block (sound under appended generations that shift avgdl; codec.py).
+    """
 
     __slots__ = ("blocks", "idf", "block_ubs", "min_docs", "max_docs", "_decoded", "ub")
 
-    def __init__(self, blocks: list, term_idf: float):
+    def __init__(self, blocks: list, term_idf: float, avgdl: float):
         self.blocks = blocks
         self.idf = term_idf
-        self.block_ubs = np.asarray([term_idf * b["block_max"] for b in blocks])
+        max_tf = np.asarray([b["max_tf"] for b in blocks], dtype=np.float64)
+        min_dl = np.asarray([b["min_dl"] for b in blocks], dtype=np.float64)
+        from .codec import tf_norm
+
+        self.block_ubs = term_idf * tf_norm(max_tf, min_dl, avgdl) if blocks else np.empty(0)
         self.min_docs = np.asarray([b["min_doc"] for b in blocks], dtype=np.int64)
         self.max_docs = np.asarray([b["max_doc"] for b in blocks], dtype=np.int64)
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -116,7 +132,7 @@ def bmw_topk_kernel(
     total blocks (proof of skipping in tests/bench).
     """
     cursors = [
-        _TermCursor(term_blocks[t], term_idfs[t]) for t in sorted(term_blocks)
+        _TermCursor(term_blocks[t], term_idfs[t], avgdl) for t in sorted(term_blocks)
     ]
     return bmw_topk_cursors(cursors, doc_ids_sorted, dls_sorted, avgdl, k, k1, b)
 
@@ -208,20 +224,24 @@ def topk(
     terms = sorted(set(tokenize_text(query)))
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    tdf_rows = (
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["avgdl"])
+
+    # global df rides into the shard kernels as a broadcast-joined column
+    # (`gdf`) — no separate driver round-trip job for term stats
+    from .build import read_generations
+
+    tdf = (
         spark.read.parquet(os.path.join(index_dir, "terms"))
         .filter(F.col("term").isin(terms))
-        .collect()
+        .withColumnRenamed("df", "gdf")
     )
-    term_idfs = {r["term"]: idf(stats["n_docs"], r["df"]) for r in tdf_rows}
-    if not term_idfs:
-        return spark.createDataFrame([], "doc_id long, score double")
-
-    idx = spark.read.parquet(os.path.join(index_dir, "shards")).filter(
-        F.col("term").isin(list(term_idfs))
+    idx = (
+        read_generations(spark, index_dir, "shards")
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(tdf), "term")
     )
-    dls = spark.read.parquet(os.path.join(index_dir, "doclens"))
-    avgdl = float(stats["avgdl"])
+    dls = read_generations(spark, index_dir, "doclens")
 
     def score_shard(key, idx_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
         if idx_pdf.empty or dl_pdf.empty:
@@ -231,6 +251,10 @@ def topk(
         order = np.argsort(dl_pdf["doc_id"].to_numpy())
         doc_sorted = dl_pdf["doc_id"].to_numpy(dtype=np.int64)[order]
         dl_sorted = dl_pdf["dl"].to_numpy(dtype=np.int64)[order]
+        term_idfs = {
+            t: idf(n_docs, int(g))
+            for t, g in idx_pdf.groupby("term")["gdf"].first().items()
+        }
         term_blocks = term_blocks_from_flat(idx_pdf)
         docs, scores, _ = bmw_topk_kernel(
             term_blocks, term_idfs, doc_sorted, dl_sorted, avgdl, k
@@ -268,22 +292,25 @@ def topk_batch(
     if isinstance(queries, list):
         queries = {f"q{i}": q for i, q in enumerate(queries)}
     stats = load_index_meta(spark, index_dir)
+    n_docs = int(stats["n_docs"])
     avgdl = float(stats["avgdl"])
     qterms = {qid: sorted(set(tokenize_text(text))) for qid, text in queries.items()}
     all_terms = sorted({t for ts in qterms.values() for t in ts})
     if not all_terms:
         return spark.createDataFrame([], "query_id string, rank int, doc_id long, score double")
-    tdf_rows = (
+    from .build import read_generations
+
+    tdf = (
         spark.read.parquet(os.path.join(index_dir, "terms"))
         .filter(F.col("term").isin(all_terms))
-        .collect()
+        .withColumnRenamed("df", "gdf")
     )
-    term_idfs = {r["term"]: idf(stats["n_docs"], r["df"]) for r in tdf_rows}
-
-    idx = spark.read.parquet(os.path.join(index_dir, "shards")).filter(
-        F.col("term").isin(list(term_idfs))
+    idx = (
+        read_generations(spark, index_dir, "shards")
+        .filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(tdf), "term")
     )
-    dls = spark.read.parquet(os.path.join(index_dir, "doclens"))
+    dls = read_generations(spark, index_dir, "doclens")
 
     def score_shard(key, idx_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -298,8 +325,12 @@ def topk_batch(
         order = np.argsort(dl_pdf["doc_id"].to_numpy())
         doc_sorted = dl_pdf["doc_id"].to_numpy(dtype=np.int64)[order]
         dl_sorted = dl_pdf["dl"].to_numpy(dtype=np.int64)[order]
+        term_idfs = {
+            t: idf(n_docs, int(g))
+            for t, g in idx_pdf.groupby("term")["gdf"].first().items()
+        }
         cursors = {
-            term: _TermCursor(blocks, term_idfs[term])
+            term: _TermCursor(blocks, term_idfs[term], avgdl)
             for term, blocks in term_blocks_from_flat(idx_pdf).items()
             if term in term_idfs
         }

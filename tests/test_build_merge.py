@@ -178,3 +178,49 @@ def test_assign_doc_ids_deterministic(spark, web_pages):
     assert sorted(a.values()) == list(range(len(a)))
     urls_sorted = sorted(a)
     assert [a[u] for u in urls_sorted] == list(range(len(a)))
+
+
+def test_append_documents_matches_one_shot(spark, documents, tmp_path_factory):
+    """Segment append: base index + appended generation == one-shot index
+    over the union — same top-k docIDs AND scores (Lucene-segment parity,
+    SURVEY W6). Exercises query-time (max_tf, min_dl) bounds under the
+    shifted avgdl."""
+    from es_loaders_spark.build import append_documents, generation_dirs
+    from es_loaders_spark.wand import topk
+
+    base = documents.filter(F.col("doc_id") < 400)
+    delta = documents.filter(F.col("doc_id") >= 400)
+
+    d_inc = str(tmp_path_factory.mktemp("idx_incremental"))
+    build_index(spark, base, d_inc, n_shards=4)
+    stats = append_documents(spark, delta, d_inc)
+    assert stats["n_docs"] == documents.count()
+    assert stats["generations"] == 2
+    assert len(generation_dirs(d_inc, "shards")) == 2
+
+    d_full = str(tmp_path_factory.mktemp("idx_oneshot"))
+    build_index(spark, documents, d_full, n_shards=4)
+
+    for q in ["spark query data", "the fast scan", "w0005"]:
+        inc = [(r["doc_id"], r["score"]) for r in topk(spark, d_inc, q, k=15).collect()]
+        full = [(r["doc_id"], r["score"]) for r in topk(spark, d_full, q, k=15).collect()]
+        assert inc == full, f"append differs from one-shot for {q!r}"
+
+    # appending overlapping doc_ids is rejected (append-only contract)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must exceed"):
+        append_documents(spark, documents.filter(F.col("doc_id") < 10), d_inc)
+
+    # merge compacts generations: merged postings == one-shot merged
+    merge_index(spark, d_inc, hot_df_threshold=50, n_salts=4, n_buckets=8)
+    merge_index(spark, d_full, hot_df_threshold=50, n_salts=4, n_buckets=8)
+    a = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in merged_postings(spark, d_inc, ["the", "spark"]).collect()
+    }
+    b = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in merged_postings(spark, d_full, ["the", "spark"]).collect()
+    }
+    assert a == b

@@ -43,7 +43,7 @@ def test_postings_roundtrip_property(n, seed):
     doc_ids = np.unique(rng.randint(0, 10_000_000, size=n))
     tfs = rng.randint(1, 50, size=doc_ids.size)
     dls = rng.randint(1, 500, size=doc_ids.size)
-    blocks = encode_postings(doc_ids, tfs, dls, avgdl=100.0)
+    blocks = encode_postings(doc_ids, tfs, dls)
     got_docs, got_tfs = decode_postings(blocks)
     assert np.array_equal(got_docs, doc_ids)
     assert np.array_equal(got_tfs, tfs)
@@ -53,7 +53,7 @@ def test_blocks_are_independent_and_sized():
     doc_ids = np.arange(0, 1000, 3, dtype=np.int64)
     tfs = np.ones(doc_ids.size, dtype=np.int64)
     dls = np.full(doc_ids.size, 100, dtype=np.int64)
-    blocks = encode_postings(doc_ids, tfs, dls, avgdl=100.0)
+    blocks = encode_postings(doc_ids, tfs, dls)
     assert len(blocks) == -(-doc_ids.size // BLOCK_SIZE)
     # each block decodes on its own (skip support)
     d1, t1 = decode_block(blocks[1])
@@ -61,24 +61,28 @@ def test_blocks_are_independent_and_sized():
     assert all(b.n <= BLOCK_SIZE for b in blocks)
 
 
-def test_block_max_bounds_all_contained():
+def test_block_impact_bounds_all_contained():
+    """tf_norm(max_tf, min_dl, avgdl) must dominate every posting's tf_norm
+    under ANY avgdl — the append-stable query-time bound (codec.py)."""
     rng = np.random.RandomState(7)
     doc_ids = np.unique(rng.randint(0, 100000, size=500))
     tfs = rng.randint(1, 30, size=doc_ids.size)
     dls = rng.randint(10, 400, size=doc_ids.size)
-    avgdl = 120.0
-    blocks = encode_postings(doc_ids, tfs, dls, avgdl=avgdl)
-    norms = tf_norm(tfs, dls, avgdl)
-    i = 0
-    for b in blocks:
-        contained = norms[i : i + b.n]
-        # float32 block max is rounded UP: must dominate all float64 norms exactly
-        assert b.block_max >= contained.max()
-        i += b.n
+    blocks = encode_postings(doc_ids, tfs, dls)
+    for avgdl in (40.0, 120.0, 900.0):
+        norms = tf_norm(tfs, dls, avgdl)
+        i = 0
+        for b in blocks:
+            contained = norms[i : i + b.n]
+            bound = tf_norm(np.asarray([b.max_tf]), np.asarray([b.min_dl]), avgdl)[0]
+            assert bound >= contained.max()
+            assert b.max_tf == tfs[i : i + b.n].max()
+            assert b.min_dl == dls[i : i + b.n].min()
+            i += b.n
 
 
 def test_unsorted_docids_rejected():
     with pytest.raises(ValueError):
         encode_postings(
-            np.asarray([5, 3]), np.asarray([1, 1]), np.asarray([10, 10]), avgdl=10.0
+            np.asarray([5, 3]), np.asarray([1, 1]), np.asarray([10, 10])
         )

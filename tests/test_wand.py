@@ -90,8 +90,8 @@ def test_kernel_skips_blocks():
     rare_tfs = np.full(50, 20, dtype=np.int64)
 
     term_blocks = {
-        "common": [vars(b) for b in encode_postings(common_docs, common_tfs, dls, avgdl)],
-        "rare": [vars(b) for b in encode_postings(rare_docs, rare_tfs, dls[:50], avgdl)],
+        "common": [vars(b) for b in encode_postings(common_docs, common_tfs, dls)],
+        "rare": [vars(b) for b in encode_postings(rare_docs, rare_tfs, dls[:50])],
     }
     term_idfs = {
         "common": idf(n_docs, n_docs),
