@@ -542,6 +542,37 @@ def bool_filter(spark, sf_dir):
     )
 
 
+@q(
+    "term_filter_indexed",
+    f"SELECT DISTINCT doc_id FROM ({_TOKENS_CTE}) WHERE term = 'spark'",
+)
+def term_filter_indexed(spark, sf_dir):
+    """X2 exact term filter served by the COMPRESSED index itself
+    (posting-list lookup with parquet term pushdown), not a token scan."""
+    from .merge import merged_postings
+
+    _ensure_index(spark, sf_dir)
+    return (
+        merged_postings(spark, _WAND_CACHE[sf_dir], ["spark"])
+        .select("doc_id")
+        .distinct()
+    )
+
+
+@q(
+    "term_count_indexed",
+    f"SELECT count(DISTINCT doc_id) AS n FROM ({_TOKENS_CTE}) WHERE term = 'spark'",
+)
+def term_count_indexed(spark, sf_dir):
+    """A6 filtered count answered from the term-stats table alone —
+    the O(1) metadata lookup ES does for count queries."""
+    _ensure_index(spark, sf_dir)
+    tdf = spark.read.parquet(f"{_WAND_CACHE[sf_dir]}/terms")
+    return tdf.filter(F.col("term") == "spark").select(
+        F.col("df").cast("long").alias("n")
+    )
+
+
 BM25_QUERY = "spark query data table"
 BM25_K = 20
 
@@ -559,24 +590,31 @@ def bm25_topk_q(spark, sf_dir):
 _WAND_CACHE: dict = {}
 
 
-@q("bm25_topk_wand", bm25_topk_oracle_sql(BM25_QUERY, k=BM25_K))
-def bm25_topk_wand(spark, sf_dir):
-    """X4 via the COMPRESSED index + block-max WAND (SURVEY §7 step 7).
-
-    Builds (once per sf_dir) the sharded delta+varint index and queries
-    it; oracle is the same SQL as bm25_topk — proving the compressed
-    path is rank-identical to uncompressed scoring.
-    """
+def _ensure_index(spark, sf_dir):
+    """Build (once per sf_dir) the sharded compressed index + merge."""
     import tempfile
 
     from .build import build_index
-    from .wand import topk
+    from .merge import merge_index
 
     if sf_dir not in _WAND_CACHE:
         d = tempfile.mkdtemp(prefix="wand_idx_")
         build_index(spark, _T(spark, sf_dir, "documents"), d, n_shards=8)
+        merge_index(spark, d, n_salts=4, n_buckets=8)
         _WAND_CACHE[sf_dir] = d
-    return topk(spark, _WAND_CACHE[sf_dir], BM25_QUERY, k=BM25_K)
+    return _WAND_CACHE[sf_dir]
+
+
+@q("bm25_topk_wand", bm25_topk_oracle_sql(BM25_QUERY, k=BM25_K))
+def bm25_topk_wand(spark, sf_dir):
+    """X4 via the COMPRESSED index + block-max WAND (SURVEY §7 step 7).
+
+    Oracle is the same SQL as bm25_topk — proving the compressed path is
+    rank-identical to uncompressed scoring.
+    """
+    from .wand import topk
+
+    return topk(spark, _ensure_index(spark, sf_dir), BM25_QUERY, k=BM25_K)
 
 
 # ---------------------------------------------------------------------------

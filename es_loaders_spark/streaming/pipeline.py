@@ -62,3 +62,60 @@ def incremental_load(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_index_updates(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Continuously index a document stream: each micro-batch becomes a
+    new index generation via ``build.append_documents``.
+
+    The streaming analogue of the reference's incremental dashboard loads
+    (SURVEY §2.11 W6): Spark's streaming checkpoint replaces the date
+    high-watermark, and generation appends replace delete-then-reload.
+    DocIDs are assigned monotonically per batch (current max_doc_id + the
+    batch-local url rank), so cross-batch determinism holds for a given
+    batch partitioning — exactly-once is provided by the checkpoint.
+
+    The stream must carry (url, text) columns [or (doc_id, text) with
+    caller-guaranteed monotone ids].
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..build import append_documents, build_index
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        stats_path = os.path.join(index_dir, "stats.json")
+        if "doc_id" not in batch_df.columns:
+            base = -1
+            if os.path.exists(stats_path):
+                with open(stats_path) as f:
+                    base = int(json.load(f).get("max_doc_id", -1))
+            # batch-local rank; batches are small enough for a single-task
+            # window (micro-batch sized), large backfills use build_index
+            rank = F.row_number().over(Window.orderBy("url")) - 1
+            batch_df = batch_df.withColumn("doc_id", F.lit(base + 1) + rank)
+        batch_df = batch_df.select("doc_id", F.col(text_col).alias("text"))
+        if not os.path.exists(stats_path):
+            build_index(spark, batch_df, index_dir, n_shards=8)
+        else:
+            append_documents(spark, batch_df, index_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -68,3 +68,51 @@ def test_incremental_load_exactly_once(spark, sf_dir, tmp_path):
     q2 = incremental_load(stream2.select("event_id", "ts", "value"), out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_stream_index_updates(spark, tmp_path):
+    """File stream → per-batch index generations → queryable BM25 index."""
+    from es_loaders_spark.corpus import synthesize_web_pages
+    from es_loaders_spark.extract import extract_text
+    from es_loaders_spark.streaming.pipeline import stream_index_updates
+    from es_loaders_spark.wand import topk
+
+    pages = synthesize_web_pages(spark, 300, seed=9).withColumn(
+        "text2", extract_text(F.col("html"))
+    )
+    src = str(tmp_path / "docsrc")
+    schema = "url string, text string"
+    idx = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt_idx")
+
+    # arrival 1 → availableNow run builds the index
+    pages.filter(F.col("url") < "https://site150").select(
+        "url", F.col("text2").alias("text")
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_index_updates(spark.readStream.schema(schema).parquet(src), idx, ckpt)
+    q.awaitTermination(180)
+
+    # arrival 2 → next availableNow run appends a generation (checkpoint
+    # skips the already-processed file — the W6 high-watermark analogue)
+    pages.filter(F.col("url") >= "https://site150").select(
+        "url", F.col("text2").alias("text")
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_index_updates(spark.readStream.schema(schema).parquet(src), idx, ckpt)
+    q.awaitTermination(180)
+
+    import json, os
+
+    with open(os.path.join(idx, "stats.json")) as f:
+        stats = json.load(f)
+    assert stats["n_docs"] == 300
+    assert stats["generations"] >= 2  # at least initial build + one append
+
+    hits = topk(spark, idx, "spark crawl the", k=5).collect()
+    assert len(hits) == 5
+    assert hits[0]["score"] >= hits[-1]["score"]
+
+    # restart with same checkpoint: no new files → no new generations
+    q2 = stream_index_updates(spark.readStream.schema(schema).parquet(src), idx, ckpt)
+    q2.awaitTermination(120)
+    with open(os.path.join(idx, "stats.json")) as f:
+        assert json.load(f)["n_docs"] == 300
