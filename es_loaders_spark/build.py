@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 
 from .analyze import tokenize_texts
 from .catalog import ManifestCatalog, PartitionEntry
-from .codec import encode_postings
+from .codec import encode_blocks_flat  # used in _build_shard_fn
 
 # FLAT index layout: one row per posting block. Nested array<struct>
 # was ~10× slower through Arrow (per-block Python dicts); flat rows are
@@ -160,8 +160,6 @@ def _build_shard_fn(doclens_dir: str | None = None):
         starts = np.flatnonzero(new)
         tf = np.diff(np.append(starts, c.size))
         p_doc, p_code, p_dl = d[starts], c[starts], dls[starts]
-
-        from .codec import encode_blocks_flat
 
         seg = np.concatenate(
             [[0], np.flatnonzero(np.diff(p_code)) + 1, [p_code.size]]

@@ -14,7 +14,6 @@ rows-only checks; their exactness is covered by pytest instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -570,6 +569,41 @@ def term_count_indexed(spark, sf_dir):
     tdf = spark.read.parquet(f"{_WAND_CACHE[sf_dir]}/terms")
     return tdf.filter(F.col("term") == "spark").select(
         F.col("df").cast("long").alias("n")
+    )
+
+
+@q(
+    "phrase_match",
+    f"""WITH tok AS (
+         SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(toks)),
+                                      i -> {{'term': toks[i], 'pos': i - 1}}),
+                       recursive := true)
+         FROM (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(text), '{SPLIT_RE_DUCKDB}'),
+                                  x -> x <> '') AS toks
+               FROM documents)
+       )
+       SELECT DISTINCT a.doc_id
+       FROM tok a JOIN tok b
+         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'the' AND b.term = 'data'""",
+)
+def phrase_match(spark, sf_dir):
+    """Positional phrase match: docs where 'the data' occur adjacently.
+
+    Uses the analyzer's token positions (analyze.tokens_df emits pos) —
+    the positional-index capability layered on the same tokenization;
+    expressed as a self-join on (doc, pos+1), all JVM.
+    """
+    toks = tokens_df(_T(spark, sf_dir, "documents"))
+    a = toks.filter(F.col("term") == "the").select("doc_id", F.col("pos").alias("pa"))
+    b = toks.filter(F.col("term") == "data").select("doc_id", F.col("pos").alias("pb"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("pb") == F.col("pa") + 1)
+        .select("doc_id")
+        .distinct()
     )
 
 
