@@ -840,3 +840,41 @@ def ann_lsh(spark, sf_dir):
 
     emb = _T(spark, sf_dir, "embeddings")
     return lsh_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+@q(
+    "embedding_near_dups",
+    """SELECT a.vec_id AS a, b.vec_id AS b,
+              round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+       FROM embeddings a JOIN embeddings b
+         ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.2""",
+)
+def embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs with exact metadata blocking.
+
+    Blocking key = label (same-cluster candidates only), then exact
+    cosine ≥ τ — the deterministic-blocking variant of embedding dedup
+    (hyperplane-LSH blocking for unlabeled data lives in similarity.py,
+    pytest-validated). At 100 TB the block join is an equi-shuffle on
+    the key; skewed blocks fall to AQE skew handling.
+    """
+    from .similarity import _dot, _norm
+
+    emb = _T(spark, sf_dir, "embeddings")
+    vec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("label"), F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    sim = _dot(vec(F.col("ea")), vec(F.col("eb"))) / (
+        _norm(vec(F.col("ea"))) * _norm(vec(F.col("eb")))
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(sim, 4).alias("cosine"))
+        .filter(F.col("cosine") >= 0.2)
+    )

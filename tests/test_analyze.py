@@ -56,3 +56,19 @@ def test_jvm_tokens_match_python_and_duckdb(spark, documents, sf_dir):
     ).fetchall()
     duck_tokens = {(d, t): c for d, t, c in duck}
     assert duck_tokens == spark_tokens
+
+
+def test_tokenizer_property_unicode():
+    """Vectorized batch path == scalar path for arbitrary unicode inputs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(st.text(max_size=60), min_size=1, max_size=20))
+    @settings(max_examples=150, deadline=None)
+    def check(texts):
+        s = pd.Series(texts, dtype="object")
+        offsets, flat = tokenize_texts(s)
+        for i, t in enumerate(texts):
+            assert list(flat[offsets[i] : offsets[i + 1]]) == tokenize_text(t)
+
+    check()
