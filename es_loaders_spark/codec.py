@@ -21,6 +21,11 @@ Layout per (term[, salt]) row:
   the current corpus avgdl (block-max WAND pruning, wand.py). Storing raw
   (max_tf, min_dl) instead of a baked bound keeps bounds valid when new
   document generations are appended and avgdl shifts (build.append_documents).
+  Tightness caveat: on natural corpora (mixed dl within docID-ordered
+  blocks) this bound is loose and skips little (BENCH.md measurement);
+  the planned upgrade is Lucene-style impact skylines — the Pareto
+  frontier of (tf, dl) pairs per block — tight for any avgdl and still
+  append-stable.
 
 BLOCK_SIZE = 128 postings, as in Lucene's postings format.
 """
