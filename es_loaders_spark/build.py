@@ -51,6 +51,8 @@ INDEX_SCHEMA = T.StructType(
         T.StructField("min_dl", T.LongType()),
         T.StructField("docs_payload", T.BinaryType()),
         T.StructField("tfs_payload", T.BinaryType()),
+        T.StructField("sky_tfs_payload", T.BinaryType()),
+        T.StructField("sky_dls_payload", T.BinaryType()),
     ]
 )
 
@@ -143,6 +145,8 @@ def _build_shard_fn(doclens_dir: str | None = None):
                 "min_dl": pd.Series(dtype="int64"),
                 "docs_payload": pd.Series(dtype="object"),
                 "tfs_payload": pd.Series(dtype="object"),
+                "sky_tfs_payload": pd.Series(dtype="object"),
+                "sky_dls_payload": pd.Series(dtype="object"),
             }
         )
         if flat.size == 0:
@@ -181,6 +185,8 @@ def _build_shard_fn(doclens_dir: str | None = None):
                 "min_dl": fb["min_dl"],
                 "docs_payload": fb["docs_payload"],
                 "tfs_payload": fb["tfs_payload"],
+                "sky_tfs_payload": fb["sky_tfs_payload"],
+                "sky_dls_payload": fb["sky_dls_payload"],
             }
         )
 

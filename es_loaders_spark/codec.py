@@ -99,6 +99,8 @@ class Block:
     min_dl: int   # min doc length among the block's postings
     docs_payload: bytes
     tfs_payload: bytes
+    sky_tfs_payload: bytes = b""  # varint (tf desc) of the (tf, dl) skyline
+    sky_dls_payload: bytes = b""  # varint (dl asc), aligned with sky_tfs
 
 
 def tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float = 1.2, b: float = 0.75) -> np.ndarray:
@@ -135,6 +137,7 @@ def encode_postings(
         deltas = np.empty(d.size, dtype=np.uint64)
         deltas[0] = 0  # first doc stored as min_doc
         deltas[1:] = np.diff(d).astype(np.uint64)
+        st, sd = _block_skyline(t, l)
         blocks.append(
             Block(
                 min_doc=int(d[0]),
@@ -144,9 +147,25 @@ def encode_postings(
                 min_dl=int(l.min()),
                 docs_payload=varint_encode(deltas),
                 tfs_payload=varint_encode((t - 1).astype(np.uint64)),
+                sky_tfs_payload=varint_encode(st.astype(np.uint64)),
+                sky_dls_payload=varint_encode(sd.astype(np.uint64)),
             )
         )
     return blocks
+
+
+def _block_skyline(tfs: np.ndarray, dls: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pareto frontier of (tf, dl) within one block: for every posting
+    there is a skyline pair with tf_sky ≥ tf and dl_sky ≤ dl, so
+    max over skyline of tf_norm(tf_sky, dl_sky, avgdl) dominates every
+    posting's tf_norm for ANY avgdl (tight, append-stable bound)."""
+    order = np.lexsort((dls, -tfs))  # tf desc, dl asc
+    t, d = tfs[order], dls[order]
+    cummin = np.minimum.accumulate(d)
+    keep = np.empty(d.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = d[1:] < cummin[:-1]
+    return t[keep], d[keep]
 
 
 def encode_blocks_flat(
@@ -179,6 +198,8 @@ def encode_blocks_flat(
             "min_dl": np.empty(0, dtype=np.int64),
             "docs_payload": [],
             "tfs_payload": [],
+            "sky_tfs_payload": [],
+            "sky_dls_payload": [],
         }
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
@@ -210,9 +231,16 @@ def encode_blocks_flat(
     t_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(varint_nbytes((tfs - 1).astype(np.uint64)), out=t_off[1:])
 
-    # per-block impact metadata: max tf and min dl (exact, query-time bound)
+    # per-block impact metadata: max tf / min dl plus the (tf, dl)
+    # skyline — the tight query-time bound (see _block_skyline)
+    dls = np.asarray(dls, dtype=np.int64)
     max_tf = np.maximum.reduceat(tfs, block_starts)
-    min_dl = np.minimum.reduceat(np.asarray(dls, dtype=np.int64), block_starts)
+    min_dl = np.minimum.reduceat(dls, block_starts)
+    sky_t_payloads, sky_d_payloads = [], []
+    for s_, e_ in zip(block_starts, block_ends):
+        st, sd = _block_skyline(tfs[s_:e_], dls[s_:e_])
+        sky_t_payloads.append(varint_encode(st.astype(np.uint64)))
+        sky_d_payloads.append(varint_encode(sd.astype(np.uint64)))
 
     return {
         "term_idx": block_term,
@@ -228,6 +256,8 @@ def encode_blocks_flat(
         "tfs_payload": [
             t_bytes[t_off[s] : t_off[e]] for s, e in zip(block_starts, block_ends)
         ],
+        "sky_tfs_payload": sky_t_payloads,
+        "sky_dls_payload": sky_d_payloads,
     }
 
 
@@ -251,6 +281,8 @@ def encode_blocks_batch(
                 min_dl=int(flat["min_dl"][i]),
                 docs_payload=flat["docs_payload"][i],
                 tfs_payload=flat["tfs_payload"][i],
+                sky_tfs_payload=flat["sky_tfs_payload"][i],
+                sky_dls_payload=flat["sky_dls_payload"][i],
             )
         )
     return out

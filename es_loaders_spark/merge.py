@@ -35,7 +35,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .catalog import ManifestCatalog, PartitionEntry
-from .codec import BLOCK_SIZE, decode_block, varint_encode, varint_nbytes
+from .codec import (
+    BLOCK_SIZE,
+    _block_skyline,
+    decode_block,
+    varint_encode,
+    varint_nbytes,
+)
 from .wand import load_index_meta
 
 MERGED_SCHEMA = T.StructType(
@@ -52,6 +58,8 @@ MERGED_SCHEMA = T.StructType(
         T.StructField("min_dl", T.LongType()),
         T.StructField("docs_payload", T.BinaryType()),
         T.StructField("tfs_payload", T.BinaryType()),
+        T.StructField("sky_tfs_payload", T.BinaryType()),
+        T.StructField("sky_dls_payload", T.BinaryType()),
     ]
 )
 
@@ -90,6 +98,8 @@ def _merge_group_fn(span: int):
                     "min_dl": pd.Series(dtype="int64"),
                     "docs_payload": pd.Series(dtype="object"),
                     "tfs_payload": pd.Series(dtype="object"),
+                    "sky_tfs_payload": pd.Series(dtype="object"),
+                    "sky_dls_payload": pd.Series(dtype="object"),
                 }
             )
         docs = np.concatenate(docs_parts)
@@ -115,6 +125,12 @@ def _merge_group_fn(span: int):
         np.cumsum(varint_nbytes((tfs - 1).astype(np.uint64)), out=t_off[1:])
         bmax_tf = np.maximum.reduceat(tfs, starts)
         bmin_dl = np.minimum.reduceat(ubs, starts)
+        # merged skyline: exact tfs x propagated per-posting dl lower bounds
+        sky_t_pl, sky_d_pl = [], []
+        for s_, e_ in zip(starts, ends):
+            st, sd = _block_skyline(tfs[s_:e_], ubs[s_:e_])
+            sky_t_pl.append(varint_encode(st.astype(np.uint64)))
+            sky_d_pl.append(varint_encode(sd.astype(np.uint64)))
         return pd.DataFrame(
             {
                 "bucket": np.full(starts.size, bucket, dtype=np.int32),
@@ -129,6 +145,8 @@ def _merge_group_fn(span: int):
                 "min_dl": bmin_dl.astype(np.int64),
                 "docs_payload": [d_bytes[d_off[s] : d_off[e]] for s, e in zip(starts, ends)],
                 "tfs_payload": [t_bytes[t_off[s] : t_off[e]] for s, e in zip(starts, ends)],
+                "sky_tfs_payload": sky_t_pl,
+                "sky_dls_payload": sky_d_pl,
             }
         )
 
@@ -196,7 +214,8 @@ def merge_index(
         )
         .select(
             "bucket", "term", "salt", "shard", "block_id",
-            "min_doc", "max_doc", "n", "max_tf", "min_dl", "docs_payload", "tfs_payload",
+            "min_doc", "max_doc", "n", "max_tf", "min_dl", "docs_payload",
+            "tfs_payload", "sky_tfs_payload", "sky_dls_payload",
         )
     )
 

@@ -58,11 +58,12 @@ def term_blocks_from_flat(idx_pdf: pd.DataFrame) -> dict[str, list[dict]]:
 class _TermCursor:
     """Decoded-on-demand postings of one term inside one shard.
 
-    Block score bounds are computed AT QUERY TIME from the stored
-    (max_tf, min_dl) impact metadata and the current corpus avgdl —
-    tf_norm is monotone ↑ in tf and ↓ in dl, so
-    idf · tf_norm(max_tf, min_dl, avgdl) dominates every posting in the
-    block (sound under appended generations that shift avgdl; codec.py).
+    Block score bounds are computed AT QUERY TIME from the stored impact
+    SKYLINE (Pareto frontier of (tf, dl) pairs; codec._block_skyline):
+    max over the skyline of idf · tf_norm(tf, dl, avgdl_now) equals the
+    block's true maximum for ANY avgdl — tight AND sound under appended
+    generations. Legacy rows without skylines fall back to the looser
+    (max_tf, min_dl) bound.
     """
 
     __slots__ = ("blocks", "idf", "block_ubs", "min_docs", "max_docs", "_decoded", "ub")
@@ -70,11 +71,22 @@ class _TermCursor:
     def __init__(self, blocks: list, term_idf: float, avgdl: float):
         self.blocks = blocks
         self.idf = term_idf
-        max_tf = np.asarray([b["max_tf"] for b in blocks], dtype=np.float64)
-        min_dl = np.asarray([b["min_dl"] for b in blocks], dtype=np.float64)
-        from .codec import tf_norm
+        from .codec import tf_norm, varint_decode
 
-        self.block_ubs = term_idf * tf_norm(max_tf, min_dl, avgdl) if blocks else np.empty(0)
+        ubs = np.empty(len(blocks))
+        for i, b in enumerate(blocks):
+            sky_t = varint_decode(bytes(b.get("sky_tfs_payload") or b""))
+            if sky_t.size:
+                sky_d = varint_decode(bytes(b["sky_dls_payload"]))
+                # tight bound: max tf_norm over the (tf, dl) Pareto skyline
+                ubs[i] = tf_norm(sky_t.astype(np.float64), sky_d.astype(np.float64), avgdl).max()
+            else:  # legacy rows without skylines: loose (max_tf, min_dl)
+                ubs[i] = tf_norm(
+                    np.asarray([b["max_tf"]], dtype=np.float64),
+                    np.asarray([b["min_dl"]], dtype=np.float64),
+                    avgdl,
+                )[0]
+        self.block_ubs = term_idf * ubs if blocks else np.empty(0)
         self.min_docs = np.asarray([b["min_doc"] for b in blocks], dtype=np.int64)
         self.max_docs = np.asarray([b["max_doc"] for b in blocks], dtype=np.int64)
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -149,7 +161,11 @@ def bmw_topk_cursors(
     """Kernel over prebuilt cursors (batched queries share decode caches)."""
     cursors = [c for c in cursors if c.blocks]
     if not cursors:
-        return np.empty(0, dtype=np.int64), np.empty(0), {"decoded": 0, "total": 0}
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0),
+            {"decoded": 0, "total": 0, "scored": 0, "postings": 0},
+        )
     cursors.sort(key=lambda c: -c.ub)
     tail_ub = np.zeros(len(cursors) + 1)  # tail_ub[j] = Σ ub of cursors[j:]
     for j in range(len(cursors) - 1, -1, -1):
@@ -173,34 +189,51 @@ def bmw_topk_cursors(
     top_scores = np.empty(0)
     seen = np.empty(0, dtype=np.int64)  # sorted already-scored docs
 
+    CHUNK = 4  # blocks scored per θ refresh (pruning granularity)
+
     for j, c in enumerate(cursors):
-        # a block of cursor j is worth decoding only if its own bound plus
-        # the combined bound of all weaker terms can still reach theta
-        # (>= not >: a doc tying the k-th score but with smaller docID wins
-        # the docID tie-break, so bound-equal blocks must be scored)
-        need = c.block_ubs + tail_ub[j + 1] >= theta
-        cand, _ = c.all_docs(np.flatnonzero(need))
-        if seen.size:
-            cand = cand[~np.isin(cand, seen)]
-        if cand.size == 0:
-            continue
-        scores = full_score(cand)
-        seen = np.sort(np.concatenate([seen, cand]))
-        all_d = np.concatenate([top_docs, cand])
-        all_s = np.concatenate([top_scores, scores])
-        # select on the ROUNDED score (the engine-wide tie surface) with
-        # docID tiebreak, so the per-shard cut matches the global ordering
-        order = np.lexsort((all_d, -np.round(all_s, SCORE_DECIMALS)))[:k]
-        top_docs, top_scores = all_d[order], all_s[order]
-        if top_docs.size >= k:
-            # guard band: a doc whose raw score is within one rounding
-            # quantum of the k-th can still tie after rounding and win on
-            # docID — it must not be pruned
-            theta = float(top_scores[-1]) - 10.0 ** (-SCORE_DECIMALS)
+        # process this cursor's blocks in DESCENDING bound order, a chunk
+        # at a time, re-checking θ between chunks: as the heap fills, the
+        # weaker blocks of the same term become skippable mid-traversal
+        # (all-at-once scoring made stopword terms exhaustive).
+        # A block is worth decoding only if its own bound plus the combined
+        # bound of all weaker terms can still reach θ (>= not >: a doc
+        # tying the k-th score but with smaller docID wins the docID
+        # tie-break, so bound-equal blocks must be scored).
+        by_ub = np.argsort(-c.block_ubs, kind="stable")
+        for start in range(0, by_ub.size, CHUNK):
+            chunk = by_ub[start : start + CHUNK]
+            need = chunk[c.block_ubs[chunk] + tail_ub[j + 1] >= theta]
+            if need.size == 0:
+                break  # descending bounds: the rest of this cursor is weaker
+            cand, _ = c.all_docs(need)
+            if seen.size:
+                cand = cand[~np.isin(cand, seen)]
+            if cand.size == 0:
+                continue
+            scores = full_score(cand)
+            seen = np.sort(np.concatenate([seen, cand]))
+            all_d = np.concatenate([top_docs, cand])
+            all_s = np.concatenate([top_scores, scores])
+            # select on the ROUNDED score (the engine-wide tie surface) with
+            # docID tiebreak, so the per-shard cut matches global ordering
+            order = np.lexsort((all_d, -np.round(all_s, SCORE_DECIMALS)))[:k]
+            top_docs, top_scores = all_d[order], all_s[order]
+            if top_docs.size >= k:
+                # guard band: a doc whose raw score is within one rounding
+                # quantum of the k-th can still tie after rounding and win
+                # on docID — it must not be pruned
+                theta = float(top_scores[-1]) - 10.0 ** (-SCORE_DECIMALS)
 
     metrics = {
+        # blocks decoded (traversal + candidate lookups) vs total blocks
         "decoded": sum(c.blocks_decoded for c in cursors),
         "total": sum(len(c.blocks) for c in cursors),
+        # candidates fully scored vs total postings across query terms —
+        # the MaxScore pruning metric (lookup decodes are unavoidable for
+        # exact scoring, so block counts understate the pruning)
+        "scored": int(seen.size),
+        "postings": int(sum(int(b["n"]) for c in cursors for b in c.blocks)),
     }
     return top_docs, top_scores, metrics
 
