@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 import time
 
 import numpy as np
@@ -63,6 +64,17 @@ DOCLEN_SCHEMA = T.StructType(
         T.StructField("dl", T.IntegerType()),
     ]
 )
+
+
+def _write_json_atomic(path: str, obj: dict) -> None:
+    """tmpfile + os.replace, same discipline as catalog.py's manifest commit
+    (ADVICE r01: a crash mid-write must never corrupt stats.json)."""
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".json.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
 
 
 def assign_doc_ids(docs: DataFrame, url_col: str = "url") -> DataFrame:
@@ -119,19 +131,24 @@ def _build_shard_fn(doclens_dir: str | None = None):
         lens = np.diff(offsets)
         if doclens_dir is not None:
             # side-write this shard's doc lengths from the SAME tokenization
-            # the postings use (one text pass total). Deterministic filename
-            # → a retried task overwrites, never duplicates (idempotent).
+            # the postings use (one text pass total). Write to an attempt-
+            # unique temp file and os.replace into the deterministic name:
+            # sequential retries stay idempotent, and a speculative/zombie
+            # attempt racing a retry can never leave a torn parquet file —
+            # each attempt's bytes land whole, last rename wins (ADVICE r01).
+            import tempfile as _tempfile
+
             import pyarrow as pa
             import pyarrow.parquet as pq
 
             d = os.path.join(doclens_dir, f"shard={shard}")
             os.makedirs(d, exist_ok=True)
+            fd, tmp = _tempfile.mkstemp(dir=d, suffix=".parquet.tmp")
+            os.close(fd)
             pq.write_table(
-                pa.table(
-                    {"doc_id": doc_ids, "dl": lens.astype(np.int32)}
-                ),
-                os.path.join(d, "data.parquet"),
+                pa.table({"doc_id": doc_ids, "dl": lens.astype(np.int32)}), tmp
             )
+            os.replace(tmp, os.path.join(d, "data.parquet"))
         empty = pd.DataFrame(
             {
                 "shard": pd.Series(dtype="int32"),
@@ -201,13 +218,26 @@ def build_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     resume: bool = True,
+    batch_tag: str | None = None,
 ) -> dict:
     """Build the sharded compressed index under ``index_dir``.
 
     Returns the stats dict. Idempotent: committed shards are skipped on
     re-run (manifest), partially-written shard dirs are cleaned first.
+    ``stats.json`` is written LAST (atomically): its existence marks a
+    complete build, so a crash mid-build can never leave an index that
+    looks finished. ``batch_tag`` (streaming) is recorded in stats so a
+    replayed micro-batch is a no-op (ADVICE r01 exactly-once fix).
     """
     cat = ManifestCatalog(index_dir)
+    stats_path = os.path.join(index_dir, "stats.json")
+    prior = None
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            prior = json.load(f)
+        if batch_tag and batch_tag in prior.get("applied_batches", []):
+            return prior
+
     has_dl = "dl" in docs.columns  # precomputed token counts from ingest
     cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
     docs = docs.select(*cols + ([F.col("dl")] if has_dl else [])).withColumn(
@@ -216,8 +246,9 @@ def build_index(
 
     # --- stage 1: corpus stats — single-row agg; a precomputed `dl` column
     # (written at ingest) makes this a columnar scan with no tokenization ---
-    stats_path = os.path.join(index_dir, "stats.json")
-    if not os.path.exists(stats_path):
+    if prior is not None:
+        stats = prior
+    else:
         dl_col = (
             F.col("dl")
             if has_dl
@@ -238,12 +269,8 @@ def build_index(
             "avgdl": float(agg["avgdl"] or 0.0),
             "max_doc_id": int(agg["max_id"] if agg["max_id"] is not None else -1),
             "generations": 1,
+            "applied_batches": [],
         }
-        os.makedirs(index_dir, exist_ok=True)
-        with open(stats_path, "w") as f:
-            json.dump(stats, f)
-    with open(stats_path) as f:
-        stats = json.load(f)
 
     # --- stage 2: per-shard posting build — THE one heavy pass over text.
     # One shuffle by shard; the UDF tokenizes once, emits posting blocks,
@@ -346,6 +373,11 @@ def build_index(
                 )
             ],
         )
+
+    # --- stats.json last: atomic write, existence == complete build ---
+    if batch_tag and batch_tag not in stats.setdefault("applied_batches", []):
+        stats["applied_batches"].append(batch_tag)
+    _write_json_atomic(stats_path, stats)
     return stats
 
 
@@ -385,6 +417,7 @@ def append_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     resume: bool = True,
+    batch_tag: str | None = None,
 ) -> dict:
     """Append a new generation of documents to an existing index.
 
@@ -398,11 +431,22 @@ def append_documents(
     derived from stored (max_tf, min_dl) at query time under the NEW
     avgdl (codec.py), and cursors order blocks by min_doc across
     generations. ``merge_index`` remains the compaction path.
+
+    Commit protocol (ADVICE r01): the terms table is recomputed over
+    old + new generations FIRST; only then is ``stats.json`` replaced
+    atomically (tmpfile + os.replace) with the bumped generation count —
+    the single visibility point. A crash anywhere before that leaves the
+    old index fully readable, and a re-run resumes via the shard manifest.
+    ``batch_tag`` (recorded in stats inside the same atomic write) makes
+    a replayed streaming micro-batch a no-op instead of a duplicate
+    generation.
     """
     cat = ManifestCatalog(index_dir)
     stats_path = os.path.join(index_dir, "stats.json")
     with open(stats_path) as f:
         stats = json.load(f)
+    if batch_tag and batch_tag in stats.get("applied_batches", []):
+        return stats
     props = cat.load("shards").props
     n_shards = int(props["n_shards"])
     gen = int(stats.get("generations", 1))
@@ -466,28 +510,20 @@ def append_documents(
             props={"generation": gen},
         )
 
-    # update corpus stats (weighted avgdl) and generation count
-    dl_agg = (
-        spark.read.parquet(doclens_dir)
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
-        .collect()[0]
-    )
-    old_total_dl = stats["avgdl"] * stats["n_docs"]
-    new_n = stats["n_docs"] + int(dl_agg["n"])
-    stats = {
-        "n_docs": new_n,
-        "avgdl": (old_total_dl + float(dl_agg["sdl"] or 0)) / max(new_n, 1),
-        "max_doc_id": int(agg["max_id"]),
-        "generations": gen + 1,
-    }
-    with open(stats_path, "w") as f:
-        json.dump(stats, f)
-
-    # recompute global term document frequencies over ALL generations
+    # recompute global term document frequencies over ALL generations —
+    # BEFORE the new generation becomes visible in stats.json, so queries
+    # never see a bumped generation whose dfs are missing (wrong idf).
+    # The union lists old generations (from current stats) + the new dir
+    # explicitly, since read_generations only sees committed generations.
     terms_dir = os.path.join(index_dir, "terms")
+    gen_dfs = [
+        spark.read.parquet(d) for d in generation_dirs(index_dir, "shards")
+    ] + [spark.read.parquet(shards_dir)]
+    all_gens = gen_dfs[0]
+    for d in gen_dfs[1:]:
+        all_gens = all_gens.unionByName(d)
     tdf = (
-        read_generations(spark, index_dir, "shards")
-        .filter(F.col("block_id") == 0)
+        all_gens.filter(F.col("block_id") == 0)
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
     )
@@ -506,4 +542,25 @@ def append_documents(
             )
         ],
     )
+
+    # update corpus stats (weighted avgdl) + generation count — the ONE
+    # atomic visibility point for the appended generation
+    dl_agg = (
+        spark.read.parquet(doclens_dir)
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
+        .collect()[0]
+    )
+    old_total_dl = stats["avgdl"] * stats["n_docs"]
+    new_n = stats["n_docs"] + int(dl_agg["n"])
+    applied = list(stats.get("applied_batches", []))
+    if batch_tag:
+        applied.append(batch_tag)
+    stats = {
+        "n_docs": new_n,
+        "avgdl": (old_total_dl + float(dl_agg["sdl"] or 0)) / max(new_n, 1),
+        "max_doc_id": int(agg["max_id"]),
+        "generations": gen + 1,
+        "applied_batches": applied,
+    }
+    _write_json_atomic(stats_path, stats)
     return stats

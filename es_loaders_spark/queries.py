@@ -690,7 +690,7 @@ def quality_score(spark, sf_dir):
 def _lang_hits_sql(lang: str) -> str:
     markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
     return (
-        f"coalesce(sum(CASE WHEN term IN ({markers}) THEN 1 ELSE 0 END), 0)"
+        f"CAST(coalesce(sum(CASE WHEN term IN ({markers}) THEN 1 ELSE 0 END), 0) AS BIGINT)"
         f" AS hits_{lang}"
     )
 
@@ -702,7 +702,7 @@ def _lang_hits_sql(lang: str) -> str:
          FROM ({_TOKENS_CTE}) GROUP BY doc_id
        ), all_docs AS (
          SELECT d.doc_id,
-                {", ".join(f"coalesce(h.hits_{lang}, 0) AS hits_{lang}" for lang in sorted(LANG_MARKERS))}
+                {", ".join(f"CAST(coalesce(h.hits_{lang}, 0) AS BIGINT) AS hits_{lang}" for lang in sorted(LANG_MARKERS))}
          FROM documents d LEFT JOIN hits h USING (doc_id)
        )
        SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
@@ -712,8 +712,17 @@ def _lang_hits_sql(lang: str) -> str:
        FROM all_docs""",
 )
 def lang_id(spark, sf_dir):
-    """Language-ID marker heuristic (argmax, alphabetical tiebreak)."""
-    return lang_scores(_T(spark, sf_dir, "documents"))
+    """Language-ID marker heuristic (argmax, alphabetical tiebreak).
+
+    Hit counts cast to long on both sides: DuckDB's sum(CASE) is HUGEINT
+    (hashes as float via pandas), Spark's F.size is int — long is the
+    common hashable type (VERDICT r01 "What's wrong" #1).
+    """
+    scored = lang_scores(_T(spark, sf_dir, "documents"))
+    hit_cols = [c for c in scored.columns if c.startswith("hits_")]
+    return scored.select(
+        "doc_id", *[F.col(c).cast("long").alias(c) for c in hit_cols], "pred_lang"
+    )
 
 
 @q(

@@ -79,7 +79,15 @@ def stream_index_updates(
     high-watermark, and generation appends replace delete-then-reload.
     DocIDs are assigned monotonically per batch (current max_doc_id + the
     batch-local url rank), so cross-batch determinism holds for a given
-    batch partitioning — exactly-once is provided by the checkpoint.
+    batch partitioning.
+
+    Exactly-once: foreachBatch alone is only at-least-once (a batch whose
+    append committed but whose checkpoint offset didn't is REPLAYED on
+    restart). Each batch_id is therefore recorded in the index's
+    stats.json inside the same atomic write that makes the generation
+    visible (build.append_documents ``batch_tag``), so a replayed batch
+    is a no-op — idempotent per batch_id, which upgrades the pipeline to
+    effective exactly-once (ADVICE r01).
 
     The stream must carry (url, text) columns [or (doc_id, text) with
     caller-guaranteed monotone ids].
@@ -96,7 +104,13 @@ def stream_index_updates(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        tag = f"batch-{batch_id}"
         stats_path = os.path.join(index_dir, "stats.json")
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                stats = json.load(f)
+            if tag in stats.get("applied_batches", []):
+                return  # replayed micro-batch: already applied, no-op
         if "doc_id" not in batch_df.columns:
             base = -1
             if os.path.exists(stats_path):
@@ -108,9 +122,9 @@ def stream_index_updates(
             batch_df = batch_df.withColumn("doc_id", F.lit(base + 1) + rank)
         batch_df = batch_df.select("doc_id", F.col(text_col).alias("text"))
         if not os.path.exists(stats_path):
-            build_index(spark, batch_df, index_dir, n_shards=8)
+            build_index(spark, batch_df, index_dir, n_shards=8, batch_tag=tag)
         else:
-            append_documents(spark, batch_df, index_dir)
+            append_documents(spark, batch_df, index_dir, batch_tag=tag)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -66,25 +66,41 @@ class _TermCursor:
     (max_tf, min_dl) bound.
     """
 
-    __slots__ = ("blocks", "idf", "block_ubs", "min_docs", "max_docs", "_decoded", "ub")
+    __slots__ = (
+        "blocks", "idf", "block_ubs", "min_docs", "max_docs", "_decoded", "ub",
+        "k1", "b",
+    )
 
-    def __init__(self, blocks: list, term_idf: float, avgdl: float):
+    def __init__(
+        self, blocks: list, term_idf: float, avgdl: float,
+        k1: float = K1, b: float = B,
+    ):
         self.blocks = blocks
         self.idf = term_idf
+        # k1/b are stored so scoring kernels use the SAME parameters the
+        # block bounds were computed with (a mismatch makes pruning
+        # unsound — bounds could undercut true block maxima).
+        self.k1 = k1
+        self.b = b
         from .codec import tf_norm, varint_decode
 
         ubs = np.empty(len(blocks))
-        for i, b in enumerate(blocks):
-            sky_t = varint_decode(bytes(b.get("sky_tfs_payload") or b""))
+        for i, blk in enumerate(blocks):
+            sky_t = varint_decode(bytes(blk.get("sky_tfs_payload") or b""))
             if sky_t.size:
-                sky_d = varint_decode(bytes(b["sky_dls_payload"]))
+                sky_d = varint_decode(bytes(blk["sky_dls_payload"]))
                 # tight bound: max tf_norm over the (tf, dl) Pareto skyline
-                ubs[i] = tf_norm(sky_t.astype(np.float64), sky_d.astype(np.float64), avgdl).max()
+                ubs[i] = tf_norm(
+                    sky_t.astype(np.float64), sky_d.astype(np.float64), avgdl,
+                    k1=k1, b=b,
+                ).max()
             else:  # legacy rows without skylines: loose (max_tf, min_dl)
                 ubs[i] = tf_norm(
-                    np.asarray([b["max_tf"]], dtype=np.float64),
-                    np.asarray([b["min_dl"]], dtype=np.float64),
+                    np.asarray([blk["max_tf"]], dtype=np.float64),
+                    np.asarray([blk["min_dl"]], dtype=np.float64),
                     avgdl,
+                    k1=k1,
+                    b=b,
                 )[0]
         self.block_ubs = term_idf * ubs if blocks else np.empty(0)
         self.min_docs = np.asarray([b["min_doc"] for b in blocks], dtype=np.int64)
@@ -144,9 +160,10 @@ def bmw_topk_kernel(
     total blocks (proof of skipping in tests/bench).
     """
     cursors = [
-        _TermCursor(term_blocks[t], term_idfs[t], avgdl) for t in sorted(term_blocks)
+        _TermCursor(term_blocks[t], term_idfs[t], avgdl, k1=k1, b=b)
+        for t in sorted(term_blocks)
     ]
-    return bmw_topk_cursors(cursors, doc_ids_sorted, dls_sorted, avgdl, k, k1, b)
+    return bmw_topk_cursors(cursors, doc_ids_sorted, dls_sorted, avgdl, k)
 
 
 def bmw_topk_cursors(
@@ -155,10 +172,14 @@ def bmw_topk_cursors(
     dls_sorted: np.ndarray,
     avgdl: float,
     k: int,
-    k1: float = K1,
-    b: float = B,
 ) -> tuple[np.ndarray, np.ndarray, dict]:
-    """Kernel over prebuilt cursors (batched queries share decode caches)."""
+    """Kernel over prebuilt cursors (batched queries share decode caches).
+
+    k1/b come FROM the cursors (the parameters their block bounds were
+    computed with) so a bounds/scoring mismatch is unrepresentable
+    (ADVICE r01: caller-passed k1 diverging from cursor bounds made
+    pruning unsound).
+    """
     cursors = [c for c in cursors if c.blocks]
     if not cursors:
         return (
@@ -166,6 +187,9 @@ def bmw_topk_cursors(
             np.empty(0),
             {"decoded": 0, "total": 0, "scored": 0, "postings": 0},
         )
+    k1, b = cursors[0].k1, cursors[0].b
+    if any(c.k1 != k1 or c.b != b for c in cursors):
+        raise ValueError("all cursors in one query must share k1/b")
     cursors.sort(key=lambda c: -c.ub)
     tail_ub = np.zeros(len(cursors) + 1)  # tail_ub[j] = Σ ub of cursors[j:]
     for j in range(len(cursors) - 1, -1, -1):

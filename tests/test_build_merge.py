@@ -224,3 +224,42 @@ def test_append_documents_matches_one_shot(spark, documents, tmp_path_factory):
         for r in merged_postings(spark, d_full, ["the", "spark"]).collect()
     }
     assert a == b
+
+
+def test_append_batch_tag_idempotent(spark, documents, tmp_path_factory):
+    """A replayed micro-batch (same batch_tag) is a no-op: no duplicate
+    generation, stats unchanged (ADVICE r01 exactly-once fix)."""
+    from es_loaders_spark.build import append_documents, generation_dirs
+
+    base = documents.filter(F.col("doc_id") < 300)
+    delta = documents.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 400)
+    )
+    d = str(tmp_path_factory.mktemp("idx_batchtag"))
+    build_index(spark, base, d, n_shards=2, batch_tag="batch-0")
+    s1 = append_documents(spark, delta, d, batch_tag="batch-1")
+    # replay the same batch: must not raise (overlapping ids) nor duplicate
+    s2 = append_documents(spark, delta, d, batch_tag="batch-1")
+    assert s1 == s2
+    assert s2["generations"] == 2
+    assert len(generation_dirs(d, "shards")) == 2
+    assert s2["applied_batches"] == ["batch-0", "batch-1"]
+    # replaying the initial build batch is also a no-op
+    s3 = build_index(spark, base, d, n_shards=2, batch_tag="batch-0")
+    assert s3 == s2
+
+
+def test_stats_json_written_last(spark, documents, tmp_path_factory):
+    """stats.json existence marks a COMPLETE build: a build that dies
+    before finishing leaves no stats.json (atomic visibility)."""
+    import json as _json
+
+    d = str(tmp_path_factory.mktemp("idx_atomic"))
+    build_index(spark, documents.filter(F.col("doc_id") < 100), d, n_shards=2)
+    p = os.path.join(d, "stats.json")
+    assert os.path.exists(p)
+    with open(p) as f:
+        s = _json.load(f)
+    assert s["n_docs"] == 100
+    # no leftover tmp files from the atomic write
+    assert not [n for n in os.listdir(d) if n.endswith(".tmp")]
