@@ -101,6 +101,10 @@ class Block:
     tfs_payload: bytes
     sky_tfs_payload: bytes = b""  # varint (tf desc) of the (tf, dl) skyline
     sky_dls_payload: bytes = b""  # varint (dl asc), aligned with sky_tfs
+    # positional payload (Lucene .prx analogue): per posting, its tf
+    # positions delta-encoded (first absolute, then gaps), concatenated in
+    # posting order; posting boundaries recovered from the decoded tfs.
+    pos_payload: bytes = b""
 
 
 def tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float = 1.2, b: float = 0.75) -> np.ndarray:
@@ -174,6 +178,7 @@ def encode_blocks_flat(
     dls: np.ndarray,
     seg_starts: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    positions: np.ndarray | None = None,
 ) -> dict:
     """Encode MANY terms' postings in one vectorized pass → flat block rows.
 
@@ -183,8 +188,14 @@ def encode_blocks_flat(
     passes total instead of two per term — the index-build hot path
     (build.py) at 64k terms/shard is ~10× faster this way.
 
+    ``positions`` (optional, token-level, ``sum(tfs)`` entries): the
+    ascending in-document token positions of each posting's occurrences,
+    concatenated in posting order. Encoded per block as delta+varint with
+    an absolute reset at every posting boundary (Lucene .prx layout) —
+    one extra global varint pass, same vectorization.
+
     Returns columnar arrays: term_idx, block_id, min_doc, max_doc, n,
-    max_tf, min_dl (all numpy) and docs_payload/tfs_payload (lists of bytes).
+    max_tf, min_dl (all numpy) and docs/tfs/pos payloads (lists of bytes).
     """
     n = doc_ids.size
     if n == 0:
@@ -200,6 +211,7 @@ def encode_blocks_flat(
             "tfs_payload": [],
             "sky_tfs_payload": [],
             "sky_dls_payload": [],
+            "pos_payload": [],
         }
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
@@ -242,6 +254,29 @@ def encode_blocks_flat(
         sky_t_payloads.append(varint_encode(st.astype(np.uint64)))
         sky_d_payloads.append(varint_encode(sd.astype(np.uint64)))
 
+    # positional payload: delta within a posting's occurrence run,
+    # absolute at run starts; one global varint pass, block slices via
+    # token-level byte offsets
+    if positions is not None:
+        positions = np.asarray(positions, dtype=np.int64)
+        tok_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tfs, out=tok_off[1:])
+        assert positions.size == tok_off[-1], "positions must have sum(tfs) entries"
+        pos_delta = np.empty(positions.size, dtype=np.uint64)
+        if positions.size:
+            pos_delta[0] = positions[0]
+            pos_delta[1:] = (positions[1:] - positions[:-1]).astype(np.uint64)
+            pos_delta[tok_off[:-1]] = positions[tok_off[:-1]].astype(np.uint64)
+        p_bytes = varint_encode(pos_delta)
+        p_off = np.zeros(positions.size + 1, dtype=np.int64)
+        np.cumsum(varint_nbytes(pos_delta), out=p_off[1:])
+        pos_payloads = [
+            p_bytes[p_off[tok_off[s]] : p_off[tok_off[e]]]
+            for s, e in zip(block_starts, block_ends)
+        ]
+    else:
+        pos_payloads = [b""] * block_starts.size
+
     return {
         "term_idx": block_term,
         "block_id": block_id,
@@ -258,7 +293,29 @@ def encode_blocks_flat(
         ],
         "sky_tfs_payload": sky_t_payloads,
         "sky_dls_payload": sky_d_payloads,
+        "pos_payload": pos_payloads,
     }
+
+
+def decode_block_positions(block: Block | dict, tfs: np.ndarray) -> np.ndarray:
+    """Decode a block's positional payload → flat int64 positions.
+
+    ``tfs`` are the block's decoded term frequencies (decode_block);
+    posting j's positions are the slice ``[cum_tf[j], cum_tf[j+1])``.
+    """
+    payload = bytes(
+        block.pos_payload if isinstance(block, Block) else (block.get("pos_payload") or b"")
+    )
+    deltas = varint_decode(payload).astype(np.int64)
+    if deltas.size == 0:
+        return deltas
+    tfs = np.asarray(tfs, dtype=np.int64)
+    starts = np.zeros(tfs.size, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    # cumsum with an absolute reset at each run start:
+    # pos[i] = deltas[start_of_run] + (cs[i] - cs[start_of_run])
+    cs = np.cumsum(deltas)
+    return cs - np.repeat(cs[starts], tfs) + np.repeat(deltas[starts], tfs)
 
 
 def encode_blocks_batch(

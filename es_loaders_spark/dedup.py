@@ -132,6 +132,19 @@ def ngram_jaccard_pairs(
 _MERSENNE = (1 << 31) - 1
 
 
+def portable_hash60(col):
+    """60-bit string hash computable IDENTICALLY in Spark and DuckDB.
+
+    First 15 hex chars of md5(utf8(s)) parsed as an integer. DuckDB twin:
+    ``CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)``. Used by the
+    oracle-parity variants of MinHash/SimHash; the scale path keeps
+    xxhash64 (one JVM op vs a cryptographic hash + hex parse).
+    """
+    return F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
 def _minhash_params(h: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=h, dtype=np.int64)
@@ -141,18 +154,19 @@ def _minhash_params(h: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 
 def minhash_signatures(
     df: DataFrame, n: int = 3, num_hashes: int = 32, seed: int = 42,
-    text_col: str = "text",
+    text_col: str = "text", portable: bool = False,
 ) -> DataFrame:
     """(doc_id, sig array<long>) MinHash signatures over word shingles.
 
-    Shingle → 64-bit int via xxhash64 (JVM), then H affine universal
-    hashes mod a Mersenne prime; per-doc minima via one groupBy with
-    map-side partial aggregation. No Python UDF anywhere.
+    Shingle → 64-bit int via xxhash64 (JVM) — or the md5-based
+    :func:`portable_hash60` when ``portable`` (DuckDB-reproducible; the
+    driver's oracle gate) — then H affine universal hashes mod a Mersenne
+    prime; per-doc minima via one groupBy with map-side partial
+    aggregation. No Python UDF anywhere.
     """
     a, b = _minhash_params(num_hashes, seed)
-    sh = shingles(df, n, text_col).withColumn(
-        "x", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
-    )
+    base = portable_hash60(F.col("shingle")) if portable else F.xxhash64("shingle")
+    sh = shingles(df, n, text_col).withColumn("x", F.pmod(base, F.lit(_MERSENNE)))
     mins = [
         F.min(F.pmod(F.col("x") * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE))).alias(
             f"h{i}"
@@ -172,16 +186,38 @@ def minhash_lsh_pairs(
     bands: int = 8,
     seed: int = 42,
     text_col: str = "text",
+    portable: bool = False,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Candidate near-dup pairs (a, b, est_jaccard) via banded MinHash LSH.
 
     rows-per-band = num_hashes / bands; docs agreeing on a full band land
     in the same bucket (band join). est_jaccard = fraction of agreeing
     hash functions over the full signature.
+
+    **Bucket-size cap** (the hot-key discipline of merge.py applied here,
+    VERDICT r01): a degenerate bucket — thousands of boilerplate-identical
+    pages sharing a band — would emit O(n²) pairs. Buckets larger than
+    ``max_bucket`` fall back to a STAR topology: every member pairs only
+    with the bucket's min doc_id, O(n) pairs, and the group stays
+    transitively connected through its canonical representative.
+
+    ``portable`` switches the shingle hash and band-bucket key to
+    DuckDB-reproducible forms (md5-based hash, collision-free join on the
+    band's raw signature values) for the oracle gate.
     """
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
-    sig = minhash_signatures(df, n, num_hashes, seed, text_col).cache()
+    sig = minhash_signatures(df, n, num_hashes, seed, text_col, portable).cache()
+    bucket_key = (
+        # collision-free: the band's raw values, '_'-joined (SQL twin joins
+        # on the raw columns, which is the same relation)
+        lambda i: F.concat_ws(
+            "_", *[F.col("sig")[j].cast("string") for j in range(i * rpb, (i + 1) * rpb)]
+        )
+        if portable
+        else F.xxhash64(*[F.col("sig")[j] for j in range(i * rpb, (i + 1) * rpb)])
+    )
     buckets = sig.select(
         "doc_id",
         F.explode(
@@ -189,23 +225,31 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[j] for j in range(i * rpb, (i + 1) * rpb)]
-                        ).alias("bucket"),
+                        bucket_key(i).cast("string").alias("bucket"),
                     )
                     for i in range(bands)
                 ]
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = buckets.select("band", "bucket", F.col("doc_id").alias("a"))
-    b = buckets.select("band", "bucket", F.col("doc_id").alias("b"))
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    # per-bucket size + canonical member — one extra agg on the same keys,
+    # broadcast-free (joined back on the bucket key it was grouped by)
+    meta = buckets.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n_in_bucket"), F.min("doc_id").alias("min_doc")
     )
+    bk = buckets.join(meta, ["band", "bucket"])
+    small = bk.filter(F.col("n_in_bucket") <= max_bucket)
+    a = small.select("band", "bucket", F.col("doc_id").alias("a"))
+    b = small.select("band", "bucket", F.col("doc_id").alias("b"))
+    pairs_small = (
+        a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b")).select("a", "b")
+    )
+    pairs_star = (
+        bk.filter(
+            (F.col("n_in_bucket") > max_bucket) & (F.col("doc_id") > F.col("min_doc"))
+        ).select(F.col("min_doc").alias("a"), F.col("doc_id").alias("b"))
+    )
+    cand = pairs_small.unionByName(pairs_star).distinct()
     sa = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
     return (
@@ -231,19 +275,25 @@ def minhash_lsh_pairs(
 # --- SimHash -----------------------------------------------------------------
 
 
-def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash(df: DataFrame, text_col: str = "text", portable: bool = False) -> DataFrame:
     """(doc_id, simhash long): 64-bit SimHash over analyzer tokens.
 
     Token → xxhash64 bits; each bit contributes +tf / −tf; sign of the
     per-bit sum gives the fingerprint bit. Pure Catalyst: explode tokens,
     one groupBy(doc_id) with 64 conditional sums folded into a packed
     bigint (bits summed via stack of bit tests).
+
+    ``portable``: token hash = :func:`portable_hash60` (60 bits, same
+    value in DuckDB), so the driver's oracle recomputes the identical
+    fingerprint in SQL.
     """
+    n_bits = 60 if portable else 64
+    hash_col = portable_hash60(F.col("term")) if portable else F.xxhash64("term")
     toks = (
         df.select("doc_id", F.explode(terms_array(F.col(text_col))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", F.xxhash64("term"))
+        .withColumn("h", hash_col)
     )
     bit_sums = [
         F.sum(
@@ -251,11 +301,11 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
                 -F.col("tf")
             )
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = toks.groupBy("doc_id").agg(*bit_sums)
     packed = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         packed = term if packed is None else packed.bitwiseOR(term)

@@ -439,6 +439,27 @@ def unpivot_melt(spark, sf_dir):
 
 
 @q(
+    "pivot_wide",
+    """SELECT o_orderpriority,
+              round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS f,
+              round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS o,
+              round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS p
+       FROM orders GROUP BY o_orderpriority""",
+)
+def pivot_wide(spark, sf_dir):
+    """F13 long→wide pivot / transpose-with-header-promotion
+    (mira_data.py:231-240) — groupBy().pivot() with an EXPLICIT value
+    list (one partial+final agg, no extra distinct-values job; the
+    scale-safe pivot form)."""
+    return (
+        _T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 4))
+    )
+
+
+@q(
     "date_range_filter",
     "SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'",
 )
@@ -792,22 +813,125 @@ def ngram_jaccard_dups(spark, sf_dir):
     return ngram_jaccard_pairs(_T(spark, sf_dir, "documents"), n=3, threshold=0.8)
 
 
-@q("minhash_lsh_dups")  # no SQL oracle: banded xxhash64 LSH — pytest-validated
+# shared shingle CTE body (word 3-grams, analyzer grammar) — identical to
+# the Spark shingles() pipeline in dedup.py
+_SHINGLES_CTE = f"""base AS (
+       SELECT doc_id,
+              regexp_split_to_array(lower(text), '{SPLIT_RE_DUCKDB}') AS raw
+       FROM documents
+     ), toklist AS (
+       SELECT doc_id, list_filter(raw, x -> x <> '') AS toks FROM base
+     ), sh AS (
+       SELECT DISTINCT doc_id, unnest(
+                list_transform(generate_series(1, len(toks) - 2),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ) AS shingle
+       FROM toklist WHERE len(toks) >= 3
+     )"""
+
+# DuckDB twin of dedup.portable_hash60 (15 hex chars of md5 → BIGINT)
+_PHASH60 = "CAST(concat('0x', substr(md5({col}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_oracle_sql(
+    num_hashes: int = 32, bands: int = 8, seed: int = 42,
+    threshold: float = 0.5, max_bucket: int = 64,
+) -> str:
+    """Exact DuckDB twin of dedup.minhash_lsh_pairs(portable=True)."""
+    from .dedup import _MERSENNE, _minhash_params
+
+    a, b = _minhash_params(num_hashes, seed)
+    rpb = num_hashes // bands
+    mins = ",\n              ".join(
+        f"min((x * {int(a[i])} + {int(b[i])}) % {_MERSENNE}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n       UNION ALL ".join(
+        f"SELECT {i} AS band, doc_id, concat_ws('_', "
+        + ", ".join(f"h{j}" for j in range(i * rpb, (i + 1) * rpb))
+        + ") AS bucket FROM sig"
+        for i in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""WITH {_SHINGLES_CTE}, x AS (
+       SELECT doc_id, {_PHASH60.format(col="shingle")} % {_MERSENNE} AS x FROM sh
+     ), sig AS (
+       SELECT doc_id, {mins}
+       FROM x GROUP BY doc_id
+     ), bk AS (
+       {band_rows}
+     ), meta AS (
+       SELECT band, bucket, count(*) AS n_in_bucket, min(doc_id) AS min_doc
+       FROM bk GROUP BY band, bucket
+     ), bkm AS (
+       SELECT bk.band, bk.bucket, bk.doc_id, m.n_in_bucket, m.min_doc
+       FROM bk JOIN meta m USING (band, bucket)
+     ), cand AS (
+       SELECT DISTINCT a, b FROM (
+         SELECT x.doc_id AS a, y.doc_id AS b
+         FROM bkm x JOIN bkm y USING (band, bucket)
+         WHERE x.n_in_bucket <= {max_bucket} AND x.doc_id < y.doc_id
+         UNION ALL
+         SELECT min_doc AS a, doc_id AS b
+         FROM bkm WHERE n_in_bucket > {max_bucket} AND doc_id > min_doc
+       )
+     )
+     SELECT c.a, c.b, round(({agree}) / {float(num_hashes)}, 4) AS est_jaccard
+     FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+     WHERE round(({agree}) / {float(num_hashes)}, 4) >= {threshold}"""
+
+
+@q("minhash_lsh_dups", None)  # oracle attached below (generated SQL)
 def minhash_lsh_dups(spark, sf_dir):
-    """MinHash+LSH candidate pairs with signature-estimated Jaccard."""
+    """MinHash+LSH candidate pairs with signature-estimated Jaccard.
+
+    Portable (md5-based) hashing so the DuckDB oracle recomputes the
+    identical signatures/buckets; xxhash64 remains the scale path
+    (dedup.minhash_signatures). Degenerate buckets fall back to star
+    pairing (bounded candidates — VERDICT r01 scale fix)."""
     from .dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_T(spark, sf_dir, "documents")).filter(
-        F.col("est_jaccard") >= 0.5
+    return minhash_lsh_pairs(
+        _T(spark, sf_dir, "documents"), portable=True
+    ).filter(F.col("est_jaccard") >= 0.5)
+
+
+ORACLES["minhash_lsh_dups"] = _minhash_oracle_sql()
+
+
+def _simhash_oracle_sql(n_bits: int = 60) -> str:
+    """Exact DuckDB twin of dedup.simhash(portable=True)."""
+    bit_sums = ",\n              ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+        for i in range(n_bits)
     )
+    packed = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(n_bits)
+    )
+    return f"""WITH tf AS (
+       SELECT doc_id, term, count(*) AS tf FROM ({_TOKENS_CTE}) GROUP BY doc_id, term
+     ), h AS (
+       SELECT doc_id, tf, {_PHASH60.format(col="term")} AS h FROM tf
+     ), bits AS (
+       SELECT doc_id, {bit_sums}
+       FROM h GROUP BY doc_id
+     )
+     SELECT doc_id, {packed} AS simhash FROM bits"""
 
 
-@q("simhash_fingerprints")  # no SQL oracle: xxhash64 bit ops — pytest-validated
+@q("simhash_fingerprints", None)  # oracle attached below (generated SQL)
 def simhash_fingerprints(spark, sf_dir):
-    """64-bit SimHash per document."""
+    """SimHash per document (portable 60-bit variant — oracle-reproducible;
+    64-bit xxhash64 variant is the scale path, pytest-validated)."""
     from .dedup import simhash
 
-    return simhash(_T(spark, sf_dir, "documents"))
+    return simhash(_T(spark, sf_dir, "documents"), portable=True)
+
+
+ORACLES["simhash_fingerprints"] = _simhash_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -842,48 +966,131 @@ def ann_bruteforce(spark, sf_dir):
     return cosine_topk(emb, _query_vec(spark, sf_dir), k=20)
 
 
-@q("ann_lsh")  # no SQL oracle: hyperplane LSH — recall tested in pytest
+def _plane_sql_literal(plane) -> str:
+    return "[" + ", ".join(repr(float(w)) for w in plane) + "]"
+
+
+def _bucket_sql_expr(vec_expr: str, planes) -> str:
+    """Packed sign-bit LSH bucket as a DuckDB expression (twin of
+    similarity.lsh_bucket_col — same seeded hyperplanes as literals)."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, {_plane_sql_literal(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def _ann_lsh_oracle_sql(k: int = 20, n_planes: int = 8, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB twin of similarity.lsh_topk: same hyperplanes (fixed seed,
+    serialized as literals), multi-probe = Hamming ≤ 1 on the bucket."""
+    from .similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    return f"""WITH b AS (
+       SELECT vec_id, embedding,
+              {_bucket_sql_expr("embedding", planes)} AS bucket
+       FROM embeddings
+     ), q AS (
+       SELECT embedding AS qe, bucket AS qbucket FROM b WHERE vec_id = 0
+     )
+     SELECT b.vec_id,
+            round(list_cosine_similarity(b.embedding, (SELECT qe FROM q)), 4)
+                AS cosine
+     FROM b, q
+     WHERE bit_count(xor(CAST(b.bucket AS BIGINT), CAST(q.qbucket AS BIGINT))) <= 1
+     ORDER BY cosine DESC, b.vec_id ASC LIMIT {k}"""
+
+
+@q("ann_lsh", None)  # oracle attached below (generated SQL)
 def ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate cosine top-20 (multi-probe)."""
+    """LSH-bucketed approximate cosine top-20 (multi-probe Hamming ≤ 1)."""
     from .similarity import lsh_topk
 
     emb = _T(spark, sf_dir, "embeddings")
     return lsh_topk(emb, _query_vec(spark, sf_dir), k=20)
 
 
-@q(
-    "embedding_near_dups",
-    """SELECT a.vec_id AS a, b.vec_id AS b,
-              round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
-       FROM embeddings a JOIN embeddings b
-         ON a.label = b.label AND a.vec_id < b.vec_id
-       WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.2""",
-)
-def embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs with exact metadata blocking.
+ORACLES["ann_lsh"] = _ann_lsh_oracle_sql()
 
-    Blocking key = label (same-cluster candidates only), then exact
-    cosine ≥ τ — the deterministic-blocking variant of embedding dedup
-    (hyperplane-LSH blocking for unlabeled data lives in similarity.py,
-    pytest-validated). At 100 TB the block join is an equi-shuffle on
-    the key; skewed blocks fall to AQE skew handling.
+
+_ND_PLANES = 4  # 16 sub-blocks per label
+_ND_SEED = 7
+
+
+def _near_dups_oracle_sql(threshold: float = 0.2, dim: int = 64) -> str:
+    """DuckDB twin of the (label, LSH-bucket) sub-blocked near-dup pairs."""
+    from .similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, _ND_PLANES, _ND_SEED)
+    probes = ", ".join(
+        ["CAST(bucket AS BIGINT)"]
+        + [f"xor(CAST(bucket AS BIGINT), {1 << i})" for i in range(_ND_PLANES)]
+    )
+    return f"""WITH b AS (
+       SELECT vec_id, label, embedding,
+              {_bucket_sql_expr("embedding", planes)} AS bucket
+       FROM embeddings
+     ), p AS (
+       SELECT vec_id, label, embedding,
+              unnest([{probes}]) AS probe
+       FROM b
+     )
+     SELECT p.vec_id AS a, b.vec_id AS b,
+            round(list_cosine_similarity(p.embedding, b.embedding), 4) AS cosine
+     FROM p JOIN b
+       ON p.label = b.label AND p.probe = CAST(b.bucket AS BIGINT)
+      AND p.vec_id < b.vec_id
+     WHERE round(list_cosine_similarity(p.embedding, b.embedding), 4) >= {threshold}"""
+
+
+@q("embedding_near_dups", None)  # oracle attached below (generated SQL)
+def embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, (label × LSH-bucket) sub-blocked.
+
+    VERDICT r01 scale fix: blocking on label alone is O((N/L)²) per
+    label — quadratic at scale with a near-constant label set. Blocks are
+    sub-split by a 4-plane hyperplane-LSH bucket (similarity.lsh_bucket_col,
+    fixed seed), with Hamming-1 multi-probe for recall: each row emits its
+    bucket + 4 neighbor probes; pairs form only where a's probe meets b's
+    bucket within the same label. Candidate pairs are (label, bucket)-
+    bounded — 5·Σ|bucket|² instead of Σ|label|².
     """
-    from .similarity import _dot, _norm
+    from .similarity import _dot, _hyperplanes, _norm, lsh_bucket_col
 
     emb = _T(spark, sf_dir, "embeddings")
-    vec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
-    a = emb.select(
-        F.col("label"), F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    planes = _hyperplanes(64, _ND_PLANES, _ND_SEED)
+    bucketed = emb.withColumn(
+        "bucket", lsh_bucket_col(F.col("embedding"), planes)
     )
-    b = emb.select(
-        F.col("label"), F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    probe = F.explode(
+        F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(_ND_PLANES)],
+        )
+    ).alias("probe")
+    vec = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    a = bucketed.select(
+        "label", F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), probe
+    )
+    b = bucketed.select(
+        "label",
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bucket_b"),
     )
     sim = _dot(vec(F.col("ea")), vec(F.col("eb"))) / (
         _norm(vec(F.col("ea"))) * _norm(vec(F.col("eb")))
     )
     return (
-        a.join(b, "label")
-        .filter(F.col("a") < F.col("b"))
+        a.join(
+            b,
+            (a["label"] == b["label"])
+            & (F.col("probe") == F.col("bucket_b"))
+            & (F.col("a") < F.col("b")),
+        )
         .select("a", "b", F.round(sim, 4).alias("cosine"))
         .filter(F.col("cosine") >= 0.2)
     )
+
+
+ORACLES["embedding_near_dups"] = _near_dups_oracle_sql()

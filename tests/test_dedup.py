@@ -96,3 +96,40 @@ def test_shingles_count(spark):
     df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
     got = sorted(r["shingle"] for r in shingles(df, 3).collect())
     assert got == ["a b c", "b c d", "c d e"]
+
+
+def test_minhash_degenerate_bucket_capped(spark):
+    """1k boilerplate-identical docs share every band bucket; pair
+    generation must be O(n) (star topology), not O(n²) all-pairs
+    (VERDICT r01 scale fix — hot-key discipline of merge.py)."""
+    from es_loaders_spark.dedup import minhash_lsh_pairs
+
+    n = 1000
+    rows = [(i, "the same boilerplate page body repeated for every doc") for i in range(n)]
+    # a couple of genuinely distinct docs so not everything is one group
+    rows += [(n, "completely different text about spark and parquet engines"),
+             (n + 1, "completely different text about spark and parquet engines")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, max_bucket=64).collect()
+    # star pairs: every boilerplate doc pairs with canonical doc 0 exactly once
+    boiler = [(r["a"], r["b"]) for r in pairs if r["b"] < n]
+    assert len(boiler) == n - 1, f"expected {n-1} star pairs, got {len(boiler)}"
+    assert all(a == 0 for a, _ in boiler)
+    # bound: far below the all-pairs explosion (n*(n-1)/2 ≈ 500k)
+    assert len(pairs) < 2 * n
+    # the distinct near-dup pair is still found
+    assert (n, n + 1) in {(r["a"], r["b"]) for r in pairs}
+
+
+def test_minhash_portable_matches_default_semantics(spark, dup_corpus):
+    """Portable (md5) variant estimates the same Jaccard structure as the
+    xxhash64 scale path: both must link the planted duplicate pair."""
+    from es_loaders_spark.dedup import minhash_lsh_pairs
+
+    for portable in (False, True):
+        got = {
+            (r["a"], r["b"]): r["est_jaccard"]
+            for r in minhash_lsh_pairs(dup_corpus, portable=portable).collect()
+        }
+        assert (100, 101) in got  # identical docs always collide
+        assert got[(100, 101)] == 1.0
