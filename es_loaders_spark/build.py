@@ -54,6 +54,7 @@ INDEX_SCHEMA = T.StructType(
         T.StructField("tfs_payload", T.BinaryType()),
         T.StructField("sky_tfs_payload", T.BinaryType()),
         T.StructField("sky_dls_payload", T.BinaryType()),
+        T.StructField("pos_payload", T.BinaryType()),
     ]
 )
 
@@ -164,17 +165,25 @@ def _build_shard_fn(doclens_dir: str | None = None):
                 "tfs_payload": pd.Series(dtype="object"),
                 "sky_tfs_payload": pd.Series(dtype="object"),
                 "sky_dls_payload": pd.Series(dtype="object"),
+                "pos_payload": pd.Series(dtype="object"),
             }
         )
         if flat.size == 0:
             return empty
         tok_doc = np.repeat(doc_ids, lens)
         tok_dl = np.repeat(lens, lens)
+        # in-document token position (0-based) — the positional index
+        # payload (Lucene .prx analogue); lexsort is stable, so within a
+        # (term, doc) run tokens keep document order = ascending position
+        tok_pos = np.arange(flat.size, dtype=np.int64) - np.repeat(
+            offsets[:-1], lens
+        )
 
         # (term, doc) → tf, all-numpy: factorize terms, lexsort, run-length
         codes, uniques = pd.factorize(pd.Series(flat), sort=False)
         ordr = np.lexsort((tok_doc, codes))
         c, d, dls = codes[ordr], tok_doc[ordr], tok_dl[ordr]
+        pos_sorted = tok_pos[ordr]
         new = np.empty(c.size, dtype=bool)
         new[0] = True
         new[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
@@ -186,7 +195,7 @@ def _build_shard_fn(doclens_dir: str | None = None):
             [[0], np.flatnonzero(np.diff(p_code)) + 1, [p_code.size]]
         ).astype(np.int64)
         term_codes = p_code[seg[:-1]]
-        fb = encode_blocks_flat(p_doc, tf, p_dl, seg)
+        fb = encode_blocks_flat(p_doc, tf, p_dl, seg, positions=pos_sorted)
         term_strs = np.asarray(uniques, dtype=object)
         seg_df = np.diff(seg)
         return pd.DataFrame(
@@ -204,6 +213,7 @@ def _build_shard_fn(doclens_dir: str | None = None):
                 "tfs_payload": fb["tfs_payload"],
                 "sky_tfs_payload": fb["sky_tfs_payload"],
                 "sky_dls_payload": fb["sky_dls_payload"],
+                "pos_payload": fb["pos_payload"],
             }
         )
 

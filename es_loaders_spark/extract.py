@@ -3,9 +3,21 @@
 Per BASELINE.json ``input_hint``, the engine's per-row invariant versus
 the reference is: extracted text per url is byte-identical to the stored
 ``text`` column. The reference never parses HTML (its inputs are TSVs),
-so the semantics here are pinned by the corpus template (corpus.py):
-body content between ``<body>`` and ``</body>``, with all remaining tags
-stripped.
+so the semantics are pinned by the corpus template (corpus.py) — but the
+extractor is hardened for real Common-Crawl-shaped input (VERDICT r01
+item 8):
+
+1. HTML comments are removed FIRST (a comment may contain a fake
+   ``</body>`` or tag soup);
+2. ``<script>``/``<style>`` elements are removed WITH their contents
+   (their bodies are code, not text — naive tag-stripping leaks them);
+3. the ``<body>`` element is isolated, remaining tags stripped;
+4. character entities (named + numeric dec/hex) are decoded; unknown
+   entities pass through unchanged (lossless).
+
+The synthetic corpus text contains none of ``< > &`` (corpus.py), so
+steps 1-4 leave the template invariant byte-identical — property-tested
+in tests/test_extract.py.
 
 Implemented as a vectorized pandas UDF (Arrow batches, no per-row
 Python driver loop) per the input_hint's UDF policy.
@@ -21,15 +33,43 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+_COMMENT_RE = re.compile(rb"<!--.*?-->", re.DOTALL)
+_SCRIPT_STYLE_RE = re.compile(
+    rb"<(script|style)\b[^>]*>.*?</\1\s*>", re.DOTALL | re.IGNORECASE
+)
 _BODY_RE = re.compile(rb"<body[^>]*>(.*?)</body>", re.DOTALL | re.IGNORECASE)
 _TAG_RE = re.compile(rb"<[^>]*>")
+_ENTITY_RE = re.compile(rb"&(#[0-9]+|#[xX][0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]{1,31});")
+
+_NAMED_ENTITIES = {
+    b"amp": b"&",
+    b"lt": b"<",
+    b"gt": b">",
+    b"quot": b'"',
+    b"apos": b"'",
+    b"nbsp": " ".encode("utf-8"),
+}
+
+
+def _entity_sub(m: re.Match) -> bytes:
+    body = m.group(1)
+    if body[:1] == b"#":
+        try:
+            code = int(body[2:], 16) if body[1:2] in (b"x", b"X") else int(body[1:])
+            return chr(code).encode("utf-8")
+        except (ValueError, OverflowError):
+            return m.group(0)  # malformed numeric entity: keep verbatim
+    return _NAMED_ENTITIES.get(body.lower(), m.group(0))
 
 
 def extract_text_bytes(html: bytes) -> bytes:
     """Extract body text from one html document (bytes → bytes)."""
+    html = _COMMENT_RE.sub(b"", html)
+    html = _SCRIPT_STYLE_RE.sub(b"", html)
     m = _BODY_RE.search(html)
     body = m.group(1) if m else html
-    return _TAG_RE.sub(b"", body)
+    text = _TAG_RE.sub(b"", body)
+    return _ENTITY_RE.sub(_entity_sub, text)
 
 
 @pandas_udf(StringType())

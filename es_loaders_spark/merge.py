@@ -39,6 +39,7 @@ from .codec import (
     BLOCK_SIZE,
     _block_skyline,
     decode_block,
+    decode_block_positions,
     varint_encode,
     varint_nbytes,
 )
@@ -60,6 +61,7 @@ MERGED_SCHEMA = T.StructType(
         T.StructField("tfs_payload", T.BinaryType()),
         T.StructField("sky_tfs_payload", T.BinaryType()),
         T.StructField("sky_dls_payload", T.BinaryType()),
+        T.StructField("pos_payload", T.BinaryType()),
     ]
 )
 
@@ -72,7 +74,7 @@ def _merge_group_fn(span: int):
             lo, hi, salt = 0, 1 << 62, 0
         else:
             lo, hi = salt * span, (salt + 1) * span
-        docs_parts, tfs_parts, ubs_parts = [], [], []
+        docs_parts, tfs_parts, ubs_parts, pos_parts = [], [], [], []
         for _, row in pdf.iterrows():
             d, t = decode_block(row)
             sel = (d >= lo) & (d < hi)  # boundary blocks overlap salt ranges
@@ -83,6 +85,15 @@ def _merge_group_fn(span: int):
             ubs_parts.append(
                 np.full(int(sel.sum()), row["min_dl"], dtype=np.int64)
             )
+            # positional payload rides along: select the kept postings'
+            # token runs (token mask = per-posting selection repeated tf).
+            # Legacy blocks without positions → None (disables positions
+            # for the whole merged term: mixed payloads are unusable).
+            raw = row.get("pos_payload") if hasattr(row, "get") else row["pos_payload"]
+            if raw is not None and len(raw) > 0:
+                pos_parts.append(decode_block_positions(row, t)[np.repeat(sel, t)])
+            else:
+                pos_parts.append(None)
         if not docs_parts:
             return pd.DataFrame(
                 {
@@ -100,12 +111,33 @@ def _merge_group_fn(span: int):
                     "tfs_payload": pd.Series(dtype="object"),
                     "sky_tfs_payload": pd.Series(dtype="object"),
                     "sky_dls_payload": pd.Series(dtype="object"),
+                    "pos_payload": pd.Series(dtype="object"),
                 }
             )
         docs = np.concatenate(docs_parts)
         tfs = np.concatenate(tfs_parts)
         ubs = np.concatenate(ubs_parts)
+        all_pos = all(x is not None for x in pos_parts)
+        pos = (
+            np.concatenate(pos_parts)
+            if pos_parts and all_pos
+            else np.empty(0, dtype=np.int64)
+        )
         order = np.argsort(docs)  # k-way merge of sorted runs ≡ global sort
+        has_pos = pos.size > 0
+        if has_pos:
+            # gather variable-length token runs in the postings' new order
+            old_off = np.zeros(tfs.size + 1, dtype=np.int64)
+            np.cumsum(tfs, out=old_off[1:])
+            new_tf = tfs[order]
+            new_off = np.zeros(new_tf.size + 1, dtype=np.int64)
+            np.cumsum(new_tf, out=new_off[1:])
+            gather = (
+                np.repeat(old_off[order], new_tf)
+                + np.arange(pos.size, dtype=np.int64)
+                - np.repeat(new_off[:-1], new_tf)
+            )
+            pos = pos[gather]
         docs, tfs, ubs = docs[order], tfs[order], ubs[order]
         if docs.size > 1 and (np.diff(docs) == 0).any():
             raise ValueError(f"duplicate doc_id in merged postings for term {term!r}")
@@ -131,6 +163,22 @@ def _merge_group_fn(span: int):
             st, sd = _block_skyline(tfs[s_:e_], ubs[s_:e_])
             sky_t_pl.append(varint_encode(st.astype(np.uint64)))
             sky_d_pl.append(varint_encode(sd.astype(np.uint64)))
+        if has_pos:
+            tok_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(tfs, out=tok_off[1:])
+            pos_delta = np.empty(pos.size, dtype=np.uint64)
+            pos_delta[0] = pos[0]
+            pos_delta[1:] = (pos[1:] - pos[:-1]).astype(np.uint64)
+            pos_delta[tok_off[:-1]] = pos[tok_off[:-1]].astype(np.uint64)
+            p_bytes = varint_encode(pos_delta)
+            p_off = np.zeros(pos.size + 1, dtype=np.int64)
+            np.cumsum(varint_nbytes(pos_delta), out=p_off[1:])
+            pos_pl = [
+                p_bytes[p_off[tok_off[s_]] : p_off[tok_off[e_]]]
+                for s_, e_ in zip(starts, ends)
+            ]
+        else:
+            pos_pl = [b""] * starts.size
         return pd.DataFrame(
             {
                 "bucket": np.full(starts.size, bucket, dtype=np.int32),
@@ -147,6 +195,7 @@ def _merge_group_fn(span: int):
                 "tfs_payload": [t_bytes[t_off[s] : t_off[e]] for s, e in zip(starts, ends)],
                 "sky_tfs_payload": sky_t_pl,
                 "sky_dls_payload": sky_d_pl,
+                "pos_payload": pos_pl,
             }
         )
 
@@ -215,7 +264,7 @@ def merge_index(
         .select(
             "bucket", "term", "salt", "shard", "block_id",
             "min_doc", "max_doc", "n", "max_tf", "min_dl", "docs_payload",
-            "tfs_payload", "sky_tfs_payload", "sky_dls_payload",
+            "tfs_payload", "sky_tfs_payload", "sky_dls_payload", "pos_payload",
         )
     )
 
@@ -284,4 +333,8 @@ def merged_postings(spark: SparkSession, index_dir: str, terms: list[str]) -> Da
                     }
                 )
 
-    return merged.mapInPandas(decode, "term string, doc_id long, tf long")
+    from .deletes import filter_deleted
+
+    return filter_deleted(
+        spark, index_dir, merged.mapInPandas(decode, "term string, doc_id long, tf long")
+    )

@@ -628,6 +628,21 @@ def phrase_match(spark, sf_dir):
     )
 
 
+@q("phrase_match_indexed", None)  # oracle attached below (same SQL twin)
+def phrase_match_indexed(spark, sf_dir):
+    """Positional phrase match answered FROM THE COMPRESSED INDEX
+    (phrase.py): term-pushdown block read + positional decode +
+    Catalyst array-intersect adjacency — no raw-text re-scan (VERDICT
+    r01 gap #1; ES answers phrases from Lucene's positional index)."""
+    from .phrase import phrase_docs
+
+    _ensure_index(spark, sf_dir)
+    return phrase_docs(spark, _WAND_CACHE[sf_dir], "the data")
+
+
+ORACLES["phrase_match_indexed"] = ORACLES["phrase_match"]
+
+
 BM25_QUERY = "spark query data table"
 BM25_K = 20
 

@@ -233,6 +233,14 @@ def bmw_topk_cursors(
             cand, _ = c.all_docs(need)
             if seen.size:
                 cand = cand[~np.isin(cand, seen)]
+            if cand.size:
+                # live-docs check: docs absent from doclens are tombstoned
+                # (deletes.py) — skip them, Lucene live-docs style
+                pos = np.searchsorted(doc_ids_sorted, cand)
+                cand = cand[
+                    (pos < doc_ids_sorted.size)
+                    & (doc_ids_sorted[np.minimum(pos, doc_ids_sorted.size - 1)] == cand)
+                ]
             if cand.size == 0:
                 continue
             scores = full_score(cand)
@@ -260,6 +268,16 @@ def bmw_topk_cursors(
         "postings": int(sum(int(b["n"]) for c in cursors for b in c.blocks)),
     }
     return top_docs, top_scores, metrics
+
+
+# columns the scoring kernels need — explicitly selected so the parquet
+# scan never reads the positional payload (phrase-only data; pruning is
+# visible as ReadSchema in .explain)
+_SCORE_COLS = [
+    "shard", "term", "block_id", "min_doc", "max_doc", "n", "max_tf",
+    "min_dl", "docs_payload", "tfs_payload", "sky_tfs_payload",
+    "sky_dls_payload", "gdf",
+]
 
 
 def load_index_meta(spark: SparkSession, index_dir: str):
@@ -297,8 +315,13 @@ def topk(
         read_generations(spark, index_dir, "shards")
         .filter(F.col("term").isin(terms))
         .join(F.broadcast(tdf), "term")
+        .select(*_SCORE_COLS)
     )
-    dls = read_generations(spark, index_dir, "doclens")
+    from .deletes import filter_deleted
+
+    dls = filter_deleted(
+        spark, index_dir, read_generations(spark, index_dir, "doclens")
+    )
 
     def score_shard(key, idx_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
         if idx_pdf.empty or dl_pdf.empty:
@@ -366,8 +389,13 @@ def topk_batch(
         read_generations(spark, index_dir, "shards")
         .filter(F.col("term").isin(all_terms))
         .join(F.broadcast(tdf), "term")
+        .select(*_SCORE_COLS)
     )
-    dls = read_generations(spark, index_dir, "doclens")
+    from .deletes import filter_deleted
+
+    dls = filter_deleted(
+        spark, index_dir, read_generations(spark, index_dir, "doclens")
+    )
 
     def score_shard(key, idx_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
