@@ -46,17 +46,21 @@ def build_pipeline(spark, n_pages: int, idx_dir: str, n_shards: int, seed: int =
 
     from es_loaders_spark.build import assign_doc_ids, build_index
     from es_loaders_spark.corpus import synthesize_web_pages
-    from es_loaders_spark.extract import extract_text
+    from es_loaders_spark.extract import extracted_jvm
 
     from es_loaders_spark.analyze import SPLIT_RE_JAVA
 
     pages = synthesize_web_pages(spark, n_pages, seed=seed)
     # rank only the (small) url column through the range shuffle; join ids
-    # back onto the wide rows — html bytes never enter the sort
+    # back onto the wide rows BROADCAST (url+id is tiny next to html bytes,
+    # which therefore never enter any shuffle)
     ids = assign_doc_ids(pages.select("url"))
     docs = (
-        pages.join(ids, "url")
-        .withColumn("text", extract_text(F.col("html")))
+        pages.join(F.broadcast(ids), "url")
+        # JVM extraction fast path: whole-stage codegen, no Python workers,
+        # no Arrow transfer of html bytes (BENCH.md round-2 profile: the
+        # pandas-UDF extract was the dominant, worst-scaling stage)
+        .withColumn("text", extracted_jvm(F.col("html")))
         # token count computed once here; build_index's stats stage then
         # reads a columnar dl instead of re-tokenizing the corpus
         .withColumn(

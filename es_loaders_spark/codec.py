@@ -158,6 +158,53 @@ def encode_postings(
     return blocks
 
 
+def skyline_payloads_flat(
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_starts: np.ndarray,
+    block_ends: np.ndarray,
+) -> tuple[list[bytes], list[bytes]]:
+    """Per-block skyline payloads for MANY blocks in one vectorized pass.
+
+    Byte-identical to calling ``varint_encode(_block_skyline(...))`` per
+    block, but the sort + Pareto scan run as padded (n_blocks × B)
+    matrix ops (row-wise lexsort, one axis-1 cummin) and the varint
+    encode is ONE global pass sliced by offsets — eliminating the
+    per-block Python loop that dominated index-build profiles.
+    """
+    nb = block_starts.size
+    if nb == 0:
+        return [], []
+    sizes = block_ends - block_starts
+    width = int(sizes.max())
+    col = np.arange(width)[None, :]
+    valid = col < sizes[:, None]
+    idx = np.minimum(block_starts[:, None] + col, tfs.size - 1)
+    t2 = np.where(valid, tfs[idx], -1)  # padding sorts after all real tfs
+    d2 = np.where(valid, dls[idx], np.iinfo(np.int64).max)
+    order = np.lexsort((d2, -t2))  # row-wise: tf desc, dl asc
+    rows = np.arange(nb)[:, None]
+    ts, ds, vs = t2[rows, order], d2[rows, order], valid[rows, order]
+    cm = np.minimum.accumulate(ds, axis=1)
+    keep = np.empty_like(vs)
+    keep[:, 0] = True
+    keep[:, 1:] = ds[:, 1:] < cm[:, :-1]
+    keep &= vs
+    flat_t = ts[keep].astype(np.uint64)  # row-major flatten = per-block runs
+    flat_d = ds[keep].astype(np.uint64)
+    counts = keep.sum(axis=1)
+    run_off = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(counts, out=run_off[1:])
+    t_bytes, d_bytes = varint_encode(flat_t), varint_encode(flat_d)
+    t_off = np.zeros(flat_t.size + 1, dtype=np.int64)
+    np.cumsum(varint_nbytes(flat_t), out=t_off[1:])
+    d_off = np.zeros(flat_d.size + 1, dtype=np.int64)
+    np.cumsum(varint_nbytes(flat_d), out=d_off[1:])
+    sky_t = [t_bytes[t_off[run_off[i]] : t_off[run_off[i + 1]]] for i in range(nb)]
+    sky_d = [d_bytes[d_off[run_off[i]] : d_off[run_off[i + 1]]] for i in range(nb)]
+    return sky_t, sky_d
+
+
 def _block_skyline(tfs: np.ndarray, dls: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Pareto frontier of (tf, dl) within one block: for every posting
     there is a skyline pair with tf_sky ≥ tf and dl_sky ≤ dl, so
@@ -244,15 +291,14 @@ def encode_blocks_flat(
     np.cumsum(varint_nbytes((tfs - 1).astype(np.uint64)), out=t_off[1:])
 
     # per-block impact metadata: max tf / min dl plus the (tf, dl)
-    # skyline — the tight query-time bound (see _block_skyline)
+    # skyline — the tight query-time bound (see _block_skyline); computed
+    # for all blocks in one vectorized pass (skyline_payloads_flat)
     dls = np.asarray(dls, dtype=np.int64)
     max_tf = np.maximum.reduceat(tfs, block_starts)
     min_dl = np.minimum.reduceat(dls, block_starts)
-    sky_t_payloads, sky_d_payloads = [], []
-    for s_, e_ in zip(block_starts, block_ends):
-        st, sd = _block_skyline(tfs[s_:e_], dls[s_:e_])
-        sky_t_payloads.append(varint_encode(st.astype(np.uint64)))
-        sky_d_payloads.append(varint_encode(sd.astype(np.uint64)))
+    sky_t_payloads, sky_d_payloads = skyline_payloads_flat(
+        tfs, dls, block_starts, block_ends
+    )
 
     # positional payload: delta within a posting's occurrence run,
     # absolute at run starts; one global varint pass, block slices via

@@ -47,7 +47,7 @@ _NAMED_ENTITIES = {
     b"gt": b">",
     b"quot": b'"',
     b"apos": b"'",
-    b"nbsp": " ".encode("utf-8"),
+    b"nbsp": "\u00a0".encode("utf-8"),
 }
 
 
@@ -63,13 +63,21 @@ def _entity_sub(m: re.Match) -> bytes:
 
 
 def extract_text_bytes(html: bytes) -> bytes:
-    """Extract body text from one html document (bytes → bytes)."""
-    html = _COMMENT_RE.sub(b"", html)
-    html = _SCRIPT_STYLE_RE.sub(b"", html)
+    """Extract body text from one html document (bytes → bytes).
+
+    The containment pre-checks are memchr-fast and skip whole regex
+    passes on clean input (the common case for template-shaped pages).
+    """
+    if b"<!--" in html:
+        html = _COMMENT_RE.sub(b"", html)
+    if b"<script" in html or b"<style" in html or b"<SCRIPT" in html or b"<STYLE" in html:
+        html = _SCRIPT_STYLE_RE.sub(b"", html)
     m = _BODY_RE.search(html)
     body = m.group(1) if m else html
     text = _TAG_RE.sub(b"", body)
-    return _ENTITY_RE.sub(_entity_sub, text)
+    if b"&" in text:
+        text = _ENTITY_RE.sub(_entity_sub, text)
+    return text
 
 
 @pandas_udf(StringType())
@@ -81,6 +89,41 @@ def extract_text(html: pd.Series) -> pd.Series:
 def extracted(html_col: Column) -> Column:
     """Column expression: extracted text for an html binary column."""
     return extract_text(html_col)
+
+
+def extracted_jvm(html_col: Column) -> Column:
+    """JVM (whole-stage-codegen) extraction fast path — the BUILD hot path.
+
+    Same pipeline as :func:`extract_text_bytes` expressed as Catalyst
+    ``regexp_replace``/``regexp_extract`` chains: comments and
+    script/style elements removed with contents, body isolated, tags
+    stripped, NAMED entities decoded (&amp; last, so non-nested entity
+    streams match the reference decoder byte-for-byte).
+
+    Why it exists: the pandas-UDF path ships every html byte through
+    Arrow into 1-per-core Python workers — measured as the dominant and
+    WORST-scaling build stage on this box (BENCH.md round 2). This path
+    keeps extraction inside codegen: no Python workers, no Arrow
+    transfer, scales with the scan.
+
+    Two deliberate divergences from the reference decoder, both
+    pathological-input-only (cross-checked in tests/test_extract.py):
+    numeric character refs (&#65;) are left undecoded, and doubly-wrapped
+    entities ("&amp;lt;") decode one level deeper. Tables built from real
+    corpora that need full entity fidelity use the pandas path at ingest.
+    """
+    s = F.decode(html_col, "utf-8")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", "")
+    s = F.regexp_replace(s, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", "")
+    body = F.regexp_extract(s, r"(?is)<body[^>]*>(.*?)</body>", 1)
+    # regexp_extract returns '' on no-match; fall back to the whole doc
+    # only when a body element is genuinely absent (parity with bytes path)
+    has_body = s.rlike(r"(?is)<body[^>]*>.*?</body>")
+    text = F.regexp_replace(F.when(has_body, body).otherwise(s), r"<[^>]*>", "")
+    for name, repl in [("lt", "<"), ("gt", ">"), ("quot", '"'),
+                       ("apos", "'"), ("nbsp", "\u00a0"), ("amp", "&")]:
+        text = F.replace(text, F.lit(f"&{name};"), F.lit(repl))
+    return text
 
 
 def extraction_mismatches(df) -> "pd.DataFrame":

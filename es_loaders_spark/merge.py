@@ -37,9 +37,9 @@ from pyspark.sql import types as T
 from .catalog import ManifestCatalog, PartitionEntry
 from .codec import (
     BLOCK_SIZE,
-    _block_skyline,
     decode_block,
     decode_block_positions,
+    skyline_payloads_flat,
     varint_encode,
     varint_nbytes,
 )
@@ -157,12 +157,9 @@ def _merge_group_fn(span: int):
         np.cumsum(varint_nbytes((tfs - 1).astype(np.uint64)), out=t_off[1:])
         bmax_tf = np.maximum.reduceat(tfs, starts)
         bmin_dl = np.minimum.reduceat(ubs, starts)
-        # merged skyline: exact tfs x propagated per-posting dl lower bounds
-        sky_t_pl, sky_d_pl = [], []
-        for s_, e_ in zip(starts, ends):
-            st, sd = _block_skyline(tfs[s_:e_], ubs[s_:e_])
-            sky_t_pl.append(varint_encode(st.astype(np.uint64)))
-            sky_d_pl.append(varint_encode(sd.astype(np.uint64)))
+        # merged skyline: exact tfs x propagated per-posting dl lower
+        # bounds — all blocks in one vectorized pass
+        sky_t_pl, sky_d_pl = skyline_payloads_flat(tfs, ubs, starts, ends)
         if has_pos:
             tok_off = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(tfs, out=tok_off[1:])

@@ -7,9 +7,9 @@ Conventions (driver contract, __spark_entry__.py):
 - every top-k has a deterministic total order (explicit tiebreak key).
 
 Sections mirror SURVEY §2; each query cites the reference operator it
-re-expresses. Non-SQL-expressible ops (MinHash LSH, SimHash, hyperplane
-LSH, WAND) have queries() entries without oracles — the driver records
-rows-only checks; their exactness is covered by pytest instead.
+re-expresses. Since r02 EVERY entry has a DuckDB oracle: MinHash/SimHash
+use the portable md5-based hash (dedup.portable_hash60) and generated
+SQL twins; hyperplane LSH serializes its seeded planes into the SQL.
 """
 
 from __future__ import annotations

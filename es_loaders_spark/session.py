@@ -12,6 +12,14 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _auto_task_cpus(n_cores: int) -> str:
+    """Default task.cpus: cap concurrent kernels at 16 per (local) box."""
+    env = os.environ.get("SPARK_GRAFT_TASK_CPUS", "auto")
+    if env != "auto":
+        return env
+    return "2" if n_cores >= 24 else "1"
+
+
 def get_spark(
     app_name: str = "es-loaders-spark",
     cores: int | None = None,
@@ -40,7 +48,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # batch size trades Arrow throughput against per-worker peak memory
+        # (N workers × batch bytes live simultaneously) — overridable for
+        # wide-row workloads via env (bench/profile sweeps)
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # sandbox corpora are small (MBs, not the 128MB-file world this is
         # designed for): split scans finer so a 100-file/200MB table still
@@ -50,6 +64,17 @@ def get_spark(
         # local mode = driver IS the executor: size the heap like one.
         # 8g caused GC collapse (3x slowdown) at ~1M-doc builds on this box
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # memory-bandwidth-bound Arrow-UDF kernels (posting build: lexsort/
+        # factorize over token arrays) saturate ONE box's memory bus at
+        # ~16 concurrent workers — beyond that, throughput REGRESSES
+        # (measured: stage-C minima 20.7s @8 / 27.5s @16 / 38.0s @32 conc,
+        # matching the box's numpy-sort 8→32 proc efficiency of 0.32;
+        # BENCH.md round 2). task.cpus=2 halves concurrency on wide local
+        # masters — the standard knob for bandwidth-bound tasks (same idea
+        # as for MKL-threaded UDFs). On a real multi-executor cluster each
+        # executor brings its own memory bus, so executors scale freely and
+        # this stays per-executor; set SPARK_GRAFT_TASK_CPUS=1 to disable.
+        .config("spark.task.cpus", _auto_task_cpus(n))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

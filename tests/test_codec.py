@@ -86,3 +86,61 @@ def test_unsorted_docids_rejected():
         encode_postings(
             np.asarray([5, 3]), np.asarray([1, 1]), np.asarray([10, 10])
         )
+
+
+def test_skyline_vectorized_matches_per_block():
+    """skyline_payloads_flat is byte-identical to the per-block path."""
+    import numpy as np
+
+    from es_loaders_spark.codec import (
+        _block_skyline,
+        skyline_payloads_flat,
+        varint_encode,
+    )
+
+    rng = np.random.RandomState(1)
+    for _ in range(20):
+        n = rng.randint(1, 2000)
+        tfs = rng.randint(1, 30, size=n).astype(np.int64)
+        dls = rng.randint(1, 500, size=n).astype(np.int64)
+        bs = np.arange(0, n, 128, dtype=np.int64)
+        be = np.minimum(bs + 128, n)
+        st, sd = skyline_payloads_flat(tfs, dls, bs, be)
+        for i, (s_, e_) in enumerate(zip(bs, be)):
+            t0, d0 = _block_skyline(tfs[s_:e_], dls[s_:e_])
+            assert st[i] == varint_encode(t0.astype(np.uint64))
+            assert sd[i] == varint_encode(d0.astype(np.uint64))
+
+
+def test_positions_round_trip():
+    """Positional payload round-trip (delta+varint, per-posting resets)."""
+    import numpy as np
+
+    from es_loaders_spark.codec import (
+        decode_block,
+        decode_block_positions,
+        encode_blocks_flat,
+    )
+
+    rng = np.random.RandomState(0)
+    doc_ids, tfs, dls, pos, seg = [], [], [], [], [0]
+    for _ in range(3):
+        docs = np.sort(rng.choice(10000, size=rng.randint(1, 300), replace=False))
+        for d in docs:
+            tf = rng.randint(1, 6)
+            p = np.sort(rng.choice(500, size=tf, replace=False))
+            doc_ids.append(d); tfs.append(tf); dls.append(rng.randint(10, 100))
+            pos.extend(p.tolist())
+        seg.append(len(doc_ids))
+    fb = encode_blocks_flat(
+        np.array(doc_ids), np.array(tfs), np.array(dls), np.array(seg),
+        positions=np.array(pos),
+    )
+    got = []
+    for i in range(fb["block_id"].size):
+        blk = {k: fb[k][i] for k in
+               ("min_doc", "max_doc", "n", "max_tf", "min_dl",
+                "docs_payload", "tfs_payload", "pos_payload")}
+        _, t = decode_block(blk)
+        got.append(decode_block_positions(blk, t))
+    assert np.array_equal(np.concatenate(got), np.array(pos))

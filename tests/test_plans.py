@@ -67,3 +67,20 @@ def test_q1_uses_partial_aggregation(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "partial_sum" in plan
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_scoring_scan_prunes_positions(spark, documents, tmp_path_factory):
+    """The BM25 scoring path must NOT read pos_payload (phrase-only
+    bytes): wand's explicit column select reaches the parquet ReadSchema."""
+    from es_loaders_spark.build import build_index
+    from es_loaders_spark.wand import topk
+
+    d = str(tmp_path_factory.mktemp("plan_pos_idx"))
+    build_index(spark, documents, d, n_shards=2)
+    plan = explain_str(topk(spark, d, "spark data", k=5))
+    read_schemas = [
+        line for line in plan.splitlines() if "ReadSchema" in line and "docs_payload" in line
+    ]
+    assert read_schemas, "expected an index scan with payload columns"
+    for line in read_schemas:
+        assert "pos_payload" not in line, line
