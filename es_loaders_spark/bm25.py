@@ -67,6 +67,37 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def bm25_topk_filtered(
+    spark: SparkSession,
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    tdf: DataFrame,
+    stats: CorpusStats,
+    query: str,
+    filter_term: str,
+    k: int = 10,
+) -> DataFrame:
+    """ES bool query: relevance scoring under a non-scoring term filter.
+
+    The reference composes exactly this shape — ``bool.filter.term``
+    around a query (mira/elasticsearch.py:104-124) — and ES semantics are
+    that FILTER context does not contribute to (or change) BM25 scores:
+    corpus stats and dfs stay global; the filter only restricts the
+    candidate set. Implemented as a left-semi join against the filter
+    term's postings (index-shaped lookup, no text scan).
+    """
+    allowed = postings.filter(F.col("term") == filter_term).select("doc_id")
+    return bm25_topk(
+        spark,
+        postings.join(allowed.hint("broadcast"), "doc_id", "left_semi"),
+        doc_lens,
+        tdf,
+        stats,
+        query,
+        k,
+    )
+
+
 def bm25_topk_oracle_sql(
     query: str,
     k: int = 10,
@@ -74,10 +105,17 @@ def bm25_topk_oracle_sql(
     text_col: str = "text",
     k1: float = K1,
     b: float = B,
+    filter_term: str | None = None,
 ) -> str:
     """DuckDB SQL computing the identical top-k (rank-identity oracle)."""
     terms = sorted(set(tokenize_text(query)))
     terms_values = ", ".join(f"('{t}')" for t in terms)
+    filter_clause = (
+        "WHERE p.doc_id IN (SELECT doc_id FROM postings WHERE term = "
+        f"'{filter_term}')"
+        if filter_term
+        else ""
+    )
     return f"""
 WITH tokens AS (
     SELECT doc_id, t AS term
@@ -112,6 +150,7 @@ scored AS (
     JOIN tdf f USING (term)
     JOIN doc_lens d USING (doc_id)
     CROSS JOIN stats s
+    {filter_clause}
     GROUP BY p.doc_id
 )
 SELECT doc_id, round(score, {SCORE_DECIMALS}) AS score

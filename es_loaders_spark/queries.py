@@ -657,6 +657,26 @@ def bm25_topk_q(spark, sf_dir):
     return bm25_topk(spark, p, dl, term_df(p), stats, BM25_QUERY, k=BM25_K)
 
 
+@q(
+    "bm25_topk_filtered",
+    bm25_topk_oracle_sql(BM25_QUERY, k=BM25_K, filter_term="w0005"),
+)
+def bm25_topk_filtered_q(spark, sf_dir):
+    """X3+X4: ES bool query — BM25 relevance under a NON-SCORING term
+    filter (mira/elasticsearch.py:104-124 composes exactly this). Filter
+    context restricts candidates but never changes stats/idf (ES
+    semantics); implemented as a semi-join on the filter term's postings."""
+    from .bm25 import bm25_topk_filtered
+
+    docs = _T(spark, sf_dir, "documents")
+    p = postings_long(docs)
+    dl = doc_lengths(docs)
+    stats = corpus_stats(dl)
+    return bm25_topk_filtered(
+        spark, p, dl, term_df(p), stats, BM25_QUERY, "w0005", k=BM25_K
+    )
+
+
 _WAND_CACHE: dict = {}
 
 
@@ -1026,6 +1046,31 @@ def ann_lsh(spark, sf_dir):
 
 
 ORACLES["ann_lsh"] = _ann_lsh_oracle_sql()
+
+
+_ANN_IDX_CACHE: dict = {}
+
+
+@q("ann_lsh_indexed", None)  # oracle attached below (same SQL twin)
+def ann_lsh_indexed(spark, sf_dir):
+    """ANN over the PRE-BUCKETED table (similarity.build_ann_index):
+    bucket is a partition column computed at ingest, so each probe is a
+    partition-pruned scan — the 100 TB path VERDICT r01 flagged as
+    missing. Same planes/probes as ann_lsh → identical results."""
+    import tempfile
+
+    from .similarity import build_ann_index, lsh_topk_indexed
+
+    if sf_dir not in _ANN_IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="ann_idx_")
+        emb = _T(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()["embedding"])
+        build_ann_index(emb, d, dim=dim)
+        _ANN_IDX_CACHE[sf_dir] = d
+    return lsh_topk_indexed(spark, _ANN_IDX_CACHE[sf_dir], _query_vec(spark, sf_dir), k=20)
+
+
+ORACLES["ann_lsh_indexed"] = _ann_lsh_oracle_sql()
 
 
 _ND_PLANES = 4  # 16 sub-blocks per label

@@ -55,3 +55,25 @@ def test_lsh_is_actually_approximate(spark, emb, emb_np):
     q = list(mat[ids == 0][0])
     narrow = lsh_topk(emb, q, k=500, n_planes=8, probe_hamming=0).count()
     assert narrow < len(ids) * 0.25
+
+
+def test_ann_indexed_matches_unindexed(spark, tmp_path_factory):
+    """Pre-bucketed ANN (partition-pruned) == on-the-fly LSH, and the
+    probe scan is served by PartitionFilters on bucket (no full pass)."""
+    from pyspark.sql import functions as F
+
+    from es_loaders_spark.similarity import (
+        build_ann_index,
+        lsh_topk,
+        lsh_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    d = str(tmp_path_factory.mktemp("ann_idx"))
+    build_ann_index(emb, d, dim=len(q))
+    a = [(r["vec_id"], r["cosine"]) for r in lsh_topk(emb, q, k=15).collect()]
+    b = [(r["vec_id"], r["cosine"]) for r in lsh_topk_indexed(spark, d, q, k=15).collect()]
+    assert a == b
+    plan = lsh_topk_indexed(spark, d, q, k=15)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
