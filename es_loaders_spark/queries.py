@@ -222,6 +222,69 @@ def filtered_count(spark, sf_dir):
 
 
 @q(
+    "dsl_bool_term_range_count",
+    "SELECT count(*) AS n FROM events WHERE event_type = 'click' AND value >= 50",
+)
+def dsl_bool_term_range_count(spark, sf_dir):
+    """The reference's is_dashboard_loaded body (mira/elasticsearch.py:
+    104-124) — bool.filter.bool.must[term, range] — through the Query-DSL
+    adapter (dsl.py), verbatim JSON shape."""
+    from . import dsl
+
+    body = {
+        "query": {
+            "bool": {
+                "filter": {
+                    "bool": {
+                        "must": [
+                            {"term": {"event_type": "click"}},
+                            {"range": {"value": {"gte": 50}}},
+                        ]
+                    }
+                }
+            }
+        }
+    }
+    return dsl.count(spark, _T(spark, sf_dir, "events"), body)
+
+
+@q(
+    "dsl_histogram_mode",
+    """WITH binned AS (
+         SELECT floor(value / 10) * 10 AS hx, event_type, count(*) AS doc_count
+         FROM events GROUP BY 1, 2
+       ), ranked AS (
+         SELECT hx, event_type, doc_count,
+                row_number() OVER (PARTITION BY hx
+                                   ORDER BY doc_count DESC, event_type ASC) AS rn
+         FROM binned
+       )
+       SELECT CAST(hx AS BIGINT) AS agg_histogram_x_key, event_type,
+              doc_count FROM ranked WHERE rn = 1""",
+)
+def dsl_histogram_mode(spark, sf_dir):
+    """The reference's histogram ▸ terms(size=1) agg body
+    (mira/mira_loader.py:262-319) through the Query-DSL adapter."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "aggs": {
+            "agg_histogram_x": {
+                "histogram": {"field": "value", "interval": 10, "min_doc_count": 1},
+                "aggs": {"agg_cat": {"terms": {"field": "event_type", "size": 1}}},
+            }
+        },
+    }
+    out = dsl.search(spark, _T(spark, sf_dir, "events"), body)
+    return out.select(
+        F.col("agg_histogram_x_key").cast("long").alias("agg_histogram_x_key"),
+        "event_type",
+        "doc_count",
+    )
+
+
+@q(
     "stats_agg",
     "SELECT round(min(l_extendedprice), 4) AS min_v, round(max(l_extendedprice), 4) AS max_v, "
     "round(avg(l_extendedprice), 4) AS avg_v, round(sum(l_extendedprice), 4) AS sum_v, "

@@ -1,0 +1,174 @@
+"""ES Query-DSL adapter: the reference's EXACT query bodies run on Spark.
+
+Each test feeds a body copied (shape-for-shape) from a reference call
+site into dsl.search/count and checks it against the direct Catalyst
+plan — a user of the reference keeps their Query-DSL JSON.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_loaders_spark import dsl
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+
+
+def test_term_filter_count(spark, events):
+    """mira/elasticsearch.py:83-89 — count under bool.filter.term."""
+    body = {"query": {"bool": {"filter": {"term": {"event_type": "error"}}}}}
+    got = dsl.count(spark, events, body).first()["n"]
+    want = events.filter(F.col("event_type") == "error").count()
+    assert got == want > 0
+
+
+def test_bool_must_term_and_range(spark, events):
+    """mira/elasticsearch.py:104-124 — bool.filter.bool.must[term, range]."""
+    lo = events.agg(F.avg("value")).first()[0]
+    body = {
+        "query": {
+            "bool": {
+                "filter": {
+                    "bool": {
+                        "must": [
+                            {"term": {"event_type": "click"}},
+                            {"range": {"value": {"gte": lo}}},
+                        ]
+                    }
+                }
+            }
+        }
+    }
+    got = dsl.count(spark, events, body).first()["n"]
+    want = events.filter(
+        (F.col("event_type") == "click") & (F.col("value") >= lo)
+    ).count()
+    assert got == want > 0
+    # exists-style consumption: hits.total.value > 0 (is_dashboard_loaded)
+    assert dsl.search(spark, events, {**body, "size": 1}).count() == 1
+
+
+def test_parallel_stats_aggs(spark, events):
+    """mira/elasticsearch.py:15-42 — two stats aggs in one body/pass."""
+    body = {
+        "size": 0,
+        "aggs": {
+            "agg_stats_x": {"stats": {"field": "value"}},
+            "agg_stats_y": {"stats": {"field": "user_id"}},
+        },
+    }
+    row = dsl.search(spark, events, body).first()
+    want = events.agg(
+        F.min("value"), F.max("value"), F.avg("value"), F.count("value")
+    ).first()
+    assert row["agg_stats_x_min"] == want[0]
+    assert row["agg_stats_x_max"] == want[1]
+    assert abs(row["agg_stats_x_avg"] - want[2]) < 1e-9
+    assert row["agg_stats_x_count"] == want[3]
+    # the reference derives bin widths as (max-min)/100
+    assert (row["agg_stats_x_max"] - row["agg_stats_x_min"]) / 100 > 0
+
+
+def test_nested_histogram_terms_agg(spark, events):
+    """mira/mira_loader.py:262-319 — histogram ▸ histogram ▸ terms(size=1):
+    per 2-D bin doc count + categorical mode."""
+    body = {
+        "size": 0,
+        "aggs": {
+            "agg_histogram_x": {
+                "histogram": {"field": "value", "interval": 10, "min_doc_count": 1},
+                "aggs": {
+                    "agg_histogram_y": {
+                        "histogram": {"field": "user_id", "interval": 100,
+                                      "min_doc_count": 1},
+                        "aggs": {
+                            "agg_cat": {"terms": {"field": "event_type", "size": 1}}
+                        },
+                    }
+                },
+            }
+        },
+    }
+    got = {
+        (r["agg_histogram_x_key"], r["agg_histogram_y_key"]): (
+            r["event_type"], r["doc_count"]
+        )
+        for r in dsl.search(spark, events, body).collect()
+    }
+    from pyspark.sql.window import Window
+
+    binned = events.select(
+        (F.floor(F.col("value") / 10) * 10).alias("bx"),
+        (F.floor(F.col("user_id") / 100) * 100).alias("by"),
+        "event_type",
+    )
+    counted = binned.groupBy("bx", "by", "event_type").count()
+    w = Window.partitionBy("bx", "by").orderBy(F.desc("count"), F.asc("event_type"))
+    want = {
+        (r["bx"], r["by"]): (r["event_type"], r["count"])
+        for r in counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1).collect()
+    }
+    assert got == want and len(got) > 3
+
+
+def test_sort_and_size(spark, events):
+    """mira/elasticsearch.py:45-61 — full ordered retrieval, size-capped."""
+    body = {"size": 7, "sort": [{"user_id": {"order": "asc"}}]}
+    got = [r["user_id"] for r in dsl.search(spark, events, body).collect()]
+    want = [r["user_id"] for r in events.orderBy("user_id").limit(7).collect()]
+    assert got == want
+
+
+def test_match_query_is_bm25(spark, documents):
+    """ES default search semantics: match → BM25 ranking (SURVEY T3)."""
+    from es_loaders_spark.bm25 import bm25_topk
+    from es_loaders_spark.postings import (
+        corpus_stats, doc_lengths, postings_long, term_df,
+    )
+
+    body = {"size": 10, "query": {"match": {"text": "spark query data"}}}
+    got = [(r["doc_id"], r["score"]) for r in dsl.search(spark, documents, body).collect()]
+    p, dl = postings_long(documents), doc_lengths(documents)
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(
+            spark, p, dl, term_df(p), corpus_stats(dl), "spark query data", k=10
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_match_phrase_rides_index(spark, documents, tmp_path_factory):
+    from es_loaders_spark.build import build_index
+    from es_loaders_spark.phrase import phrase_docs
+
+    d = str(tmp_path_factory.mktemp("dsl_idx"))
+    build_index(spark, documents, d, n_shards=2)
+    body = {"size": 10000, "query": {"match_phrase": {"text": "the data"}}}
+    got = {r["doc_id"] for r in dsl.search(spark, documents, body, index_dir=d).collect()}
+    want = {r["doc_id"] for r in phrase_docs(spark, d, "the data").collect()}
+    assert got == want and got
+
+
+def test_should_and_must_not(spark, events):
+    body = {
+        "query": {
+            "bool": {
+                "should": [
+                    {"term": {"event_type": "error"}},
+                    {"term": {"event_type": "signup"}},
+                ],
+                "must_not": {"range": {"value": {"lt": 0}}},
+            }
+        }
+    }
+    got = dsl.count(spark, events, body).first()["n"]
+    want = events.filter(
+        F.col("event_type").isin(["error", "signup"]) & ~(F.col("value") < 0)
+    ).count()
+    assert got == want > 0
