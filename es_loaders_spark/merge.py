@@ -39,6 +39,7 @@ from .codec import (
     BLOCK_SIZE,
     decode_block,
     decode_block_positions,
+    pack_payloads,
     skyline_payloads_flat,
     varint_encode,
     varint_nbytes,
@@ -149,12 +150,8 @@ def _merge_group_fn(span: int):
         deltas[0] = 0
         deltas[1:] = np.diff(docs).astype(np.uint64)
         deltas[starts] = 0
-        d_bytes = varint_encode(deltas)
-        t_bytes = varint_encode((tfs - 1).astype(np.uint64))
-        d_off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(varint_nbytes(deltas), out=d_off[1:])
-        t_off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(varint_nbytes((tfs - 1).astype(np.uint64)), out=t_off[1:])
+        docs_payloads = pack_payloads(deltas, starts, ends)
+        tfs_payloads = pack_payloads((tfs - 1).astype(np.uint64), starts, ends)
         bmax_tf = np.maximum.reduceat(tfs, starts)
         bmin_dl = np.minimum.reduceat(ubs, starts)
         # merged skyline: exact tfs x propagated per-posting dl lower
@@ -188,8 +185,8 @@ def _merge_group_fn(span: int):
                 "n": (ends - starts).astype(np.int32),
                 "max_tf": bmax_tf.astype(np.int64),
                 "min_dl": bmin_dl.astype(np.int64),
-                "docs_payload": [d_bytes[d_off[s] : d_off[e]] for s, e in zip(starts, ends)],
-                "tfs_payload": [t_bytes[t_off[s] : t_off[e]] for s, e in zip(starts, ends)],
+                "docs_payload": docs_payloads,
+                "tfs_payload": tfs_payloads,
                 "sky_tfs_payload": sky_t_pl,
                 "sky_dls_payload": sky_d_pl,
                 "pos_payload": pos_pl,

@@ -144,3 +144,40 @@ def test_positions_round_trip():
         _, t = decode_block(blk)
         got.append(decode_block_positions(blk, t))
     assert np.array_equal(np.concatenate(got), np.array(pos))
+
+
+def test_for_payload_round_trip_property():
+    """FOR bit-packed payloads round-trip for random widths/sizes, incl.
+    b=0 (all-zero), huge-value varint fallback, and partial blocks."""
+    import numpy as np
+
+    from es_loaders_spark.codec import pack_payloads, payload_decode
+
+    rng = np.random.RandomState(3)
+    for _ in range(40):
+        n = rng.randint(1, 1500)
+        maxbits = rng.choice([1, 3, 8, 17, 31, 52])
+        vals = rng.randint(0, 1 << int(maxbits), size=n).astype(np.uint64)
+        if rng.rand() < 0.3:
+            vals[rng.randint(n)] = np.uint64(1) << np.uint64(60)  # force varint fallback
+        if rng.rand() < 0.3:
+            vals[: rng.randint(1, n + 1)] = 0
+        bs = np.arange(0, n, 128, dtype=np.int64)
+        be = np.minimum(bs + 128, n)
+        payloads = pack_payloads(vals, bs, be)
+        got = np.concatenate([payload_decode(p) for p in payloads])
+        assert np.array_equal(got, vals)
+
+
+def test_for_payload_smaller_than_varint_on_typical_deltas():
+    """Size sanity: unit-tf payloads collapse to 4 bytes; small deltas
+    pack below 1 byte/value (varint's floor)."""
+    import numpy as np
+
+    from es_loaders_spark.codec import pack_payloads
+
+    zeros = np.zeros(128, dtype=np.uint64)
+    bs, be = np.array([0]), np.array([128])
+    assert len(pack_payloads(zeros, bs, be)[0]) == 4
+    small = np.full(128, 25, dtype=np.uint64)  # 5-bit deltas
+    assert len(pack_payloads(small, bs, be)[0]) == 4 + (128 * 5 + 7) // 8  # 84 < 128
