@@ -105,7 +105,8 @@ def varint_decode(payload: bytes) -> np.ndarray:
 #          exception machinery; unit-tf blocks (tf-1 == 0 everywhere)
 #          collapse to b=0 — a 4-byte payload. This is the
 #          "varint/PForDelta" upgrade of SURVEY §7 step 4.
-# Positional/skyline payloads remain plain varint (no marker).
+# Positional payloads use the SAME marker format; skyline payloads
+# remain plain varint (tiny Pareto sets, no marker).
 
 _FMT_VARINT = 0
 _FMT_FOR = 1
@@ -162,13 +163,16 @@ def pack_payloads(
     widths = _bit_widths(values)
     sizes = (block_ends - block_starts).astype(np.int64)
     bmax = np.maximum.reduceat(widths, block_starts)
-    # blocks with any huge value fall back to varint
-    for i in np.flatnonzero(bmax > _FOR_MAX_BITS):
+    # varint fallback: any huge value (> 53 bits), or a block whose value
+    # count overflows the 2-byte n header (positional blocks can exceed
+    # 65535 tokens when one doc repeats a term heavily)
+    fallback = (bmax > _FOR_MAX_BITS) | (sizes > 0xFFFF)
+    for i in np.flatnonzero(fallback):
         out[i] = bytes([_FMT_VARINT]) + varint_encode(
             values[block_starts[i] : block_ends[i]]
         )
-    for b in np.unique(bmax[bmax <= _FOR_MAX_BITS]):
-        blocks = np.flatnonzero(bmax == b)
+    for b in np.unique(bmax[~fallback]):
+        blocks = np.flatnonzero((bmax == b) & ~fallback)
         n_max = int(sizes[blocks].max())
         b = int(b)
         if b == 0:
@@ -414,13 +418,10 @@ def encode_blocks_flat(
             pos_delta[0] = positions[0]
             pos_delta[1:] = (positions[1:] - positions[:-1]).astype(np.uint64)
             pos_delta[tok_off[:-1]] = positions[tok_off[:-1]].astype(np.uint64)
-        p_bytes = varint_encode(pos_delta)
-        p_off = np.zeros(positions.size + 1, dtype=np.int64)
-        np.cumsum(varint_nbytes(pos_delta), out=p_off[1:])
-        pos_payloads = [
-            p_bytes[p_off[tok_off[s]] : p_off[tok_off[e]]]
-            for s, e in zip(block_starts, block_ends)
-        ]
+        # token-range boundaries per block, FOR-packed like docs/tfs
+        pos_payloads = pack_payloads(
+            pos_delta, tok_off[block_starts], tok_off[block_ends]
+        )
     else:
         pos_payloads = [b""] * block_starts.size
 
@@ -449,7 +450,7 @@ def decode_block_positions(block: Block | dict, tfs: np.ndarray) -> np.ndarray:
     payload = bytes(
         block.pos_payload if isinstance(block, Block) else (block.get("pos_payload") or b"")
     )
-    deltas = varint_decode(payload).astype(np.int64)
+    deltas = payload_decode(payload).astype(np.int64)
     if deltas.size == 0:
         return deltas
     tfs = np.asarray(tfs, dtype=np.int64)

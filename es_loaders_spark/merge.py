@@ -164,13 +164,7 @@ def _merge_group_fn(span: int):
             pos_delta[0] = pos[0]
             pos_delta[1:] = (pos[1:] - pos[:-1]).astype(np.uint64)
             pos_delta[tok_off[:-1]] = pos[tok_off[:-1]].astype(np.uint64)
-            p_bytes = varint_encode(pos_delta)
-            p_off = np.zeros(pos.size + 1, dtype=np.int64)
-            np.cumsum(varint_nbytes(pos_delta), out=p_off[1:])
-            pos_pl = [
-                p_bytes[p_off[tok_off[s_]] : p_off[tok_off[e_]]]
-                for s_, e_ in zip(starts, ends)
-            ]
+            pos_pl = pack_payloads(pos_delta, tok_off[starts], tok_off[ends])
         else:
             pos_pl = [b""] * starts.size
         return pd.DataFrame(
