@@ -44,6 +44,52 @@ def windowed_event_counts(
     )
 
 
+def stateful_group_totals(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Custom stateful operator: per-key running (n, total) across batches.
+
+    The TRUE streaming analogue of the reference's group-boundary
+    carry-over state (mira/mira_loader.py:156-196, SURVEY §2.11 W2): the
+    reference withholds a split group's rows until the group is complete
+    across chunk boundaries; here ``applyInPandasWithState`` carries the
+    group's partial aggregate in managed GroupState across micro-batches
+    and emits the updated total each batch (update semantics) — the last
+    emission per key is the complete-group answer, no matter how the
+    rows were split into batches.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("n", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "total_value": [total]})
+
+    return (
+        stream.select(F.col(key_col).alias("key"), "value")
+        .groupBy("key")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def incremental_load(
     stream: DataFrame, out_dir: str, checkpoint_dir: str, trigger_once: bool = True
 ):

@@ -116,3 +116,53 @@ def test_stream_index_updates(spark, tmp_path):
     q2.awaitTermination(120)
     with open(os.path.join(idx, "stats.json")) as f:
         assert json.load(f)["n_docs"] == 300
+
+
+def test_stateful_group_totals_carry_across_batches(spark, sf_dir, tmp_path):
+    """W2 streaming analogue: group state carries across micro-batches —
+    final per-key totals equal the batch groupBy even though each key's
+    rows are split across multiple single-file batches."""
+    from es_loaders_spark.streaming.pipeline import stateful_group_totals
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "src3")
+    # 3 files → with maxFilesPerTrigger=1, 3 micro-batches splitting keys
+    events.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_group_totals(stream, key_col="user_id")
+    sink = str(tmp_path / "sink3")
+
+    # update-mode emissions captured via foreachBatch (file sinks are
+    # append-only); each micro-batch appends its updated keys
+    def capture(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        out.writeStream.foreachBatch(capture)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    import pandas as pd
+
+    emitted = spark.read.parquet(sink).toPandas()
+    # last emission per key = largest n (monotone running totals)
+    final = emitted.sort_values("n").groupby("key").last()
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 4))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    got = {int(k): (int(v["n"]), round(float(v["total_value"]), 4)) for k, v in final.iterrows()}
+    assert got == want
+    # state genuinely carried: some key must have been emitted more than once
+    assert (emitted.groupby("key").size() > 1).any()
