@@ -353,6 +353,50 @@ def topk(
     )
 
 
+def topk_merged(
+    spark: SparkSession, index_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """BM25 top-k answered from the MERGED (term-partitioned, salted)
+    table — the north-rule merge artifact as a query path.
+
+    Plan: term-pushdown block read from merged/ → vectorized decode to
+    (term, doc_id, tf) → broadcast term stats → the exact scorer's
+    score/agg/TakeOrdered tail. Rank-identical to the per-shard WAND
+    path (pytest); preferable when the term set is small and the merged
+    table exists (fewer rows than per-shard postings, salt-concatenated).
+    """
+    from .bm25 import SCORE_DECIMALS as _SD
+    from .bm25 import bm25_score_expr
+    from .merge import merged_postings
+    from .postings import CorpusStats
+
+    stats = load_index_meta(spark, index_dir)
+    terms = sorted(set(tokenize_text(query)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    cs = CorpusStats(n_docs=int(stats["n_docs"]), avgdl=float(stats["avgdl"]))
+    p = merged_postings(spark, index_dir, terms)
+    tdf = (
+        spark.read.parquet(os.path.join(index_dir, "terms"))
+        .filter(F.col("term").isin(terms))
+    )
+    from .build import read_generations
+    from .deletes import filter_deleted
+
+    dls = filter_deleted(
+        spark, index_dir,
+        read_generations(spark, index_dir, "doclens").select("doc_id", "dl"),
+    )
+    scored = (
+        p.join(F.broadcast(tdf), "term")
+        .join(dls, "doc_id")
+        .withColumn("contrib", bm25_score_expr(cs))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), _SD).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def topk_batch(
     spark: SparkSession,
     index_dir: str,

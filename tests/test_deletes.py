@@ -101,3 +101,28 @@ def test_compact_rank_identical_to_fresh_build(
     pa = {r["doc_id"] for r in phrase_docs(spark, del_index, "the data").collect()}
     pb = {r["doc_id"] for r in phrase_docs(spark, fresh, "the data").collect()}
     assert pa == pb
+
+
+def test_delete_and_compact_across_generations(spark, documents, tmp_path_factory):
+    """Deletes spanning base + appended generations compact to exactly a
+    fresh build of the survivors (multi-gen tombstone coverage)."""
+    from es_loaders_spark.build import append_documents, generation_dirs
+
+    d = str(tmp_path_factory.mktemp("del_gen_idx"))
+    build_index(spark, documents.filter(F.col("doc_id") < 300), d, n_shards=4)
+    append_documents(spark, documents.filter(F.col("doc_id") >= 300), d)
+    dels = [5, 299, 300, 450]  # both generations, incl. boundary ids
+    delete_ids(spark, d, spark.createDataFrame([(i,) for i in dels], "doc_id long"))
+    for q in QUERIES:
+        got = {r["doc_id"] for r in topk(spark, d, q, k=50).collect()}
+        assert not (got & set(dels)), q
+    stats = compact_index(spark, d)
+    assert stats["generations"] == 1 and len(generation_dirs(d, "shards")) == 1
+    survivors = documents.filter(~F.col("doc_id").isin(dels))
+    assert stats["n_docs"] == survivors.count()
+    fresh = str(tmp_path_factory.mktemp("del_gen_fresh"))
+    build_index(spark, survivors, fresh, n_shards=4)
+    for q in QUERIES + ["the data"]:
+        a = [(r["doc_id"], r["score"]) for r in topk(spark, d, q, k=20).collect()]
+        b = [(r["doc_id"], r["score"]) for r in topk(spark, fresh, q, k=20).collect()]
+        assert a == b, q

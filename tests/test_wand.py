@@ -115,3 +115,18 @@ def test_kernel_skips_blocks():
     order = np.lexsort((np.arange(n_docs), -brute))[:10]
     assert list(docs) == list(order)
     assert np.allclose(scores, brute[order], atol=1e-9)
+
+
+def test_topk_merged_rank_identical(spark, documents, tmp_path_factory):
+    """The merged (salted) table answers BM25 rank-identically to the
+    per-shard WAND path — the merge artifact validated as a query path."""
+    from es_loaders_spark.merge import merge_index
+    from es_loaders_spark.wand import topk_merged
+
+    d = str(tmp_path_factory.mktemp("merged_q_idx"))
+    build_index(spark, documents, d, n_shards=4)
+    merge_index(spark, d, hot_df_threshold=50, n_salts=4, n_buckets=8)
+    for q in ["spark query data", "the fast scan", "w0005 the"]:
+        a = [(r["doc_id"], r["score"]) for r in topk(spark, d, q, k=15).collect()]
+        b = [(r["doc_id"], r["score"]) for r in topk_merged(spark, d, q, k=15).collect()]
+        assert a == b, q
