@@ -45,6 +45,20 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--query", action="append", required=True, help="repeatable")
     q.add_argument("-k", type=int, default=10)
 
+    p = sub.add_parser("phrase", help="positional phrase query over the index")
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--phrase", required=True)
+
+    dl = sub.add_parser(
+        "delete-term",
+        help="tombstone every doc containing a term (ES delete_by_query analogue)",
+    )
+    dl.add_argument("--index-dir", required=True)
+    dl.add_argument("--term", required=True)
+
+    c = sub.add_parser("compact", help="physically drop tombstoned docs")
+    c.add_argument("--index-dir", required=True)
+
     d = sub.add_parser("demo", help="synthesize a corpus, build, query (smoke)")
     d.add_argument("--pages", type=int, default=5000)
     d.add_argument("--index-dir", default="/tmp/es_loaders_spark_demo")
@@ -86,6 +100,21 @@ def main(argv: list[str] | None = None) -> None:
         for r in rows:
             print(json.dumps({"query": batch[r["query_id"]], "rank": r["rank"],
                               "doc_id": r["doc_id"], "score": r["score"]}))
+    elif args.cmd == "phrase":
+        from .phrase import phrase_docs
+
+        ids = sorted(r["doc_id"] for r in phrase_docs(spark, args.index_dir, args.phrase).collect())
+        print(json.dumps({"phrase": args.phrase, "n": len(ids), "doc_ids": ids[:100]}))
+    elif args.cmd == "delete-term":
+        from .deletes import delete_by_term
+
+        n = delete_by_term(spark, args.index_dir, args.term)
+        print(json.dumps({"deleted_term": args.term, "tombstones_total": n}))
+    elif args.cmd == "compact":
+        from .deletes import compact_index
+
+        stats = compact_index(spark, args.index_dir)
+        print(json.dumps({"compacted": args.index_dir, **stats}))
     elif args.cmd == "demo":
         import shutil
 
