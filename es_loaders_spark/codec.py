@@ -139,9 +139,11 @@ def payload_decode(payload: bytes) -> np.ndarray:
     bits = np.unpackbits(
         np.frombuffer(payload, dtype=np.uint8, offset=4), bitorder="little"
     )[: n * b].reshape(n, b)
-    return (bits.astype(np.uint64) << np.arange(b, dtype=np.uint64)).sum(
-        axis=1, dtype=np.uint64
-    )
+    # bits → bytes → uint64 via packbits view (numpy's uint64 broadcast
+    # shifts are ~100× slower than these C paths)
+    full = np.zeros((n, 64), dtype=np.uint8)
+    full[:, :b] = bits
+    return np.packbits(full, axis=1, bitorder="little").view("<u8").ravel()
 
 
 def pack_payloads(
@@ -163,37 +165,73 @@ def pack_payloads(
     widths = _bit_widths(values)
     sizes = (block_ends - block_starts).astype(np.int64)
     bmax = np.maximum.reduceat(widths, block_starts)
-    # varint fallback: any huge value (> 53 bits), or a block whose value
-    # count overflows the 2-byte n header (positional blocks can exceed
-    # 65535 tokens when one doc repeats a term heavily)
-    fallback = (bmax > _FOR_MAX_BITS) | (sizes > 0xFFFF)
-    for i in np.flatnonzero(fallback):
-        out[i] = bytes([_FMT_VARINT]) + varint_encode(
-            values[block_starts[i] : block_ends[i]]
-        )
-    for b in np.unique(bmax[~fallback]):
-        blocks = np.flatnonzero((bmax == b) & ~fallback)
+    # varint route: any huge value (> 53 bits), a block whose value count
+    # overflows the 2-byte n header (positional blocks can exceed 65535
+    # tokens when one doc repeats a term heavily), or a SMALL block —
+    # below ~16 values FOR's 4-byte header erases its win, and the long
+    # tail of df≪128 single-block terms is the bulk of all blocks, so
+    # they ride ONE global varint pass with per-block byte slicing
+    # (the cheap path; bit-packing pays off on the big dense blocks)
+    fallback = (bmax > _FOR_MAX_BITS) | (sizes > 0xFFFF) | (sizes < 16)
+    if fallback.any():
+        vbytes = varint_encode(values)  # one global pass
+        voff = np.zeros(values.size + 1, dtype=np.int64)
+        np.cumsum(varint_nbytes(values), out=voff[1:])
+        hdr = bytes([_FMT_VARINT])
+        fb_idx = np.flatnonzero(fallback)
+        # .tolist() once: python-int loop bodies, no numpy-scalar overhead
+        for i, s_, e_ in zip(
+            fb_idx.tolist(),
+            voff[block_starts[fb_idx]].tolist(),
+            voff[block_ends[fb_idx]].tolist(),
+        ):
+            out[i] = hdr + vbytes[s_:e_]
+    # group by (bit width, power-of-2 size class): padding to the GROUP
+    # max size alone explodes memory when block sizes are heterogeneous
+    # (most terms have df ≪ 128 → single tiny blocks); size classes cap
+    # padding waste at 2×
+    size_class = np.zeros(nb, dtype=np.int64)
+    live = ~fallback
+    size_class[live] = 1 << np.ceil(
+        np.log2(np.maximum(sizes[live], 1))
+    ).astype(np.int64)
+    group_key = bmax * (1 << 20) + size_class  # (b, class) composite
+    for gk in np.unique(group_key[live]):
+        blocks = np.flatnonzero(live & (group_key == gk))
+        b = int(bmax[blocks[0]])
         n_max = int(sizes[blocks].max())
-        b = int(b)
         if b == 0:
-            for i in blocks:
-                out[i] = bytes([_FMT_FOR]) + int(sizes[i]).to_bytes(2, "little") + b"\x00"
+            for i, n in zip(blocks.tolist(), sizes[blocks].tolist()):
+                out[i] = bytes([_FMT_FOR]) + n.to_bytes(2, "little") + b"\x00"
             continue
         # gather into (k, n_max) padded matrix
         col = np.arange(n_max)[None, :]
         idx = np.minimum(block_starts[blocks][:, None] + col, values.size - 1)
         vals = np.where(col < sizes[blocks][:, None], values[idx], 0)
-        bits = ((vals[..., None] >> np.arange(b, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.uint8
-        )  # (k, n_max, b)
-        packed = np.packbits(bits.reshape(len(blocks), n_max * b), axis=1,
-                             bitorder="little")
-        for row, i in enumerate(blocks):
-            n = int(sizes[i])
+        # bit extraction via little-endian byte views + unpackbits — all
+        # C paths (numpy uint64 broadcast shifts are ~100× slower)
+        k = len(blocks)
+        nbv = (b + 7) // 8
+        byte_view = np.ascontiguousarray(
+            vals.astype("<u8").view(np.uint8).reshape(k, n_max, 8)[:, :, :nbv]
+        )
+        allbits = np.unpackbits(
+            byte_view.reshape(k, n_max * nbv), axis=1, bitorder="little"
+        ).reshape(k, n_max, nbv * 8)[:, :, :b]
+        packed = np.packbits(
+            np.ascontiguousarray(allbits).reshape(k, n_max * b),
+            axis=1,
+            bitorder="little",
+        )
+        hdr_fmt = bytes([_FMT_FOR])
+        b_byte = bytes([b])
+        pk = packed.tobytes()
+        row_len = packed.shape[1]
+        for row, (i, n) in enumerate(zip(blocks.tolist(), sizes[blocks].tolist())):
             nbytes = (n * b + 7) // 8
+            off = row * row_len
             out[i] = (
-                bytes([_FMT_FOR]) + n.to_bytes(2, "little") + bytes([b])
-                + packed[row, :nbytes].tobytes()
+                hdr_fmt + n.to_bytes(2, "little") + b_byte + pk[off : off + nbytes]
             )
     return out  # type: ignore[return-value]
 
