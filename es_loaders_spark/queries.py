@@ -168,27 +168,41 @@ def groupby_count(spark, sf_dir):
 @q(
     "groupby_sum_q1",
     """SELECT l_returnflag, l_linestatus,
-              round(sum(l_quantity), 4)                        AS sum_qty,
-              round(sum(l_extendedprice), 4)                   AS sum_price,
-              round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-              round(avg(l_discount), 4)                        AS avg_disc,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_price,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4)
+                  AS sum_disc_price,
+              round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*), 4) AS avg_disc,
               count(*)                                         AS n
        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
        GROUP BY l_returnflag, l_linestatus""",
 )
 def groupby_sum_q1(spark, sf_dir):
-    """A3 multi-aggregate hash agg (mira_loader.py:371-399), TPC-H Q1 shape."""
+    """A3 multi-aggregate hash agg (mira_loader.py:371-399), TPC-H Q1 shape.
+
+    All sums run in DECIMAL (exact, partial-agg-order-independent); the
+    4-decimal rounding happens on the exact value, so the oracle hash is
+    stable regardless of Spark-vs-DuckDB summation order."""
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         _T(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.round(F.sum(dec2("l_quantity")).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(dec2("l_extendedprice")).cast("double"), 4).alias("sum_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.sum(
+                    dec2("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+                ).cast("double"),
+                4,
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                F.sum(dec2("l_discount")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -287,16 +301,20 @@ def dsl_histogram_mode(spark, sf_dir):
 @q(
     "stats_agg",
     "SELECT round(min(l_extendedprice), 4) AS min_v, round(max(l_extendedprice), 4) AS max_v, "
-    "round(avg(l_extendedprice), 4) AS avg_v, round(sum(l_extendedprice), 4) AS sum_v, "
+    "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+    " / count(l_extendedprice), 4) AS avg_v, "
+    "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_v, "
     "count(l_extendedprice) AS n FROM lineitem",
 )
 def stats_agg(spark, sf_dir):
-    """A7 ES stats agg — min/max/avg/sum/count one pass (elasticsearch.py:15-42)."""
+    """A7 ES stats agg — min/max/avg/sum/count one pass (elasticsearch.py:15-42).
+    sum/avg computed over exact DECIMAL so the hash is summation-order-free."""
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
     return _T(spark, sf_dir, "lineitem").agg(
         F.round(F.min("l_extendedprice"), 4).alias("min_v"),
         F.round(F.max("l_extendedprice"), 4).alias("max_v"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_v"),
-        F.round(F.sum("l_extendedprice"), 4).alias("sum_v"),
+        F.round(F.sum(dec).cast("double") / F.count("l_extendedprice"), 4).alias("avg_v"),
+        F.round(F.sum(dec).cast("double"), 4).alias("sum_v"),
         F.count("l_extendedprice").alias("n"),
     )
 
@@ -504,21 +522,28 @@ def unpivot_melt(spark, sf_dir):
 @q(
     "pivot_wide",
     """SELECT o_orderpriority,
-              round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS f,
-              round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS o,
-              round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS p
+              round(CAST(sum(CASE WHEN o_orderstatus = 'F'
+                             THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 4) AS f,
+              round(CAST(sum(CASE WHEN o_orderstatus = 'O'
+                             THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 4) AS o,
+              round(CAST(sum(CASE WHEN o_orderstatus = 'P'
+                             THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 4) AS p
        FROM orders GROUP BY o_orderpriority""",
 )
 def pivot_wide(spark, sf_dir):
     """F13 long→wide pivot / transpose-with-header-promotion
     (mira_data.py:231-240) — groupBy().pivot() with an EXPLICIT value
     list (one partial+final agg, no extra distinct-values job; the
-    scale-safe pivot form)."""
+    scale-safe pivot form).
+
+    Sums run in DECIMAL(18,2) so the result is exact and independent of
+    partial-aggregation order (double sums flip a 4-decimal rounding
+    boundary nondeterministically at 1e8 magnitude)."""
     return (
         _T(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 4))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4))
     )
 
 
