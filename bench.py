@@ -13,6 +13,18 @@ timings cover BM25 top-k via block-max WAND (single query and the
 msearch-style batch, amortized) plus representative SURVEY §2
 operators. Stdout carries only the JSON line.
 
+Measurement discipline (VERDICT r02): the whole suite runs
+SPARK_GRAFT_BENCH_SAMPLES times (default 2) as interleaved passes and
+each item reports its MINIMUM — the single-sample numbers of r01/r02
+could not separate engine structure from the VM's ~3× co-tenant noise
+(BENCH.md; bench/scaling.py uses the same discipline).
+
+Build timings: ``index_build_web`` / ``index_build_documents`` build
+BM25-only indexes (positions=False) — the north-rule artifact
+(postings + block-max metadata) and the r01 comparator. The cost of the
+optional positional payloads (phrase queries) is reported separately as
+``index_build_documents_positional``.
+
 Scaling evidence (N vs 4N cores) lives in bench/scaling.py → BENCH.md.
 """
 
@@ -24,17 +36,13 @@ import shutil
 import sys
 import tempfile
 import time
+from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def timed(fn):
-    t0 = time.time()
-    out = fn()
-    return time.time() - t0, out
-
-
-def build_pipeline(spark, n_pages: int, idx_dir: str, n_shards: int, seed: int = 42):
+def build_pipeline(spark, n_pages: int, idx_dir: str, n_shards: int,
+                   seed: int = 42, positions: bool = False):
     """The full north-star build: synthesize → extract → ids → ingest → index.
 
     The docID-assigned extracted corpus is materialized to a table before
@@ -44,11 +52,10 @@ def build_pipeline(spark, n_pages: int, idx_dir: str, n_shards: int, seed: int =
     """
     from pyspark.sql import functions as F
 
+    from es_loaders_spark.analyze import SPLIT_RE_JAVA
     from es_loaders_spark.build import assign_doc_ids, build_index
     from es_loaders_spark.corpus import synthesize_web_pages
     from es_loaders_spark.extract import extracted_jvm
-
-    from es_loaders_spark.analyze import SPLIT_RE_JAVA
 
     pages = synthesize_web_pages(spark, n_pages, seed=seed)
     # rank only the (small) url column through the range shuffle; join ids
@@ -78,7 +85,8 @@ def build_pipeline(spark, n_pages: int, idx_dir: str, n_shards: int, seed: int =
     docs.write.mode("overwrite").parquet(ingest_dir)
     spark.catalog.clearCache()  # drop the assign_doc_ids persist
     return build_index(
-        spark, spark.read.parquet(ingest_dir), idx_dir, n_shards=n_shards
+        spark, spark.read.parquet(ingest_dir), idx_dir, n_shards=n_shards,
+        positions=positions,
     )
 
 
@@ -88,9 +96,11 @@ def main() -> None:
     # big enough that fixed job latency doesn't dominate the docs/sec
     # headline (throughput roughly doubles from 20k to 60k pages)
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "60000"))
+    n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from es_loaders_spark.bm25 import bm25_topk
+    from es_loaders_spark.build import build_index
     from es_loaders_spark.postings import corpus_stats, doc_lengths, postings_long, term_df
     from es_loaders_spark.queries import QUERIES
     from es_loaders_spark.session import get_spark
@@ -98,21 +108,8 @@ def main() -> None:
 
     spark = get_spark("bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = defaultdict(list)
 
-    # --- headline: full build pipeline on the synthesized web corpus ---
-    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    # shards scale with corpus (~3k docs/shard) as at 100 TB
-    t_build, _ = timed(
-        lambda: build_pipeline(
-            spark, n_pages, idx_dir, n_shards=max(cpus, n_pages // 3000)
-        )
-    )
-    timings["index_build_web"] = round(t_build, 4)
-    docs_per_sec = round(n_pages / t_build, 2)
-
-    # --- BM25 latency over the web index: single query + amortized batch ---
     bm25_queries = [
         "spark index crawl data",
         "the fast query merge",
@@ -120,38 +117,8 @@ def main() -> None:
         "hash join group filter",
         "page web the scan",
     ]
-    t = time.time()
-    for q in bm25_queries:
-        topk(spark, idx_dir, q, k=20).collect()
-    timings["bm25_wand_single_avg"] = round((time.time() - t) / len(bm25_queries), 4)
-
     batch = {f"q{i}": bm25_queries[i % len(bm25_queries)] + f" w{i:04d}" for i in range(50)}
-    t, _ = timed(lambda: topk_batch(spark, idx_dir, batch, k=20).collect())
-    timings["bm25_wand_batch50_total"] = round(t, 4)
-    timings["bm25_wand_batch50_avg"] = round(t / 50, 4)
-
-    # --- driver documents corpus: build + exact scorer (oracle-scale data) ---
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_docs = docs.count()
-    from es_loaders_spark.build import build_index
-
-    idx2 = tempfile.mkdtemp(prefix="bench_idx2_")
-    shutil.rmtree(idx2, ignore_errors=True)
-    t_b2, _ = timed(lambda: build_index(spark, docs, idx2, n_shards=max(8, cpus)))
-    timings["index_build_documents"] = round(t_b2, 4)
-
-    p = postings_long(docs).cache()
-    dl = doc_lengths(docs).cache()
-    p.count(), dl.count()
-    tdf = term_df(p).cache()
-    stats = corpus_stats(dl)
-    t = time.time()
-    for q in bm25_queries:
-        bm25_topk(spark, p, dl, tdf, stats, q, k=20).collect()
-    timings["bm25_exact_topk_avg"] = round((time.time() - t) / len(bm25_queries), 4)
-
-    # --- representative operator suite (SURVEY §2 + pipeline ops) ---
-    for name in [
+    suite = [
         "groupby_sum_q1",
         "histogram2d_mode",
         "join_broadcast_dim",
@@ -160,13 +127,79 @@ def main() -> None:
         "dedup_exact_groups",
         "minhash_lsh_dups",
         "ann_bruteforce",
-    ]:
-        fn = QUERIES[name]
-        t, _ = timed(lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
-        timings[name] = round(t, 4)
+    ]
 
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    shutil.rmtree(idx2, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    idx_dir = None
+    tmp_dirs: list[str] = []
+    # one exact-scorer input set, cached once (warm across passes — min
+    # measures the warm structure, which is what the comparator tracks)
+    p = postings_long(docs).cache()
+    dl = doc_lengths(docs).cache()
+    p.count(), dl.count()
+    tdf = term_df(p).cache()
+    stats = corpus_stats(dl)
+
+    for _ in range(n_samples):
+        # --- headline: full build pipeline on the synthesized web corpus ---
+        d = tempfile.mkdtemp(prefix="bench_idx_")
+        shutil.rmtree(d, ignore_errors=True)
+        tmp_dirs.append(d)
+        t0 = time.time()
+        build_pipeline(spark, n_pages, d, n_shards=max(cpus, n_pages // 3000))
+        samples["index_build_web"].append(time.time() - t0)
+        idx_dir = d  # queries run against the latest build
+
+        # --- BM25 latency over the web index: single query + batch ---
+        t0 = time.time()
+        for q in bm25_queries:
+            topk(spark, idx_dir, q, k=20).collect()
+        samples["bm25_wand_single_avg"].append((time.time() - t0) / len(bm25_queries))
+
+        t0 = time.time()
+        topk_batch(spark, idx_dir, batch, k=20).collect()
+        samples["bm25_wand_batch50_total"].append(time.time() - t0)
+
+        # --- driver documents corpus: BM25-only build + positional build ---
+        d2 = tempfile.mkdtemp(prefix="bench_idx2_")
+        shutil.rmtree(d2, ignore_errors=True)
+        tmp_dirs.append(d2)
+        t0 = time.time()
+        build_index(spark, docs, d2, n_shards=max(8, cpus), positions=False)
+        samples["index_build_documents"].append(time.time() - t0)
+
+        d3 = tempfile.mkdtemp(prefix="bench_idx3_")
+        shutil.rmtree(d3, ignore_errors=True)
+        tmp_dirs.append(d3)
+        t0 = time.time()
+        build_index(spark, docs, d3, n_shards=max(8, cpus), positions=True)
+        samples["index_build_documents_positional"].append(time.time() - t0)
+
+        # --- exact join scorer (rank-identity baseline path) ---
+        t0 = time.time()
+        for q in bm25_queries:
+            bm25_topk(spark, p, dl, tdf, stats, q, k=20).collect()
+        samples["bm25_exact_topk_avg"].append((time.time() - t0) / len(bm25_queries))
+
+        # --- representative operator suite (SURVEY §2 + pipeline ops) ---
+        for name in suite:
+            fn = QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
+
+        # keep only the latest web index for the next pass's queries
+        for old in tmp_dirs[:-3]:
+            shutil.rmtree(old, ignore_errors=True)
+
+    timings = {k: round(min(v), 4) for k, v in samples.items()}
+    timings["bm25_wand_batch50_avg"] = round(timings["bm25_wand_batch50_total"] / 50, 4)
+    docs_per_sec = round(n_pages / timings["index_build_web"], 2)
+
+    for d in tmp_dirs:
+        shutil.rmtree(d, ignore_errors=True)
     result = {
         "metric": "index-build throughput (docs/sec) + BM25 top-k latency",
         "value": docs_per_sec,
@@ -176,6 +209,7 @@ def main() -> None:
         "n_pages": n_pages,
         "n_docs": n_docs,
         "cpus": cpus,
+        "samples": n_samples,
     }
     print(json.dumps(result))
 

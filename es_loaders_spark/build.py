@@ -66,6 +66,30 @@ DOCLEN_SCHEMA = T.StructType(
     ]
 )
 
+# On-disk index format version, recorded in stats.json.
+#   1 (implicit, pre-r02): raw varint payloads, no marker byte
+#   2: marker-dispatched payloads (0x00 varint / 0x01 FOR bit-packed)
+# Readers MUST refuse other versions: a format-1 docs_payload always
+# starts 0x00 (first delta = 0), so decoding it as format 2 silently
+# drops the first posting of every block (ADVICE r02).
+INDEX_FORMAT = 2
+
+
+def load_stats(index_dir: str) -> dict:
+    """Read + validate stats.json. Fails loudly on a stale on-disk format
+    instead of silently mis-decoding pre-marker payloads."""
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    fmt = int(stats.get("format", 1))
+    if fmt != INDEX_FORMAT:
+        raise ValueError(
+            f"index at {index_dir} has on-disk format {fmt}; this engine reads "
+            f"format {INDEX_FORMAT}. Rebuild the index (decoding format-{fmt} "
+            "payloads as the marker-dispatched format would silently corrupt "
+            "postings)."
+        )
+    return stats
+
 
 def _write_json_atomic(path: str, obj: dict) -> None:
     """tmpfile + os.replace, same discipline as catalog.py's manifest commit
@@ -122,7 +146,7 @@ def assign_doc_ids(docs: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
-def _build_shard_fn(doclens_dir: str | None = None):
+def _build_shard_fn(doclens_dir: str | None = None, positions: bool = True):
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
@@ -172,18 +196,23 @@ def _build_shard_fn(doclens_dir: str | None = None):
             return empty
         tok_doc = np.repeat(doc_ids, lens)
         tok_dl = np.repeat(lens, lens)
-        # in-document token position (0-based) — the positional index
-        # payload (Lucene .prx analogue); lexsort is stable, so within a
-        # (term, doc) run tokens keep document order = ascending position
-        tok_pos = np.arange(flat.size, dtype=np.int64) - np.repeat(
-            offsets[:-1], lens
-        )
 
         # (term, doc) → tf, all-numpy: factorize terms, lexsort, run-length
         codes, uniques = pd.factorize(pd.Series(flat), sort=False)
         ordr = np.lexsort((tok_doc, codes))
         c, d, dls = codes[ordr], tok_doc[ordr], tok_dl[ordr]
-        pos_sorted = tok_pos[ordr]
+        if positions:
+            # in-document token position (0-based) — the positional index
+            # payload (Lucene .prx analogue); lexsort is stable, so within
+            # a (term, doc) run tokens keep document order = asc position
+            tok_pos = np.arange(flat.size, dtype=np.int64) - np.repeat(
+                offsets[:-1], lens
+            )
+            pos_sorted = tok_pos[ordr]
+        else:
+            # BM25-only table: skip the positional encode + storage tax
+            # entirely (phrase.py raises a clear error on such an index)
+            pos_sorted = None
         new = np.empty(c.size, dtype=bool)
         new[0] = True
         new[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
@@ -229,6 +258,7 @@ def build_index(
     id_col: str = "doc_id",
     resume: bool = True,
     batch_tag: str | None = None,
+    positions: bool = True,
 ) -> dict:
     """Build the sharded compressed index under ``index_dir``.
 
@@ -238,15 +268,21 @@ def build_index(
     complete build, so a crash mid-build can never leave an index that
     looks finished. ``batch_tag`` (streaming) is recorded in stats so a
     replayed micro-batch is a no-op (ADVICE r01 exactly-once fix).
+
+    ``positions=False`` builds a BM25-only index: no positional payloads
+    are computed or stored (the build's dominant encode cost after the
+    postings themselves); phrase queries on such an index raise a clear
+    error (phrase.py). The flag is recorded in stats.json and inherited
+    by ``append_documents``.
     """
     cat = ManifestCatalog(index_dir)
     stats_path = os.path.join(index_dir, "stats.json")
     prior = None
     if os.path.exists(stats_path):
-        with open(stats_path) as f:
-            prior = json.load(f)
+        prior = load_stats(index_dir)
         if batch_tag and batch_tag in prior.get("applied_batches", []):
             return prior
+        positions = bool(prior.get("positions", True))
 
     has_dl = "dl" in docs.columns  # precomputed token counts from ingest
     cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
@@ -275,11 +311,13 @@ def build_index(
             F.max("doc_id").alias("max_id"),
         ).collect()[0]
         stats = {
+            "format": INDEX_FORMAT,
             "n_docs": int(agg["n"]),
             "avgdl": float(agg["avgdl"] or 0.0),
             "max_doc_id": int(agg["max_id"] if agg["max_id"] is not None else -1),
             "generations": 1,
             "applied_batches": [],
+            "positions": bool(positions),
         }
 
     # --- stage 2: per-shard posting build — THE one heavy pass over text.
@@ -299,7 +337,9 @@ def build_index(
             .filter(F.col("shard").isin(missing))
             .repartition(len(missing), "shard")
             .groupBy("shard")
-            .applyInPandas(_build_shard_fn(doclens_dir), INDEX_SCHEMA)
+            .applyInPandas(
+                _build_shard_fn(doclens_dir, positions=positions), INDEX_SCHEMA
+            )
         )
         built.write.partitionBy("shard").mode("append").parquet(shards_dir)
         wall = int((time.time() - t0) * 1000)
@@ -453,13 +493,13 @@ def append_documents(
     """
     cat = ManifestCatalog(index_dir)
     stats_path = os.path.join(index_dir, "stats.json")
-    with open(stats_path) as f:
-        stats = json.load(f)
+    stats = load_stats(index_dir)
     if batch_tag and batch_tag in stats.get("applied_batches", []):
         return stats
     props = cat.load("shards").props
     n_shards = int(props["n_shards"])
     gen = int(stats.get("generations", 1))
+    positions = bool(stats.get("positions", True))
 
     docs = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
@@ -492,7 +532,9 @@ def append_documents(
             docs.filter(F.col("shard").isin(missing))
             .repartition(len(missing), "shard")
             .groupBy("shard")
-            .applyInPandas(_build_shard_fn(doclens_dir), INDEX_SCHEMA)
+            .applyInPandas(
+                _build_shard_fn(doclens_dir, positions=positions), INDEX_SCHEMA
+            )
         )
         built.write.partitionBy("shard").mode("append").parquet(shards_dir)
         wall = int((time.time() - t0) * 1000)
@@ -566,11 +608,13 @@ def append_documents(
     if batch_tag:
         applied.append(batch_tag)
     stats = {
+        "format": INDEX_FORMAT,
         "n_docs": new_n,
         "avgdl": (old_total_dl + float(dl_agg["sdl"] or 0)) / max(new_n, 1),
         "max_doc_id": int(agg["max_id"]),
         "generations": gen + 1,
         "applied_batches": applied,
+        "positions": positions,
     }
     _write_json_atomic(stats_path, stats)
     return stats

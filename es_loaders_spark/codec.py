@@ -146,6 +146,156 @@ def payload_decode(payload: bytes) -> np.ndarray:
     return np.packbits(full, axis=1, bitorder="little").view("<u8").ravel()
 
 
+def _scatter_index(offsets: np.ndarray, idxs: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Flat target indices for writing payloads ``idxs`` (in order) into an
+    output laid out by ``offsets`` — the gather/scatter companion of
+    decode_payloads_flat."""
+    c = counts[idxs]
+    total = int(c.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    local = np.zeros(idxs.size, dtype=np.int64)
+    np.cumsum(c[:-1], out=local[1:])
+    return np.repeat(offsets[idxs] - local, c) + np.arange(total, dtype=np.int64)
+
+
+def decode_payloads_flat(payloads) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY marker-dispatched payloads in ONE vectorized pass.
+
+    The decode mirror of :func:`pack_payloads`: varint payloads
+    concatenate into a single :func:`varint_decode` call (LEB128 values
+    are self-delimiting, so stream concatenation is safe); FOR payloads
+    group by bit width and unpack as padded (k, n_max, b) tensors. The
+    only per-payload Python is header/byte-slice bookkeeping (O(1) each,
+    C memcpy bodies) — no per-value or per-block decode loops. This is
+    what removes the per-block ``iterrows()`` from the merge / delete /
+    phrase / compact kernels (VERDICT r02 #3).
+
+    Returns ``(values uint64 flat in payload order, offsets int64 len+1)``.
+    """
+    k = len(payloads)
+    offsets = np.zeros(k + 1, dtype=np.int64)
+    if k == 0:
+        return np.empty(0, dtype=np.uint64), offsets
+    pls = [bytes(p) if p else b"" for p in payloads]
+    markers = np.fromiter(
+        (p[0] if p else 0xFF for p in pls), dtype=np.uint8, count=k
+    )  # 0xFF = empty payload sentinel (decodes to zero values)
+    is_v = markers == _FMT_VARINT
+    is_f = markers == _FMT_FOR
+    bad = ~(is_v | is_f | (markers == 0xFF))
+    if bad.any():
+        raise ValueError(f"unknown payload format {int(markers[bad][0])}")
+    counts = np.zeros(k, dtype=np.int64)
+
+    f_idx = np.flatnonzero(is_f)
+    ns = np.fromiter(
+        (int.from_bytes(pls[i][1:3], "little") for i in f_idx.tolist()),
+        dtype=np.int64, count=f_idx.size,
+    )
+    bs = np.fromiter((pls[i][3] for i in f_idx.tolist()), dtype=np.int64, count=f_idx.size)
+    counts[f_idx] = ns
+
+    v_idx = np.flatnonzero(is_v)
+    vvals = None
+    if v_idx.size:
+        bodies = [pls[i][1:] for i in v_idx.tolist()]
+        buf = np.frombuffer(b"".join(bodies), dtype=np.uint8)
+        boff = np.zeros(v_idx.size + 1, dtype=np.int64)
+        np.cumsum(
+            np.fromiter((len(x) for x in bodies), dtype=np.int64, count=len(bodies)),
+            out=boff[1:],
+        )
+        cum = np.zeros(buf.size + 1, dtype=np.int64)
+        np.cumsum((buf & 0x80) == 0, out=cum[1:])
+        counts[v_idx] = cum[boff[1:]] - cum[boff[:-1]]
+        vvals = varint_decode(buf.tobytes())
+
+    np.cumsum(counts, out=offsets[1:])
+    out = np.zeros(int(offsets[-1]), dtype=np.uint64)
+    if vvals is not None:
+        out[_scatter_index(offsets, v_idx, counts)] = vvals
+    for b in np.unique(bs).tolist():
+        if b == 0:
+            continue  # b=0 blocks are all-zero; `out` is pre-zeroed
+        sel = bs == b
+        idxs = f_idx[sel]
+        ns_g = ns[sel]
+        n_max = int(ns_g.max())
+        if n_max == 0:
+            continue
+        maxbytes = int((ns_g.max() * b + 7) // 8)
+        mat = np.zeros((idxs.size, maxbytes), dtype=np.uint8)
+        for r, i in enumerate(idxs.tolist()):
+            body = pls[i][4:]
+            mat[r, : len(body)] = np.frombuffer(body, dtype=np.uint8)
+        bits = np.unpackbits(mat, axis=1, bitorder="little")[
+            :, : n_max * b
+        ].reshape(idxs.size, n_max, b)
+        full = np.zeros((idxs.size, n_max, 64), dtype=np.uint8)
+        full[:, :, :b] = bits
+        vals = (
+            np.packbits(full.reshape(-1, 64), axis=1, bitorder="little")
+            .view("<u8")
+            .reshape(idxs.size, n_max)
+        )
+        valid = np.arange(n_max)[None, :] < ns_g[:, None]
+        out[_scatter_index(offsets, idxs, counts)] = vals[valid]
+    return out, offsets
+
+
+def decode_blocks_flat_batch(
+    min_docs: np.ndarray,
+    docs_payloads,
+    tfs_payloads,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY blocks' (docs, tfs) in one vectorized pass.
+
+    Returns ``(doc_ids int64 flat, tfs int64 flat, offsets len+1)`` —
+    block i's postings are the slice ``[offsets[i], offsets[i+1])``.
+    Byte-identical to per-block :func:`decode_block` calls.
+    """
+    deltas, off = decode_payloads_flat(docs_payloads)
+    deltas = deltas.astype(np.int64)
+    counts = np.diff(off)
+    min_docs = np.asarray(min_docs, dtype=np.int64)
+    if deltas.size == 0:
+        return deltas, deltas.copy(), off
+    cs = np.cumsum(deltas)
+    safe_starts = np.minimum(off[:-1], cs.size - 1)
+    doc_ids = cs - np.repeat(cs[safe_starts], counts) + np.repeat(min_docs, counts)
+    tfs_raw, toff = decode_payloads_flat(tfs_payloads)
+    if not np.array_equal(toff, off):
+        raise ValueError("docs/tfs payload counts disagree within a block batch")
+    return doc_ids, tfs_raw.astype(np.int64) + 1, off
+
+
+def decode_positions_flat_batch(
+    pos_payloads, tfs_flat: np.ndarray
+) -> np.ndarray:
+    """Decode MANY blocks' positional payloads in one vectorized pass.
+
+    ``tfs_flat`` is the batch's decoded tfs (decode_blocks_flat_batch
+    order); returns flat positions aligned token-for-token with the
+    postings (posting j's positions = the next tfs_flat[j] entries).
+    Every posting run starts with an absolute position (block boundaries
+    included), so one global segmented cumsum reconstructs all blocks.
+    """
+    deltas, _ = decode_payloads_flat(pos_payloads)
+    deltas = deltas.astype(np.int64)
+    tfs_flat = np.asarray(tfs_flat, dtype=np.int64)
+    if deltas.size == 0:
+        return deltas
+    if int(tfs_flat.sum()) != deltas.size:
+        raise ValueError("positional payload length disagrees with tfs")
+    run_starts = np.zeros(tfs_flat.size, dtype=np.int64)
+    np.cumsum(tfs_flat[:-1], out=run_starts[1:])
+    cs = np.cumsum(deltas)
+    return cs - np.repeat(cs[run_starts], tfs_flat) + np.repeat(
+        deltas[run_starts], tfs_flat
+    )
+
+
 def pack_payloads(
     values: np.ndarray,
     block_starts: np.ndarray,

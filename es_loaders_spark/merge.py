@@ -37,8 +37,8 @@ from pyspark.sql import types as T
 from .catalog import ManifestCatalog, PartitionEntry
 from .codec import (
     BLOCK_SIZE,
-    decode_block,
-    decode_block_positions,
+    decode_blocks_flat_batch,
+    decode_positions_flat_batch,
     pack_payloads,
     skyline_payloads_flat,
     varint_encode,
@@ -75,27 +75,31 @@ def _merge_group_fn(span: int):
             lo, hi, salt = 0, 1 << 62, 0
         else:
             lo, hi = salt * span, (salt + 1) * span
-        docs_parts, tfs_parts, ubs_parts, pos_parts = [], [], [], []
-        for _, row in pdf.iterrows():
-            d, t = decode_block(row)
-            sel = (d >= lo) & (d < hi)  # boundary blocks overlap salt ranges
-            if not sel.any():
-                continue
-            docs_parts.append(d[sel])
-            tfs_parts.append(t[sel])
-            ubs_parts.append(
-                np.full(int(sel.sum()), row["min_dl"], dtype=np.int64)
-            )
-            # positional payload rides along: select the kept postings'
-            # token runs (token mask = per-posting selection repeated tf).
-            # Legacy blocks without positions → None (disables positions
-            # for the whole merged term: mixed payloads are unusable).
-            raw = row.get("pos_payload") if hasattr(row, "get") else row["pos_payload"]
-            if raw is not None and len(raw) > 0:
-                pos_parts.append(decode_block_positions(row, t)[np.repeat(sel, t)])
-            else:
-                pos_parts.append(None)
-        if not docs_parts:
+        # batch-decode ALL source blocks of this (term, salt) group in one
+        # vectorized pass (no per-block Python; VERDICT r02 #3 — a salted
+        # hot-term group is ~500k blocks at 100× scale)
+        d_flat, t_flat, off = decode_blocks_flat_batch(
+            pdf["min_doc"].to_numpy(), pdf["docs_payload"].tolist(),
+            pdf["tfs_payload"].tolist(),
+        )
+        counts = np.diff(off)
+        sel = (d_flat >= lo) & (d_flat < hi)  # boundary blocks overlap salt ranges
+        docs = d_flat[sel]
+        tfs = t_flat[sel]
+        ubs = np.repeat(pdf["min_dl"].to_numpy(dtype=np.int64), counts)[sel]
+        # positional payloads ride along: select the kept postings' token
+        # runs (token mask = per-posting selection repeated tf). Blocks
+        # without positions → positions disabled for the whole merged term
+        # (mixed payloads are unusable).
+        raw_pos = pdf["pos_payload"].tolist()
+        all_pos = all(p is not None and len(p) > 0 for p in raw_pos)
+        if all_pos and docs.size:
+            pos = decode_positions_flat_batch(raw_pos, t_flat)[
+                np.repeat(sel, t_flat)
+            ]
+        else:
+            pos = np.empty(0, dtype=np.int64)
+        if docs.size == 0:
             return pd.DataFrame(
                 {
                     "bucket": pd.Series(dtype="int32"),
@@ -115,15 +119,6 @@ def _merge_group_fn(span: int):
                     "pos_payload": pd.Series(dtype="object"),
                 }
             )
-        docs = np.concatenate(docs_parts)
-        tfs = np.concatenate(tfs_parts)
-        ubs = np.concatenate(ubs_parts)
-        all_pos = all(x is not None for x in pos_parts)
-        pos = (
-            np.concatenate(pos_parts)
-            if pos_parts and all_pos
-            else np.empty(0, dtype=np.int64)
-        )
         order = np.argsort(docs)  # k-way merge of sorted runs ≡ global sort
         has_pos = pos.size > 0
         if has_pos:
@@ -306,18 +301,18 @@ def merged_postings(spark: SparkSession, index_dir: str, terms: list[str]) -> Da
 
     def decode(batches):
         for pdf in batches:
-            out_t, out_d, out_f = [], [], []
-            for _, row in pdf.iterrows():
-                d, t = decode_block(row)
-                out_t.extend([row["term"]] * d.size)
-                out_d.append(d)
-                out_f.append(t)
-            if out_d:
+            if pdf.empty:
+                continue
+            d, t, off = decode_blocks_flat_batch(
+                pdf["min_doc"].to_numpy(), pdf["docs_payload"].tolist(),
+                pdf["tfs_payload"].tolist(),
+            )
+            if d.size:
                 yield pd.DataFrame(
                     {
-                        "term": out_t,
-                        "doc_id": np.concatenate(out_d),
-                        "tf": np.concatenate(out_f),
+                        "term": np.repeat(pdf["term"].to_numpy(), np.diff(off)),
+                        "doc_id": d,
+                        "tf": t,
                     }
                 )
 

@@ -281,9 +281,11 @@ _SCORE_COLS = [
 
 
 def load_index_meta(spark: SparkSession, index_dir: str):
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        stats = json.load(f)
-    return stats
+    # validates the on-disk format version — pre-marker (format-1) payloads
+    # must fail loudly here, not silently mis-decode (ADVICE r02)
+    from .build import load_stats
+
+    return load_stats(index_dir)
 
 
 def topk(

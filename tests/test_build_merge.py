@@ -13,6 +13,7 @@ from es_loaders_spark.build import assign_doc_ids, build_index
 from es_loaders_spark.catalog import ManifestCatalog
 from es_loaders_spark.merge import merge_index, merged_postings
 from es_loaders_spark.postings import postings_long
+from es_loaders_spark.wand import topk
 
 
 @pytest.fixture(scope="module")
@@ -263,3 +264,70 @@ def test_stats_json_written_last(spark, documents, tmp_path_factory):
     assert s["n_docs"] == 100
     # no leftover tmp files from the atomic write
     assert not [n for n in os.listdir(d) if n.endswith(".tmp")]
+
+
+def test_format_version_guard(spark, documents, tmp_path_factory):
+    """Pre-marker (format-1) indexes must fail loudly, not silently
+    mis-decode (ADVICE r02: a format-1 docs_payload always starts 0x00 =
+    the varint marker, so the first posting of every block would drop)."""
+    import pytest as _pytest
+
+    from es_loaders_spark.build import load_stats
+
+    d = str(tmp_path_factory.mktemp("fmt_guard"))
+    build_index(spark, documents.limit(20), d, n_shards=2)
+    p = os.path.join(d, "stats.json")
+    with open(p) as f:
+        stats = json.load(f)
+    assert stats["format"] == 2
+    del stats["format"]  # simulate a pre-marker index
+    with open(p, "w") as f:
+        json.dump(stats, f)
+    with _pytest.raises(ValueError, match="[Rr]ebuild"):
+        load_stats(d)
+    with _pytest.raises(ValueError, match="format"):
+        topk(spark, d, "data", k=3).collect()
+
+
+def test_positions_optout_bm25_identical_phrase_raises(
+    spark, documents, tmp_path_factory
+):
+    """positions=False builds a BM25-only index: identical top-k, empty
+    pos payloads, clear error on phrase queries (VERDICT r02 #2a)."""
+    import pytest as _pytest
+
+    from es_loaders_spark.phrase import phrase_docs
+
+    docs = documents.limit(200)
+    d_pos = str(tmp_path_factory.mktemp("with_pos"))
+    d_nopos = str(tmp_path_factory.mktemp("no_pos"))
+    build_index(spark, docs, d_pos, n_shards=4)
+    build_index(spark, docs, d_nopos, n_shards=4, positions=False)
+
+    pos_bytes = (
+        spark.read.parquet(os.path.join(d_nopos, "shards"))
+        .agg(F.sum(F.length("pos_payload")).alias("b"))
+        .collect()[0]["b"]
+    )
+    assert pos_bytes == 0
+
+    for q in ["spark query data", "the fast scan"]:
+        a = [(r["doc_id"], r["score"]) for r in topk(spark, d_pos, q, k=10).collect()]
+        b = [(r["doc_id"], r["score"]) for r in topk(spark, d_nopos, q, k=10).collect()]
+        assert a == b, q
+
+    with _pytest.raises(Exception, match="positions"):
+        phrase_docs(spark, d_nopos, "the data").collect()
+
+    # appends inherit the flag from stats.json
+    from es_loaders_spark.build import append_documents, load_stats
+
+    assert load_stats(d_nopos)["positions"] is False
+    delta = documents.filter(F.col("doc_id") >= 200).limit(20)
+    append_documents(spark, delta, d_nopos)
+    pos_bytes2 = (
+        spark.read.parquet(os.path.join(d_nopos, "shards_gen1"))
+        .agg(F.sum(F.length("pos_payload")).alias("b"))
+        .collect()[0]["b"]
+    )
+    assert pos_bytes2 == 0

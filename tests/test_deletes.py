@@ -126,3 +126,18 @@ def test_delete_and_compact_across_generations(spark, documents, tmp_path_factor
         a = [(r["doc_id"], r["score"]) for r in topk(spark, d, q, k=20).collect()]
         b = [(r["doc_id"], r["score"]) for r in topk(spark, fresh, q, k=20).collect()]
         assert a == b, q
+
+
+def test_compact_fully_tombstoned_shard(spark, documents, tmp_path_factory):
+    """A shard whose every doc is deleted must compact to empty, not crash
+    (ADVICE r02: keep_docs[np.minimum(pos_idx, -1)] IndexError on size-0)."""
+    d = str(tmp_path_factory.mktemp("full_tomb"))
+    build_index(spark, documents.limit(40), d, n_shards=4)
+    # shard = doc_id % 4 → delete every doc of shard 1
+    ids = spark.range(40).filter(F.col("id") % 4 == 1).select(F.col("id").alias("doc_id"))
+    delete_ids(spark, d, ids)
+    compact_index(spark, d)
+    shards = spark.read.parquet(os.path.join(d, "shards"))
+    assert shards.filter(F.col("shard") == 1).count() == 0
+    survivors = {r["doc_id"] for r in topk(spark, d, "the data scan", k=100).collect()}
+    assert all(i % 4 != 1 for i in survivors)
