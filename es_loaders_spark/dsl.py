@@ -21,6 +21,7 @@ Supported surface (each construct cited to a reference call site):
                                       (mira/mira_loader.py:262-319)
 - ``count(body)``                   → filtered count        (mira/elasticsearch.py:72-92)
 - ``msearch([bodies])``             → one unioned plan      (mira/elasticsearch.py:64-70)
+- ``delete_by_query(body)``         → tombstone deletes     (mira/elasticsearch.py:255-274)
 
 Everything compiles to built-in column expressions — the DSL layer adds
 zero Python to the executed plan.
@@ -63,17 +64,30 @@ def filter_expr(query: dict[str, Any]) -> Column:
         return F.lit(True)
     if kind == "bool":
         out = F.lit(True)
+        has_positive = False
         for clause in ("filter", "must"):
             for sub in _as_list(body.get(clause)):
                 out = out & filter_expr(sub)
+                has_positive = True
         for sub in _as_list(body.get("must_not")):
             out = out & ~filter_expr(sub)
         shoulds = _as_list(body.get("should"))
         if shoulds:
-            any_of = F.lit(False)
-            for sub in shoulds:
-                any_of = any_of | filter_expr(sub)
-            out = out & any_of
+            # ES default: minimum_should_match is 1 when should stands
+            # alone, 0 when must/filter clauses are present (ADVICE r02 —
+            # always ANDing the shoulds under-returned vs ES)
+            msm = body.get("minimum_should_match")
+            msm = int(msm) if msm is not None else (0 if has_positive else 1)
+            if msm == 1:
+                any_of = F.lit(False)
+                for sub in shoulds:
+                    any_of = any_of | filter_expr(sub)
+                out = out & any_of
+            elif msm > 1:  # n-of-m: count satisfied should clauses
+                cnt = F.lit(0)
+                for sub in shoulds:
+                    cnt = cnt + filter_expr(sub).cast("int")
+                out = out & (cnt >= F.lit(msm))
         return out
     raise ValueError(f"unsupported query clause: {kind!r}")
 
@@ -153,16 +167,30 @@ def search(
         from .bm25 import bm25_topk
         from .postings import corpus_stats, doc_lengths, postings_long, term_df
 
-        base = docs.filter(filter_expr(filters)) if filters else docs
-        p = postings_long(base.select(id_col, text_col))
-        dl = doc_lengths(base.select(id_col, text_col))
-        return bm25_topk(spark, p, dl, term_df(p), corpus_stats(dl), text, k=size)
+        # ES filter-context semantics: corpus stats / dfs / avgdl come from
+        # the UNFILTERED corpus; the filter only restricts the candidate
+        # set (ADVICE r02 — stats over the filtered set shifted idf/avgdl
+        # and diverged from ES; same shape as bm25_topk_filtered)
+        p = postings_long(docs.select(id_col, text_col))
+        dl = doc_lengths(docs.select(id_col, text_col))
+        cand = p
+        if filters:
+            allowed = docs.filter(filter_expr(filters)).select(
+                F.col(id_col).alias("doc_id")
+            )
+            cand = p.join(allowed.hint("broadcast"), "doc_id", "left_semi")
+        return bm25_topk(spark, cand, dl, term_df(p), corpus_stats(dl), text, k=size)
 
     out = docs.filter(filter_expr(filters))
+    sort_cols = []
     for s in _as_list(body.get("sort")):
         (field, spec), = s.items() if isinstance(s, dict) else ((s, "asc"),)
         order = spec["order"] if isinstance(spec, dict) else spec
-        out = out.orderBy(F.col(field).desc() if order == "desc" else F.col(field).asc())
+        sort_cols.append(F.col(field).desc() if order == "desc" else F.col(field).asc())
+    if sort_cols:
+        # ONE orderBy with all keys: chained orderBy calls each REPLACE the
+        # previous Sort, silently keeping only the last field (ADVICE r02)
+        out = out.orderBy(*sort_cols)
     return out.limit(size)
 
 
@@ -224,6 +252,64 @@ def _aggs(base: DataFrame, aggs: dict[str, Any], group_cols: list | None = None)
             .drop("_rn")
         )
     raise ValueError(f"unsupported agg: {sorted(spec)}")
+
+
+def delete_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    body: dict[str, Any],
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """``es.delete_by_query(body=...)`` analogue — the reference's delete
+    path verbatim (mira/elasticsearch.py:255-274, alhena/elasticsearch.py
+    fill_base_query: ``bool.filter.term(dashboard_id)`` + refresh).
+
+    Resolution strategy (VERDICT r02 #4):
+    - a term filter on the indexed TEXT field is answered FROM THE INDEX
+      (deletes.delete_by_term — term-pushdown block read, no doc scan);
+    - any other filter runs ``filter_expr`` over the documents table and
+      tombstones the matching ids (deletes.delete_ids).
+
+    Returns the total tombstone count after the call. Visibility is
+    immediate (the reference's ``refresh=True``): query paths anti-join
+    tombstones on every read.
+    """
+    from .deletes import delete_by_term, delete_ids
+
+    q = (body or {}).get("query", {})
+    flat = _unwrap_filter(q)
+    if flat is not None:
+        kind, sub = flat
+        if kind == "term":
+            (field, value), = sub.items()
+            if isinstance(value, dict):
+                value = value["value"]
+            if field == text_col:
+                return delete_by_term(spark, index_dir, str(value))
+    if docs is None:
+        raise ValueError(
+            "delete_by_query needs the documents table for non-text filters "
+            f"(got {q!r}); pass docs= or use a term filter on {text_col!r}"
+        )
+    ids = docs.filter(filter_expr(q)).select(F.col(id_col).alias("doc_id"))
+    return delete_ids(spark, index_dir, ids)
+
+
+def _unwrap_filter(q: dict) -> tuple[str, dict] | None:
+    """Peel single-clause bool.filter/must nesting → the one leaf clause
+    (the shape the reference's fill_base_query composes), else None."""
+    while isinstance(q, dict) and len(q) == 1:
+        (kind, body), = q.items()
+        if kind == "bool":
+            clauses = _as_list(body.get("filter")) + _as_list(body.get("must"))
+            if len(clauses) != 1 or body.get("should") or body.get("must_not"):
+                return None
+            q = clauses[0]
+            continue
+        return kind, body
+    return None
 
 
 def msearch(

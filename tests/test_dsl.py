@@ -172,3 +172,145 @@ def test_should_and_must_not(spark, events):
         F.col("event_type").isin(["error", "signup"]) & ~(F.col("value") < 0)
     ).count()
     assert got == want > 0
+
+
+def test_multi_field_sort_primary_first(spark, events):
+    """ADVICE r02: sort [{a: desc}, {b: asc}] must order by a FIRST
+    (chained orderBy calls silently kept only the last field)."""
+    body = {
+        "size": 20,
+        "sort": [{"event_type": {"order": "desc"}}, {"user_id": {"order": "asc"}}],
+    }
+    got = [
+        (r["event_type"], r["user_id"])
+        for r in dsl.search(spark, events, body).collect()
+    ]
+    want = [
+        (r["event_type"], r["user_id"])
+        for r in events.orderBy(F.desc("event_type"), F.asc("user_id"))
+        .limit(20)
+        .collect()
+    ]
+    assert got == want
+
+
+def test_should_with_must_is_optional(spark, events):
+    """ADVICE r02: ES defaults minimum_should_match to 0 when must/filter
+    clauses are present — should becomes a scoring hint, not a filter."""
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"range": {"value": {"gte": 0}}}],
+                "should": [{"term": {"event_type": "error"}}],
+            }
+        }
+    }
+    got = dsl.count(spark, events, body).first()["n"]
+    want = events.filter(F.col("value") >= 0).count()
+    assert got == want > 0
+    # explicit minimum_should_match=1 restores the conjunct
+    body["query"]["bool"]["minimum_should_match"] = 1
+    got1 = dsl.count(spark, events, body).first()["n"]
+    want1 = events.filter(
+        (F.col("value") >= 0) & (F.col("event_type") == "error")
+    ).count()
+    assert got1 == want1 < want
+
+
+def test_minimum_should_match_n_of_m(spark, events):
+    body = {
+        "query": {
+            "bool": {
+                "should": [
+                    {"term": {"event_type": "error"}},
+                    {"range": {"value": {"gte": 50}}},
+                    {"range": {"user_id": {"lt": 100}}},
+                ],
+                "minimum_should_match": 2,
+            }
+        }
+    }
+    got = dsl.count(spark, events, body).first()["n"]
+    c1 = (F.col("event_type") == "error").cast("int")
+    c2 = (F.col("value") >= 50).cast("int")
+    c3 = (F.col("user_id") < 100).cast("int")
+    want = events.filter((c1 + c2 + c3) >= 2).count()
+    assert got == want > 0
+
+
+def test_filtered_match_uses_global_stats(spark, documents):
+    """ADVICE r02: filter context must NOT change idf/avgdl — stats come
+    from the unfiltered corpus, the filter only restricts candidates
+    (bm25_topk_filtered semantics)."""
+    from es_loaders_spark.bm25 import bm25_topk
+    from es_loaders_spark.postings import (
+        corpus_stats, doc_lengths, postings_long, term_df,
+    )
+
+    body = {
+        "size": 10,
+        "query": {
+            "bool": {
+                "must": [{"match": {"text": "spark query data"}}],
+                "filter": {"range": {"doc_id": {"lt": 400}}},
+            }
+        },
+    }
+    got = [
+        (r["doc_id"], r["score"])
+        for r in dsl.search(spark, documents, body).collect()
+    ]
+    p, dl = postings_long(documents), doc_lengths(documents)
+    allowed = documents.filter(F.col("doc_id") < 400).select("doc_id")
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(
+            spark,
+            p.join(allowed, "doc_id", "left_semi"),
+            dl,
+            term_df(p),
+            corpus_stats(dl),
+            "spark query data",
+            k=10,
+        ).collect()
+    ]
+    assert got == want and all(d < 400 for d, _ in got) and got
+
+
+def test_delete_by_query_reference_body(spark, documents, tmp_path_factory):
+    """The reference's verbatim delete body (mira/elasticsearch.py:261-274
+    fill_base_query: bool.filter.term + refresh) through the adapter."""
+    from es_loaders_spark.build import build_index
+    from es_loaders_spark.wand import topk
+
+    d = str(tmp_path_factory.mktemp("dsl_del"))
+    docs = documents.withColumn(
+        "dashboard_id", F.when(F.col("doc_id") % 3 == 0, "dash-A").otherwise("dash-B")
+    )
+    build_index(spark, docs, d, n_shards=2)
+    body = {"query": {"bool": {"filter": {"term": {"dashboard_id": "dash-A"}}}}}
+    n = dsl.delete_by_query(spark, d, body, docs=docs)
+    want_deleted = docs.filter(F.col("dashboard_id") == "dash-A").count()
+    assert n == want_deleted > 0
+    hits = {r["doc_id"] for r in topk(spark, d, "the data scan", k=100).collect()}
+    assert hits and all(h % 3 != 0 for h in hits)
+
+
+def test_delete_by_query_text_term_index_served(spark, documents, tmp_path_factory):
+    """A term filter on the text field resolves FROM THE INDEX — no
+    documents table needed (deletes.delete_by_term underneath)."""
+    from es_loaders_spark.build import build_index
+    from es_loaders_spark.postings import postings_long
+    from es_loaders_spark.wand import topk
+
+    d = str(tmp_path_factory.mktemp("dsl_del_term"))
+    build_index(spark, documents, d, n_shards=2)
+    body = {"query": {"term": {"text": "spark"}}}
+    n = dsl.delete_by_query(spark, d, body)  # no docs= needed
+    want = (
+        postings_long(documents).filter(F.col("term") == "spark")
+        .select("doc_id").distinct().count()
+    )
+    assert n == want > 0
+    hits = {r["doc_id"] for r in topk(spark, d, "spark", k=50).collect()}
+    assert not hits
