@@ -55,19 +55,26 @@ def build_pipeline(spark, n_pages: int, idx_dir: str, n_shards: int,
     from es_loaders_spark.analyze import SPLIT_RE_JAVA
     from es_loaders_spark.build import assign_doc_ids, build_index
     from es_loaders_spark.corpus import synthesize_web_pages
-    from es_loaders_spark.extract import extracted_jvm
+    from es_loaders_spark.extract import with_extracted_text
 
-    pages = synthesize_web_pages(spark, n_pages, seed=seed)
+    # persist: the extraction split below scans pages twice (clean/dirty
+    # branches); the synth must not recompute per branch
+    pages = synthesize_web_pages(spark, n_pages, seed=seed).persist()
     # rank only the (small) url column through the range shuffle; join ids
     # back onto the wide rows BROADCAST (url+id is tiny next to html bytes,
     # which therefore never enter any shuffle)
     ids = assign_doc_ids(pages.select("url"))
     docs = (
-        pages.join(F.broadcast(ids), "url")
-        # JVM extraction fast path: whole-stage codegen, no Python workers,
-        # no Arrow transfer of html bytes (BENCH.md round-2 profile: the
-        # pandas-UDF extract was the dominant, worst-scaling stage)
-        .withColumn("text", extracted_jvm(F.col("html")))
+        # JVM extraction fast path: no Python workers, no Arrow transfer
+        # of html bytes (BENCH.md round-2 profile: the pandas-UDF extract
+        # was the dominant, worst-scaling stage). Exact incl. numeric
+        # character refs: the rare &#-rows split off to the single-pass
+        # HOF decoder at the DATAFRAME level, keeping the hot branch in
+        # whole-stage codegen (a HOF inside a row-level CASE forces
+        # interpreted eval — measured 4.5× on this build: the condition,
+        # branch, and collapsed dl projection each re-evaluate the
+        # extraction subtree without codegen CSE).
+        with_extracted_text(pages.join(F.broadcast(ids), "url"))
         # token count computed once here; build_index's stats stage then
         # reads a columnar dl instead of re-tokenizing the corpus
         .withColumn(
@@ -83,7 +90,7 @@ def build_pipeline(spark, n_pages: int, idx_dir: str, n_shards: int,
     )
     ingest_dir = os.path.join(idx_dir, "ingest")
     docs.write.mode("overwrite").parquet(ingest_dir)
-    spark.catalog.clearCache()  # drop the assign_doc_ids persist
+    spark.catalog.clearCache()  # drop the assign_doc_ids + pages persists
     return build_index(
         spark, spark.read.parquet(ingest_dir), idx_dir, n_shards=n_shards,
         positions=positions,

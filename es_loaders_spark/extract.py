@@ -91,27 +91,9 @@ def extracted(html_col: Column) -> Column:
     return extract_text(html_col)
 
 
-def extracted_jvm(html_col: Column) -> Column:
-    """JVM (whole-stage-codegen) extraction fast path — the BUILD hot path.
-
-    Same pipeline as :func:`extract_text_bytes` expressed as Catalyst
-    ``regexp_replace``/``regexp_extract`` chains: comments and
-    script/style elements removed with contents, body isolated, tags
-    stripped, NAMED entities decoded (&amp; last, so non-nested entity
-    streams match the reference decoder byte-for-byte).
-
-    Why it exists: the pandas-UDF path ships every html byte through
-    Arrow into 1-per-core Python workers — measured as the dominant and
-    WORST-scaling build stage on this box (BENCH.md round 2). This path
-    keeps extraction inside codegen: no Python workers, no Arrow
-    transfer, scales with the scan.
-
-    Two deliberate divergences from the reference decoder, both
-    pathological-input-only (cross-checked in tests/test_extract.py):
-    numeric character refs (&#65;) are left undecoded, and doubly-wrapped
-    entities ("&amp;lt;") decode one level deeper. Tables built from real
-    corpora that need full entity fidelity use the pandas path at ingest.
-    """
+def _tag_strip(html_col: Column) -> Column:
+    """Comment/script/style removal + body isolation + tag strip — the
+    pre-entity pipeline of :func:`extract_text_bytes` in Catalyst."""
     s = F.decode(html_col, "utf-8")
     s = F.regexp_replace(s, r"(?s)<!--.*?-->", "")
     s = F.regexp_replace(s, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", "")
@@ -119,11 +101,149 @@ def extracted_jvm(html_col: Column) -> Column:
     # regexp_extract returns '' on no-match; fall back to the whole doc
     # only when a body element is genuinely absent (parity with bytes path)
     has_body = s.rlike(r"(?is)<body[^>]*>.*?</body>")
-    text = F.regexp_replace(F.when(has_body, body).otherwise(s), r"<[^>]*>", "")
+    return F.regexp_replace(F.when(has_body, body).otherwise(s), r"<[^>]*>", "")
+
+
+def _named_entity_chain(text: Column) -> Column:
+    """Sequential named-entity replaces (case-insensitive like the bytes
+    decoder; &amp; LAST). Equal to the single-pass decoder whenever the
+    text contains no numeric character reference: every replace output except &-from-amp cannot extend to a
+    later entity match, and amp runs last (fuzz-checked in
+    tests/test_extract.py)."""
     for name, repl in [("lt", "<"), ("gt", ">"), ("quot", '"'),
-                       ("apos", "'"), ("nbsp", "\u00a0"), ("amp", "&")]:
-        text = F.replace(text, F.lit(f"&{name};"), F.lit(repl))
+                       ("apos", "'"), ("nbsp", " "), ("amp", "&")]:
+        text = F.regexp_replace(text, f"(?i)&{name};", repl)
     return text
+
+
+def extracted_jvm(html_col: Column) -> Column:
+    """JVM extraction fast path — the BUILD hot path.
+
+    Why it exists: the pandas-UDF path ships every html byte through
+    Arrow into 1-per-core Python workers — measured as the dominant and
+    WORST-scaling build stage on this box (BENCH.md round 2). This path
+    keeps extraction JVM-side: no Python workers, no Arrow transfer,
+    scales with the scan.
+
+    Byte-identical to :func:`extract_text_bytes` including numeric
+    character references and invalid-codepoint passthrough (the r02
+    divergence list is now empty; cross-checked on adversarial inputs in
+    tests/test_extract.py): text containing ``&#`` routes through the
+    exact single-pass HOF decoder, everything else takes the named
+    replace chain. Caveat: the HOF branch disqualifies the projection
+    from whole-stage codegen for ALL rows (~1.7× on this chain measured)
+    — ingest-scale builds should use :func:`with_extracted_text`, which
+    restores codegen by splitting at the DataFrame level.
+    """
+    text = _tag_strip(html_col)
+    return F.when(
+        text.contains("&#"), _decode_entities_jvm(text)
+    ).otherwise(_named_entity_chain(text))
+
+
+def with_extracted_text(df, html_col: str = "html", out_col: str = "text"):
+    """Ingest-scale extraction: adds ``out_col`` with the extracted text.
+
+    Rows whose html contains a numeric character reference (``&#`` —
+    vanishingly rare in practice) route through the exact single-pass
+    HOF decoder; all other rows take the pure regexp/replace chain,
+    which stays inside whole-stage codegen (a HOF ANYWHERE in a
+    projection forces interpreted eval for every row — measured 1.7× on
+    the extraction chain, hence the DataFrame-level split instead of a
+    row-level CASE). Union of the two branches; both byte-identical to
+    :func:`extract_text_bytes` on their inputs.
+    """
+    has_num = F.decode(F.col(html_col), "utf-8").contains("&#")
+    clean = df.filter(~has_num).withColumn(
+        out_col, _named_entity_chain(_tag_strip(F.col(html_col)))
+    )
+    dirty = df.filter(has_num).withColumn(
+        out_col, _decode_entities_jvm(_tag_strip(F.col(html_col)))
+    )
+    return clean.unionByName(dirty)
+
+
+_ENTITY_HEAD_RE = r"^&(#[0-9]+|#[xX][0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]{1,31});"
+
+
+def _utf8_hex(cp: Column) -> Column:
+    """Codepoint \u2192 hex string of its UTF-8 bytes, pure arithmetic
+    (Spark's chr() is Latin-1-only, so the UTF-8 encode is spelled out:
+    shift/mask per byte, hex, unhex later)."""
+    def byte_hex(b: Column) -> Column:
+        return F.lpad(F.hex(b.cast("bigint")), 2, "0")
+
+    cont = lambda sh: byte_hex(  # noqa: E731 \u2014 continuation byte 10xxxxxx
+        F.shiftright(cp, sh).bitwiseAND(F.lit(0x3F)).bitwiseOR(F.lit(0x80))
+    )
+    return (
+        F.when(cp < 0x80, byte_hex(cp))
+        .when(
+            cp < 0x800,
+            F.concat(
+                byte_hex(F.shiftright(cp, 6).bitwiseOR(F.lit(0xC0))), cont(0)
+            ),
+        )
+        .when(
+            cp < 0x10000,
+            F.concat(
+                byte_hex(F.shiftright(cp, 12).bitwiseOR(F.lit(0xE0))),
+                cont(6), cont(0),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                byte_hex(F.shiftright(cp, 18).bitwiseOR(F.lit(0xF0))),
+                cont(12), cont(6), cont(0),
+            )
+        )
+    )
+
+
+def _decode_entities_jvm(text: Column) -> Column:
+    """Single-pass entity decode as a Catalyst HOF chain \u2014 the exact
+    semantics of ``_ENTITY_RE.sub(_entity_sub, text)``: the text splits
+    at every '&' (lookahead split keeps the '&'); each segment decodes
+    the entity at its head (or stays verbatim). One scan, so decoded
+    output can never recombine into a new entity ("&amp;lt;" \u2192 "&lt;",
+    "&#38;lt;" \u2192 "&lt;") \u2014 a property a sequential replace chain cannot
+    guarantee once numeric refs join the mix.
+    """
+    def seg_decode(seg: Column) -> Column:
+        body = F.regexp_extract(seg, _ENTITY_HEAD_RE, 1)
+        rest = seg.substr(F.length(body) + F.lit(3), F.length(seg))
+        verbatim = F.concat(F.lit("&"), body, F.lit(";"))
+        low = F.lower(body)
+        # numeric character reference \u2192 codepoint (dec or hex)
+        cp = F.when(
+            low.startswith("#x"),
+            F.conv(body.substr(F.lit(3), F.length(body)), 16, 10).cast("long"),
+        ).otherwise(body.substr(F.lit(2), F.length(body)).cast("long"))
+        # invalid codepoints stay verbatim, like the bytes path (chr()
+        # ValueError and surrogate UnicodeEncodeError are both ValueError)
+        cp_ok = cp.isNotNull() & (cp >= 0) & (cp <= 0x10FFFF) & (
+            (cp < 0xD800) | (cp > 0xDFFF)
+        )
+        named = (
+            F.when(low == "amp", F.lit("&"))
+            .when(low == "lt", F.lit("<"))
+            .when(low == "gt", F.lit(">"))
+            .when(low == "quot", F.lit('"'))
+            .when(low == "apos", F.lit("'"))
+            .when(low == "nbsp", F.lit("\u00a0"))
+        )
+        head = F.when(
+            low.startswith("#"),
+            F.when(cp_ok, F.decode(F.unhex(_utf8_hex(cp)), "UTF-8")).otherwise(
+                verbatim
+            ),
+        ).otherwise(F.coalesce(named, verbatim))
+        return F.when(body == F.lit(""), seg).otherwise(F.concat(head, rest))
+
+    decoded = F.array_join(F.transform(F.split(text, r"(?=&)"), seg_decode), "")
+    # fast path: skip the split/transform machinery entirely on rows
+    # without '&' (the If evaluates only the taken branch per row)
+    return F.when(text.contains("&"), decoded).otherwise(text)
 
 
 def extraction_mismatches(df) -> "pd.DataFrame":

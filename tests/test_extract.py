@@ -70,3 +70,63 @@ def test_extract_adversarial_never_leaks_tags():
         assert got == b"".join(expected)
         for bad in (b"SECRET", b"HIDden", b"NOPE", b"div"):
             assert bad not in got
+
+
+def test_jvm_extraction_matches_bytes_path(spark):
+    """The whole-stage-codegen extraction path must be byte-identical to
+    the hardened bytes decoder — INCLUDING numeric character references
+    and invalid-codepoint passthrough (VERDICT r02 #5: the divergence
+    list is now empty)."""
+    import random
+
+    from es_loaders_spark.extract import extracted_jvm
+
+    cases = [
+        b"<body>&amp;lt; &lt; &#65; &#x41; &amp;amp; &quot;&apos; plain"
+        b" &unknown; &#xZZ; &#1114112; &#55296;</body>",
+        b"<body>a&amp;b&gt;c</body>",
+        b"<body>&amp;#65;</body>",   # amp-decode must NOT re-feed numeric decode
+        b"<body>&#38;lt;</body>",    # numeric-decode must NOT re-feed named decode
+        b"<body>&#x263A;&#9731; &#128512; &#127;&#128;&#2047;&#2048;"
+        b"&#65535;&#65536;</body>",  # all four UTF-8 widths
+        b"<body>&;&#;&# ;& amp; &&&amp&amp;;</body>",
+        b"<body>&#x10FFFF;&#xD7FF;&#xE000;&#xDFFF;&#xD800;</body>",  # surrogates stay
+        b"<body>&nbsp;&NBSP;&Amp;&LT;</body>",
+        b"<body>&#00000000065;&#x0000041;</body>",
+    ]
+    rng = random.Random(7)
+    alphabet = list("abc&#;x0123456789ABCDEF ltgampquosnb")
+    for _ in range(100):
+        t = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        cases.append(f"<body>{t}</body>".encode())
+    df = spark.createDataFrame([(c,) for c in cases], "html binary").withColumn(
+        "jvm", extracted_jvm(F.col("html"))
+    )
+    for row, c in zip(df.collect(), cases):
+        assert row["jvm"] == extract_text_bytes(c).decode("utf-8"), c
+
+
+def test_with_extracted_text_split_parity(spark):
+    """The ingest-scale DataFrame split (codegen branch + HOF branch) is
+    byte-identical to the bytes decoder and loses no rows."""
+    import random
+
+    from es_loaders_spark.extract import with_extracted_text
+
+    rng = random.Random(11)
+    alphabet = list("abc&#;x0123456789 ltgampquos")
+    cases = [
+        b"<body>plain named &amp; &lt; only</body>",
+        b"<body>numeric &#65;&#x42; route</body>",
+        b"<body>no entities at all</body>",
+    ]
+    for _ in range(100):
+        t = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 50)))
+        cases.append(f"<body>{t}</body>".encode())
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "id long, html binary"
+    )
+    out = {r["id"]: r["text"] for r in with_extracted_text(df).collect()}
+    assert len(out) == len(cases)
+    for i, c in enumerate(cases):
+        assert out[i] == extract_text_bytes(c).decode("utf-8"), c
