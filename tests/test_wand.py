@@ -130,3 +130,31 @@ def test_topk_merged_rank_identical(spark, documents, tmp_path_factory):
         a = [(r["doc_id"], r["score"]) for r in topk(spark, d, q, k=15).collect()]
         b = [(r["doc_id"], r["score"]) for r in topk_merged(spark, d, q, k=15).collect()]
         assert a == b, q
+
+
+def test_serve_matches_cogroup_and_survives_mutations(spark, documents, built):
+    """The single-stage serving path (warm cache + per-task shard reads)
+    is rank-identical to the cogroup path, and the warm cache invalidates
+    on deletes (snapshot-token check)."""
+    d, *_ = built
+    for q in QUERIES:
+        a = [(r["doc_id"], r["score"])
+             for r in topk(spark, d, q, k=10, mode="serve").collect()]
+        b = [(r["doc_id"], r["score"])
+             for r in topk(spark, d, q, k=10, mode="cogroup").collect()]
+        assert a == b, q
+
+    from pyspark.sql import functions as F
+
+    from es_loaders_spark.deletes import delete_ids
+
+    before = {r["doc_id"] for r in topk(spark, d, "spark query data", k=30).collect()}
+    victims = sorted(before)[:3]
+    delete_ids(spark, d, spark.createDataFrame([(i,) for i in victims], "doc_id long"))
+    after = {r["doc_id"] for r in topk(spark, d, "spark query data", k=30).collect()}
+    assert not (after & set(victims))
+    a = [(r["doc_id"], r["score"])
+         for r in topk(spark, d, "spark query data", k=10, mode="serve").collect()]
+    b = [(r["doc_id"], r["score"])
+         for r in topk(spark, d, "spark query data", k=10, mode="cogroup").collect()]
+    assert a == b
