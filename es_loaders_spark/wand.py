@@ -546,36 +546,82 @@ def topk_merged(
     spark: SparkSession, index_dir: str, query: str, k: int = 10
 ) -> DataFrame:
     """BM25 top-k answered from the MERGED (term-partitioned, salted)
-    table — the north-rule merge artifact as a query path.
+    table — the north-rule merge artifact as a query path, with the SAME
+    block-max pruning as the per-shard engine (VERDICT r02 #7: the old
+    exact-scorer tail decoded every posting of the query terms).
 
-    Plan: term-pushdown block read from merged/ → vectorized decode to
-    (term, doc_id, tf) → broadcast term stats → the exact scorer's
-    score/agg/TakeOrdered tail. Rank-identical to the per-shard WAND
-    path (pytest); preferable when the term set is small and the merged
-    table exists (fewer rows than per-shard postings, salt-concatenated).
+    Plan: term-pushdown block read from merged/ → each block row exploded
+    to every salt-range its [min_doc, max_doc] intersects (plain JVM
+    range arithmetic, mirroring the merge's salting) → cogroup with the
+    live doclens keyed by the same range → ``bmw_topk_cursors`` per
+    range. Ranges have disjoint doc sets and the kernel's live-docs
+    check drops out-of-range candidates from straddling blocks, so each
+    doc is scored exactly once with all its terms' blocks available.
+    Rank-identical to the per-shard WAND path (pytest).
     """
-    from .bm25 import SCORE_DECIMALS as _SD
-    from .bm25 import bm25_score_expr
-    from .merge import merged_postings
-    from .postings import CorpusStats
+    from .catalog import ManifestCatalog
 
-    stats = load_index_meta(spark, index_dir)
+    warm = _WarmIndex.get(spark, index_dir)
+    stats = warm.stats
     terms = sorted(set(tokenize_text(query)))
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    cs = CorpusStats(n_docs=int(stats["n_docs"]), avgdl=float(stats["avgdl"]))
-    p = merged_postings(spark, index_dir, terms)
-    warm = _WarmIndex.get(spark, index_dir)
-    tdf = warm.terms.filter(F.col("term").isin(terms))
-    dls = warm.dls.select("doc_id", "dl")
-    scored = (
-        p.join(F.broadcast(tdf), "term")
-        .join(dls, "doc_id")
-        .withColumn("contrib", bm25_score_expr(cs))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("contrib"), _SD).alias("score"))
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["avgdl"])
+    props = ManifestCatalog(index_dir).load("merged").props
+    span = int(props.get("span", max(1, n_docs)))
+
+    term_dfs = {
+        r["term"]: int(r["df"])
+        for r in warm.terms.filter(F.col("term").isin(terms)).collect()
+    }
+    if not term_dfs:
+        return spark.createDataFrame([], "doc_id long, score double")
+    term_idfs = {t: idf(n_docs, d) for t, d in term_dfs.items()}
+
+    merged = (
+        spark.read.parquet(os.path.join(index_dir, "merged"))
+        .filter(F.col("term").isin(terms))
+        .select(*_SERVE_COLS)
+        .withColumn(
+            "rng",
+            F.explode(
+                F.sequence(
+                    (F.col("min_doc") / F.lit(span)).cast("long"),
+                    (F.col("max_doc") / F.lit(span)).cast("long"),
+                )
+            ),
+        )
     )
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    dls = warm.dls.select(
+        "doc_id", "dl", (F.col("doc_id") / F.lit(span)).cast("long").alias("rng")
+    )
+
+    def score_range(key, idx_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+        if idx_pdf.empty or dl_pdf.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+            )
+        order = np.argsort(dl_pdf["doc_id"].to_numpy())
+        doc_sorted = dl_pdf["doc_id"].to_numpy(dtype=np.int64)[order]
+        dl_sorted = dl_pdf["dl"].to_numpy(dtype=np.int64)[order]
+        cursors = [
+            _TermCursor(blocks, term_idfs[term], avgdl)
+            for term, blocks in term_blocks_from_flat(idx_pdf).items()
+        ]
+        docs, scores, _ = bmw_topk_cursors(cursors, doc_sorted, dl_sorted, avgdl, k)
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    local = (
+        merged.groupBy("rng")
+        .cogroup(dls.groupBy("rng"))
+        .applyInPandas(score_range, "doc_id long, score double")
+    )
+    return (
+        local.select("doc_id", F.round(F.col("score"), SCORE_DECIMALS).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 def topk_batch(
