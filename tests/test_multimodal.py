@@ -91,10 +91,134 @@ def test_wav_codec_hand_computed():
 def test_resize_images_stage(spark):
     import numpy as np
 
-    from es_loaders_spark.multimodal import decode_ppm, resize_images
+    from es_loaders_spark.multimodal import decode_image, resize_images
 
     media = synthesize_media(spark, n=12)
     out = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 16, 12).collect()}
     assert len(out) == 4  # every 3rd row is an image
     for payload in out.values():
-        assert decode_ppm(payload).shape == (12, 16, 3)
+        assert decode_image(payload).shape == (12, 16, 3)
+
+
+def test_png_codec_hand_computed():
+    """Hand-built PNG bytes (spec-manual chunking + filtering) decode to
+    the exact pixels — real compressed-image decode (VERDICT r02 #8)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from es_loaders_spark.multimodal import decode_png
+
+    # 2x2 RGB image, known pixels
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )
+    # scanlines with filter 0, built by hand
+    raw = b"\x00" + px[0].tobytes() + b"\x00" + px[1].tobytes()
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), px)
+
+
+def test_png_all_filters_roundtrip():
+    """Scanlines filtered per-spec (Sub/Up/Average/Paeth, applied by an
+    independent reference implementation here) decode back to the
+    original pixels; encoder output round-trips for gray/RGB/RGBA."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from es_loaders_spark.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(3)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def filter_line(f, line, prev, bpp):
+        out = bytearray()
+        for j in range(len(line)):
+            x = int(line[j])
+            left = int(line[j - bpp]) if j >= bpp else 0
+            up = int(prev[j])
+            ul = int(prev[j - bpp]) if j >= bpp else 0
+            if f == 1:
+                out.append((x - left) & 0xFF)
+            elif f == 2:
+                out.append((x - up) & 0xFF)
+            elif f == 3:
+                out.append((x - ((left + up) >> 1)) & 0xFF)
+            else:
+                out.append((x - paeth(left, up, ul)) & 0xFF)
+        return bytes(out)
+
+    for ch, color_type in [(1, 0), (3, 2), (4, 6)]:
+        h, w = 6, 5
+        px = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+        flat = px.reshape(h, w * ch)
+        raw = bytearray()
+        prev = np.zeros(w * ch, dtype=np.uint8)
+        for r in range(h):
+            f = [0, 1, 2, 3, 4, 1][r]  # exercise every filter
+            raw.append(f)
+            raw += (
+                flat[r].tobytes() if f == 0 else filter_line(f, flat[r], prev, ch)
+            )
+            prev = flat[r]
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        got = decode_png(payload)
+        assert np.array_equal(got, px), (ch, "filtered decode")
+        # encoder round-trip
+        enc_in = px[:, :, 0] if ch == 1 else px
+        assert np.array_equal(
+            decode_png(encode_png(enc_in)), px
+        ), (ch, "encode roundtrip")
+
+
+def test_png_flows_through_feature_and_resize_stages(spark):
+    import numpy as np
+
+    from es_loaders_spark.multimodal import (
+        decode_image, extract_features, resize_images, synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=24)
+    # synth alternates PPM and PNG payloads for image rows
+    imgs = media.filter("kind = 'image'").select("media_id", "payload").collect()
+    magics = {bytes(r["payload"])[:2] for r in imgs}
+    assert b"P6" in magics and b"\x89P" in magics
+    feats = extract_features(media).filter("kind = 'image'").collect()
+    assert all(len(r["features"]) == 16 for r in feats) and feats
+    resized = resize_images(media, 16, 12).collect()
+    for r in resized:
+        arr = decode_image(bytes(r["payload"]))
+        assert arr.shape == (12, 16, 3)
