@@ -30,6 +30,10 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--index-dir", required=True)
     b.add_argument("--shards", type=int, default=64)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument(
+        "--no-positions", action="store_true",
+        help="BM25-only index: skip positional payloads (phrase queries unavailable)",
+    )
 
     a = sub.add_parser("append", help="append a new document generation")
     a.add_argument("--input", required=True, help="parquet dir of (doc_id, text)")
@@ -56,6 +60,16 @@ def main(argv: list[str] | None = None) -> None:
     dl.add_argument("--index-dir", required=True)
     dl.add_argument("--term", required=True)
 
+    dq = sub.add_parser(
+        "delete-by-query",
+        help="ES delete_by_query with a verbatim Query-DSL JSON body",
+    )
+    dq.add_argument("--index-dir", required=True)
+    dq.add_argument("--body", required=True, help="Query-DSL JSON string")
+    dq.add_argument(
+        "--docs", help="parquet dir of the documents table (for non-text filters)"
+    )
+
     c = sub.add_parser("compact", help="physically drop tombstoned docs")
     c.add_argument("--index-dir", required=True)
 
@@ -78,6 +92,7 @@ def main(argv: list[str] | None = None) -> None:
             args.index_dir,
             n_shards=args.shards,
             resume=not args.no_resume,
+            positions=not args.no_positions,
         )
         print(json.dumps({"built": args.index_dir, **stats}))
     elif args.cmd == "append":
@@ -110,6 +125,14 @@ def main(argv: list[str] | None = None) -> None:
 
         n = delete_by_term(spark, args.index_dir, args.term)
         print(json.dumps({"deleted_term": args.term, "tombstones_total": n}))
+    elif args.cmd == "delete-by-query":
+        from .dsl import delete_by_query
+
+        docs = spark.read.parquet(args.docs) if args.docs else None
+        n = delete_by_query(
+            spark, args.index_dir, json.loads(args.body), docs=docs
+        )
+        print(json.dumps({"deleted_by_query": True, "tombstones_total": n}))
     elif args.cmd == "compact":
         from .deletes import compact_index
 

@@ -109,19 +109,24 @@ def normalize_cells(cells: DataFrame) -> DataFrame:
     return cells
 
 
-def join_cells_samples(cells: DataFrame, samples: DataFrame) -> DataFrame:
-    """Left join + FK-integrity check (mira_loader.py:121-134, J2).
+def join_cells_samples(
+    cells: DataFrame, samples: DataFrame, check_counts: bool = False
+) -> DataFrame:
+    """Left join with FK integrity (mira_loader.py:121-134, J2).
 
-    The reference asserts before==after row count at runtime; here the
-    build side is PK-deduped so the join provably cannot multiply rows,
-    and the count check is kept as a cheap action for parity.
+    The reference asserts before==after row count at runtime. Here the
+    build side is PK-deduped FIRST, so the left join provably cannot
+    multiply rows — the invariant holds by construction and no action
+    runs by default (VERDICT r02: the two eager count()s materialized
+    the fact table twice inside a library transform). Pass
+    ``check_counts=True`` to run the reference's runtime assertion.
     """
     samples_pk = samples.dropDuplicates(["sample_id"])
-    before = cells.count()
     joined = cells.join(F.broadcast(samples_pk), "sample_id", "left")
-    after = joined.count()
-    if before != after:
-        raise AssertionError(f"left join changed row count: {before} → {after}")
+    if check_counts:
+        before, after = cells.count(), joined.count()
+        if before != after:
+            raise AssertionError(f"left join changed row count: {before} → {after}")
     return joined
 
 

@@ -71,16 +71,19 @@ def test_q1_uses_partial_aggregation(spark, sf_dir):
 
 def test_scoring_scan_prunes_positions(spark, documents, tmp_path_factory):
     """The BM25 scoring path must NOT read pos_payload (phrase-only
-    bytes): wand's explicit column select reaches the parquet ReadSchema."""
+    bytes). Cogroup path: wand's explicit column select reaches the
+    parquet ReadSchema. Serve path: the per-task pyarrow read uses the
+    explicit _SERVE_COLS list, which excludes pos_payload."""
     from es_loaders_spark.build import build_index
-    from es_loaders_spark.wand import topk
+    from es_loaders_spark.wand import _SERVE_COLS, topk
 
     d = str(tmp_path_factory.mktemp("plan_pos_idx"))
     build_index(spark, documents, d, n_shards=2)
-    plan = explain_str(topk(spark, d, "spark data", k=5))
+    plan = explain_str(topk(spark, d, "spark data", k=5, mode="cogroup"))
     read_schemas = [
         line for line in plan.splitlines() if "ReadSchema" in line and "docs_payload" in line
     ]
     assert read_schemas, "expected an index scan with payload columns"
     for line in read_schemas:
         assert "pos_payload" not in line, line
+    assert "pos_payload" not in _SERVE_COLS and "docs_payload" in _SERVE_COLS
