@@ -1024,6 +1024,22 @@ def minhash_lsh_dups(spark, sf_dir):
 ORACLES["minhash_lsh_dups"] = _minhash_oracle_sql()
 
 
+@q("minhash_lsh_dups_fast", None)  # scale path: xxhash64 (no SQL twin —
+# DuckDB has no xxhash64; the portable md5 variant above IS the oracle-
+# gated twin of the same algorithm, so correctness is covered there)
+def minhash_lsh_dups_fast(spark, sf_dir):
+    """MinHash+LSH candidate pairs on the PRODUCTION hash (xxhash64,
+    JVM-side) — the 100-TB path. Same algorithm/blocking as
+    `minhash_lsh_dups`; only the shingle/bucket hash differs (the
+    portable variant pays md5 + hex conversion per shingle purely for
+    DuckDB reproducibility)."""
+    from .dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _T(spark, sf_dir, "documents"), portable=False
+    ).filter(F.col("est_jaccard") >= 0.5)
+
+
 def _simhash_oracle_sql(n_bits: int = 60) -> str:
     """Exact DuckDB twin of dedup.simhash(portable=True)."""
     bit_sums = ",\n              ".join(
