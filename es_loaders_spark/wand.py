@@ -320,33 +320,45 @@ class _WarmIndex:
 
         self.token = token
         self.stats = load_index_meta(spark, index_dir)
-        # serving partition count: FEWER, FATTER tasks win for a warm
-        # interactive query (task launch + Python round-trip dominate the
-        # per-shard kernel, which is sub-ms) — measured on local[32] with
-        # 32 shards: 8 partitions ≈ 0.48 s/query vs 0.75 s at 32. A task
-        # handles several shards sequentially (one pyarrow read each).
-        # On a multi-executor cluster set SPARK_GRAFT_SERVE_PARTITIONS to
-        # roughly the executor count.
+        live = filter_deleted(
+            spark, index_dir, read_generations(spark, index_dir, "doclens")
+        )
+        # TWO cached layouts of the (small) doclens table, one per workload:
+        # - serve: FEW, FAT partitions — for a warm interactive query the
+        #   task launch + Python round-trip dominate the sub-ms per-shard
+        #   kernel, so fewer tasks win (measured local[32]/32 shards:
+        #   8 parts ≈ 0.48 s/query vs 0.75 s at 32). Env-tunable; on a
+        #   multi-executor cluster set ≈ the executor count.
+        # - batch (cogroup): one partition per shuffle slot, so a 50-query
+        #   batch fans across every core (capping THIS at 8 cost 2.7× on
+        #   batch100 at local[32]).
         from .catalog import ManifestCatalog
 
         props = ManifestCatalog(index_dir).load("shards").props
-        default_parts = min(int(props.get("n_shards", 8)) or 8, 8)
-        n_shards = max(
-            1, int(os.environ.get("SPARK_GRAFT_SERVE_PARTITIONS", default_parts))
+        serve_parts = max(
+            1,
+            int(
+                os.environ.get(
+                    "SPARK_GRAFT_SERVE_PARTITIONS",
+                    min(int(props.get("n_shards", 8)) or 8, 8),
+                )
+            ),
         )
+        batch_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+        self.dls_serve = (
+            live.repartition(serve_parts, "shard").persist()
+        )
+        self.dls_serve.count()  # materialize now; queries hit the cache
+        # pre-sorted by the cogroup key: the cached plan's
+        # outputPartitioning AND outputOrdering both satisfy the cogroup's
+        # requirements — a warm batch neither shuffles nor re-sorts the
+        # corpus doclens
         self.dls = (
-            filter_deleted(
-                spark, index_dir, read_generations(spark, index_dir, "doclens")
-            )
-            .repartition(n_shards, "shard")
-            # pre-sorted by the cogroup key: the cached plan's
-            # outputPartitioning AND outputOrdering both satisfy the
-            # cogroup's requirements — a warm query neither shuffles nor
-            # re-sorts the corpus doclens
+            live.repartition(batch_parts, "shard")
             .sortWithinPartitions("shard")
             .persist()
         )
-        self.dls.count()  # materialize now; queries hit the cache
+        self.dls.count()
         self.terms = (
             spark.read.parquet(os.path.join(index_dir, "terms")).persist()
         )
@@ -389,6 +401,7 @@ class _WarmIndex:
             return cached
         if cached is not None:
             cached.dls.unpersist()
+            cached.dls_serve.unpersist()
             cached.terms.unpersist()
         warm = cls(spark, index_dir, token)
         cls._by_dir[key] = warm
@@ -435,7 +448,7 @@ def topk(
         }
         if not term_dfs:
             return spark.createDataFrame([], "doc_id long, score double")
-        local = warm.dls.mapInPandas(
+        local = warm.dls_serve.mapInPandas(
             _serve_partition_fn(warm.gen_dirs, term_dfs, n_docs, avgdl, k),
             "doc_id long, score double",
         )
