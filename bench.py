@@ -57,9 +57,14 @@ def build_pipeline(spark, n_pages: int, idx_dir: str, n_shards: int,
     from es_loaders_spark.corpus import synthesize_web_pages
     from es_loaders_spark.extract import with_extracted_text
 
-    # persist: the extraction split below scans pages twice (clean/dirty
-    # branches); the synth must not recompute per branch
-    pages = synthesize_web_pages(spark, n_pages, seed=seed).persist()
+    # NO persist of the html pages: caching ~GBs of html rows in the heap
+    # degrades the 16-concurrent build badly at scale (interleaved A/B at
+    # 800k pages, local[32]: persist 209 s vs recompute 161 s vs r2-style
+    # single-scan 137 s). The synth is seed-deterministic, so the
+    # extraction split's two branch scans may recompute it; on a
+    # table-backed source (the input_hint's real shape) the two scans are
+    # pruned parquet reads and this question disappears.
+    pages = synthesize_web_pages(spark, n_pages, seed=seed)
     # rank only the (small) url column through the range shuffle; join ids
     # back onto the wide rows BROADCAST (url+id is tiny next to html bytes,
     # which therefore never enter any shuffle)
@@ -90,7 +95,7 @@ def build_pipeline(spark, n_pages: int, idx_dir: str, n_shards: int,
     )
     ingest_dir = os.path.join(idx_dir, "ingest")
     docs.write.mode("overwrite").parquet(ingest_dir)
-    spark.catalog.clearCache()  # drop the assign_doc_ids + pages persists
+    spark.catalog.clearCache()  # drop the assign_doc_ids persist
     return build_index(
         spark, spark.read.parquet(ingest_dir), idx_dir, n_shards=n_shards,
         positions=positions,

@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=None)
     ap.add_argument("--broadcast-ids", action="store_true")
     ap.add_argument("--pandas-extract", action="store_true")
+    ap.add_argument("--jvm-case", action="store_true",
+                    help="single-expression hybrid extraction (interpreted)")
     args = ap.parse_args()
     n_shards = args.shards or max(64, args.pages // 3000)
 
@@ -58,16 +60,24 @@ def main() -> None:
     ids.count()
     t["a2_assign_ids"] = round(time.time() - t0, 2)
 
-    # A3: extract + dl + join ids + ingest write
+    # A3: extract + dl + join ids + ingest write. Default = the
+    # DataFrame-split path (with_extracted_text): table-backed input, so
+    # the two pruned scans are cheap and the hot branch keeps whole-stage
+    # codegen. --jvm-case uses the single-expression hybrid (HOF CASE →
+    # interpreted eval for every row) for comparison.
+    from es_loaders_spark.extract import with_extracted_text
+
     t0 = time.time()
     ids_j = F.broadcast(ids) if args.broadcast_ids else ids
+    joined = pages.join(ids_j, "url")
+    if args.pandas_extract:
+        extracted = joined.withColumn("text", extract_text(F.col("html")))
+    elif args.jvm_case:
+        extracted = joined.withColumn("text", extracted_jvm(F.col("html")))
+    else:
+        extracted = with_extracted_text(joined)
     docs = (
-        pages.join(ids_j, "url")
-        .withColumn(
-            "text",
-            extract_text(F.col("html")) if args.pandas_extract
-            else extracted_jvm(F.col("html")),
-        )
+        extracted
         .withColumn(
             "dl",
             F.size(

@@ -153,7 +153,9 @@ def with_extracted_text(df, html_col: str = "html", out_col: str = "text"):
     row-level CASE). Union of the two branches; both byte-identical to
     :func:`extract_text_bytes` on their inputs.
     """
-    has_num = F.decode(F.col(html_col), "utf-8").contains("&#")
+    # raw-byte probe (no utf-8 decode): "&#" is ASCII, so a byte match is
+    # exact for any valid UTF-8 input
+    has_num = F.contains(F.col(html_col), F.lit(b"&#"))
     clean = df.filter(~has_num).withColumn(
         out_col, _named_entity_chain(_tag_strip(F.col(html_col)))
     )
