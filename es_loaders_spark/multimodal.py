@@ -11,13 +11,16 @@ Decode status (VERDICT r01 item 9 — real decode for real formats):
   actual valid PPM payloads, so the pipeline decodes real bytes.
 - **image/PNG**: REAL decoder + encoder (stdlib zlib inflate + numpy
   chunk walk/unfilter; 8-bit gray/RGB/RGBA, all five scanline filters,
-  CRC-checked encode). VERDICT r02 #8 — the compressed-image stub now
-  covers JPEG/video only.
+  CRC-checked encode). VERDICT r02 #8.
+- **image/JPEG**: REAL baseline (SOF0) decoder + encoder — pure
+  numpy + stdlib Huffman/DCT (jpeg.py): gray + YCbCr, 4:4:4/4:2:2/4:2:0
+  sampling, restart markers. The compressed-image stub now covers
+  video frames only.
 - **audio/WAV (PCM16)**: REAL pure-numpy RIFF chunk walker → int16
   sample matrix (n_samples × channels).
-- **video** and JPEG: STUB behind an import-guard — the container ships
-  no codec libs; the frame-sampling SCHEDULE and all Spark plumbing are
-  real.
+- **video**: STUB behind an import-guard — the container ships no
+  video codec libs; the frame-sampling SCHEDULE and all Spark plumbing
+  are real.
 
 Design notes for 100 TB: media bytes dominate row size, so stages
 ``select`` only (id, media) before the UDF (column pruning keeps Arrow
@@ -228,9 +231,14 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff + decode a real image payload (PPM P6 or PNG) → HxWxC uint8."""
+    """Sniff + decode a real image payload (PPM P6, PNG or baseline
+    JPEG) → HxWxC uint8."""
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xFF\xD8":
+        from es_loaders_spark.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     return decode_ppm(payload)
 
 
@@ -287,10 +295,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_compressed_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """JPEG/video-frame decode. STUB: no codec libs in this container
-    (PNG is decoded for real — see :func:`decode_png`).
+    """Video-frame decode. STUB: no codec libs in this container (PPM,
+    PNG and baseline JPEG are all decoded for real — see
+    :func:`decode_image`).
 
-    Real deployments wire Pillow/torchvision here. The deterministic
+    Real deployments wire PyAV/torchvision here. The deterministic
     fake derives pixels from the payload hash so pipelines stay testable.
     """
     try:
@@ -317,8 +326,16 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         sr, n_frames = 16000, 30 + i % 10
         if kind == "image":
             px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-            # alternate REAL formats: even image rows PPM, odd rows PNG
-            payload = encode_ppm(px) if (i // 3) % 2 == 0 else encode_png(px)
+            # rotate REAL formats: PPM → PNG → JPEG (baseline 4:2:0)
+            fmt = (i // 3) % 3
+            if fmt == 0:
+                payload = encode_ppm(px)
+            elif fmt == 1:
+                payload = encode_png(px)
+            else:
+                from es_loaders_spark.jpeg import encode_jpeg
+
+                payload = encode_jpeg(px, quality=90, subsampling="420")
         elif kind == "audio":
             samples = (rng.randn(sr // 100, 1) * 3000).astype(np.int16)
             payload = encode_wav(samples, sr)
@@ -382,23 +399,27 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """image rows → (media_id, payload) with PPM/PNG payloads resized
-    (nearest-neighbor) — a REAL decode → transform → re-encode pass,
-    re-encoding in the source format."""
+    """image rows → (media_id, payload) with PPM/PNG/JPEG payloads
+    resized (nearest-neighbor) — a REAL decode → transform → re-encode
+    pass, re-encoding in the source format."""
 
     def run(batches):
+        from es_loaders_spark.jpeg import encode_jpeg
+
         for pdf in batches:
             ids, payloads = [], []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if kind != "image":
                     continue
                 b = bytes(payload)
-                is_png = b[: len(_PNG_SIG)] == _PNG_SIG
                 resized = resize_nearest(decode_image(b), out_w, out_h)
                 ids.append(mid)
-                payloads.append(
-                    encode_png(resized) if is_png else encode_ppm(resized)
-                )
+                if b[: len(_PNG_SIG)] == _PNG_SIG:
+                    payloads.append(encode_png(resized))
+                elif b[:2] == b"\xFF\xD8":
+                    payloads.append(encode_jpeg(resized, quality=90, subsampling="420"))
+                else:
+                    payloads.append(encode_ppm(resized))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return media.select("media_id", "kind", "payload").mapInPandas(
