@@ -1177,6 +1177,56 @@ def ann_lsh_indexed(spark, sf_dir):
 ORACLES["ann_lsh_indexed"] = _ann_lsh_oracle_sql()
 
 
+_IVF_CACHE: dict = {}
+
+
+def _ivf_centroids(spark, sf_dir):
+    """Train (once per sf_dir) the deterministic spherical-k-means coarse
+    quantizer over the embeddings table."""
+    if sf_dir not in _IVF_CACHE:
+        from .similarity import train_ivf_centroids
+
+        emb = _T(spark, sf_dir, "embeddings")
+        _IVF_CACHE[sf_dir] = train_ivf_centroids(
+            emb, n_centroids=8, n_iters=3, seed=42
+        )
+    return _IVF_CACHE[sf_dir]
+
+
+@q(
+    "ann_ivf_exhaustive",
+    """SELECT vec_id,
+              round(list_cosine_similarity(
+                  embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4)
+                  AS cosine
+       FROM embeddings
+       ORDER BY cosine DESC, vec_id ASC LIMIT 20""",
+)
+def ann_ivf_exhaustive(spark, sf_dir):
+    """IVF coarse-quantizer path at nprobe = n_centroids: every inverted
+    list is probed, so the result is EXACTLY the brute-force top-k (the
+    SQL-checkable setting proving the IVF plumbing loses nothing). The
+    production setting (nprobe ≪ n_centroids) is `ann_ivf`."""
+    from .similarity import ivf_topk
+
+    emb = _T(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids(spark, sf_dir)
+    return ivf_topk(emb, _query_vec(spark, sf_dir), cent, k=20, nprobe=len(cent))
+
+
+@q("ann_ivf", None)  # approximate: no SQL twin (recall vs brute force in pytest)
+def ann_ivf(spark, sf_dir):
+    """IVF approximate cosine top-20 at nprobe=2 of 8 lists — the 100-TB
+    serving shape: with the index materialized (similarity.build_ivf_index)
+    each probe is a partition-pruned scan of ~nprobe/n_centroids of the
+    data. Recall vs brute force asserted in tests/test_similarity.py."""
+    from .similarity import ivf_topk
+
+    emb = _T(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids(spark, sf_dir)
+    return ivf_topk(emb, _query_vec(spark, sf_dir), cent, k=20, nprobe=2)
+
+
 _ND_PLANES = 4  # 16 sub-blocks per label
 _ND_SEED = 7
 

@@ -77,3 +77,87 @@ def test_ann_indexed_matches_unindexed(spark, tmp_path_factory):
     assert a == b
     plan = lsh_topk_indexed(spark, d, q, k=15)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+# --- IVF (inverted-file) coarse quantizer -----------------------------------
+
+
+def test_ivf_exhaustive_equals_bruteforce(spark, emb, emb_np):
+    """nprobe = n_centroids probes every list → exactly the exact top-k."""
+    from es_loaders_spark.similarity import ivf_topk, train_ivf_centroids
+
+    ids, mat = emb_np
+    q = list(mat[ids == 0][0])
+    cent = train_ivf_centroids(emb, n_centroids=8, n_iters=2)
+    exact = [(r["vec_id"], r["cosine"]) for r in cosine_topk(emb, q, k=15).collect()]
+    ivf = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk(emb, q, cent, k=15, nprobe=8).collect()
+    ]
+    assert ivf == exact
+
+
+def test_ivf_recall_and_pruning(spark, emb, emb_np):
+    """nprobe=2 of 8: candidate set is a strict subset; the query's own
+    vector is always found (it sits in its nearest list by construction);
+    recall vs brute force is measured, not assumed."""
+    from es_loaders_spark.similarity import (
+        _assign_udf,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    ids, mat = emb_np
+    q = list(mat[ids == 0][0])
+    cent = train_ivf_centroids(emb, n_centroids=8, n_iters=3)
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    got = ivf_topk(emb, q, cent, k=10, nprobe=2).collect()
+    approx = {r["vec_id"] for r in got}
+    assert 0 in approx
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+    # strict subset scanned: assignment splits the data across ≥ 2 lists
+    n_lists = (
+        emb.withColumn("_l", _assign_udf(cent)(F.col("embedding")))
+        .select("_l").distinct().count()
+    )
+    assert n_lists >= 2
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    from es_loaders_spark.similarity import train_ivf_centroids
+
+    a = train_ivf_centroids(emb, n_centroids=4, n_iters=2)
+    b = train_ivf_centroids(emb, n_centroids=4, n_iters=2)
+    assert np.array_equal(a, b)
+
+
+def test_ivf_indexed_matches_unindexed(spark, emb, tmp_path_factory):
+    """Materialized IVF == on-the-fly, probes served by PartitionFilters
+    on list_id (partition-pruned scan, not a full pass)."""
+    from pyspark.sql import functions as F
+
+    from es_loaders_spark.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        train_ivf_centroids,
+    )
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    d = str(tmp_path_factory.mktemp("ivf_idx"))
+    cent = build_ivf_index(emb, d, n_centroids=8, n_iters=2)
+    cent2 = train_ivf_centroids(emb, n_centroids=8, n_iters=2)
+    assert np.array_equal(cent, cent2)
+    a = [(r["vec_id"], r["cosine"]) for r in ivf_topk(emb, q, cent, k=15, nprobe=2).collect()]
+    b = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk_indexed(spark, d, q, k=15, nprobe=2).collect()
+    ]
+    assert a == b
+    plan = (
+        ivf_topk_indexed(spark, d, q, k=15, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "list_id" in plan
