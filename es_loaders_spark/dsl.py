@@ -14,7 +14,17 @@ Supported surface (each construct cited to a reference call site):
 - ``query.bool`` filter/must/should/must_not (nested)       (mira/elasticsearch.py:104-124)
 - ``query.match``                   → BM25 top-k            (ES default search semantics, SURVEY §2.6 T3)
 - ``query.match_phrase``            → positional phrase     (ES phrase queries; index-served via phrase.py)
-- ``size`` / ``sort``               → limit / orderBy       (mira/elasticsearch.py:45-61)
+- ``size`` / ``sort`` / ``from``    → limit / orderBy / offset (mira/elasticsearch.py:45-61)
+- ``terms`` / ``exists`` / ``match_all`` / ``ids`` / ``prefix`` /
+  ``wildcard``                      → standard ES leaf clauses a
+                                      migrating user keeps using even
+                                      though the reference itself
+                                      composes only term/range/bool
+- ``_source``: [fields]             → projection
+- ``search_after`` + ``sort``       → keyset pagination (a filter on the
+                                      sort key — predicate-pushdown-able,
+                                      unlike from/size which re-sorts and
+                                      discards on every page)
 - ``aggs.stats``                    → min/max/avg/sum/count (mira/elasticsearch.py:15-42)
 - ``aggs.histogram`` (interval, min_doc_count=1), NESTED histogram,
   ``aggs.terms`` (size=n) sub-agg   → floor-bucket groupBy + top-n window
@@ -62,6 +72,29 @@ def filter_expr(query: dict[str, Any]) -> Column:
         return F.col(body["field"]).isNotNull()
     if kind == "match_all":
         return F.lit(True)
+    if kind == "ids":
+        # ES `_id` ≙ the engine's doc_id column
+        return F.col("doc_id").isin([int(v) for v in body["values"]])
+    if kind == "prefix":
+        (field, value), = body.items()
+        if isinstance(value, dict):  # long form {"value": v}
+            value = value["value"]
+        return F.col(field).startswith(str(value))
+    if kind == "wildcard":
+        (field, value), = body.items()
+        if isinstance(value, dict):
+            value = value["value"]
+        # ES wildcard: * = any run, ? = any one char. Escape LIKE's own
+        # metacharacters, then translate.
+        pat = (
+            str(value)
+            .replace("\\", "\\\\")
+            .replace("%", "\\%")
+            .replace("_", "\\_")
+            .replace("*", "%")
+            .replace("?", "_")
+        )
+        return F.col(field).like(pat)
     if kind == "bool":
         out = F.lit(True)
         has_positive = False
@@ -191,7 +224,38 @@ def search(
         # ONE orderBy with all keys: chained orderBy calls each REPLACE the
         # previous Sort, silently keeping only the last field (ADVICE r02)
         out = out.orderBy(*sort_cols)
-    return out.limit(size)
+    after = body.get("search_after")
+    if after is not None:
+        # ES search_after keyset pagination — the scale path (from/size
+        # re-sorts and skips `from` rows on every page; search_after is
+        # a pushdown-able predicate on the sort key). Strictly-after in
+        # lexicographic sort order: (s1 after v1) OR (s1 = v1 AND s2
+        # after v2) OR ...
+        if not sort_cols:
+            raise ValueError("search_after requires a sort")
+        specs = []
+        for s, v in zip(_as_list(body.get("sort")), after):
+            (field, spec), = s.items() if isinstance(s, dict) else ((s, "asc"),)
+            order = spec["order"] if isinstance(spec, dict) else spec
+            specs.append((field, order, v))
+        cond = F.lit(False)
+        eqs = F.lit(True)
+        for field, order, v in specs:
+            col = F.col(field)
+            strict = col < F.lit(v) if order == "desc" else col > F.lit(v)
+            cond = cond | (eqs & strict)
+            eqs = eqs & (col == F.lit(v))
+        out = out.filter(cond)
+    offset = int(body.get("from", 0))
+    if offset:
+        # ES from/size pagination. Deterministic only under a sort, same
+        # as ES itself; Catalyst plans offset+limit as one GlobalLimit.
+        out = out.offset(offset)
+    out = out.limit(size)
+    src = body.get("_source")
+    if isinstance(src, list) and src:
+        out = out.select(*src)
+    return out
 
 
 def count(spark: SparkSession, docs: DataFrame, body: dict | None = None) -> DataFrame:

@@ -314,3 +314,71 @@ def test_delete_by_query_text_term_index_served(spark, documents, tmp_path_facto
     assert n == want > 0
     hits = {r["doc_id"] for r in topk(spark, d, "spark", k=50).collect()}
     assert not hits
+
+
+def test_ids_prefix_wildcard_clauses(spark, documents):
+    """Standard ES leaf clauses beyond the reference's own bodies:
+    ids (≙ doc_id), prefix, wildcard (* / ? translated to LIKE with
+    metacharacter escaping)."""
+    got = {
+        r["doc_id"]
+        for r in dsl.search(
+            spark, documents, {"query": {"ids": {"values": [1, 5, 9]}}, "size": 10}
+        ).collect()
+    }
+    assert got == {1, 5, 9}
+
+    lang0 = documents.first()["lang"]
+    pre = dsl.search(
+        spark, documents,
+        {"query": {"prefix": {"lang": lang0[:1]}}, "size": 100000},
+    ).count()
+    want_pre = documents.filter(F.col("lang").startswith(lang0[:1])).count()
+    assert pre == want_pre > 0
+
+    wc = dsl.search(
+        spark, documents,
+        {"query": {"wildcard": {"lang": f"{lang0[:1]}*"}}, "size": 100000},
+    ).count()
+    assert wc == want_pre
+    # ? = exactly one char
+    q1 = dsl.search(
+        spark, documents,
+        {"query": {"wildcard": {"lang": "?" * len(lang0)}}, "size": 100000},
+    ).count()
+    want_q1 = documents.filter(F.length("lang") == len(lang0)).count()
+    assert q1 == want_q1 > 0
+
+
+def test_from_size_pagination_and_source(spark, documents):
+    """ES from/size pagination under a sort + _source projection: pages
+    tile the sorted stream without overlap."""
+    body = {"sort": [{"doc_id": {"order": "asc"}}], "size": 5, "_source": ["doc_id"]}
+    page1 = [r["doc_id"] for r in dsl.search(spark, documents, body).collect()]
+    page2 = [
+        r["doc_id"]
+        for r in dsl.search(spark, documents, {**body, "from": 5}).collect()
+    ]
+    all_ids = sorted(r["doc_id"] for r in documents.select("doc_id").collect())
+    assert page1 == all_ids[:5]
+    assert page2 == all_ids[5:10]
+    cols = dsl.search(spark, documents, body).columns
+    assert cols == ["doc_id"]
+
+
+def test_search_after_keyset_pagination(spark, documents):
+    """search_after tiles the sorted stream exactly like from/size but as
+    a sort-key predicate (multi-field sort incl. a desc tie-breaker)."""
+    body = {
+        "sort": [{"lang": {"order": "asc"}}, {"doc_id": {"order": "desc"}}],
+        "size": 7,
+    }
+    rows = dsl.search(spark, documents, {**body, "size": 14}).collect()
+    first = dsl.search(spark, documents, body).collect()
+    last = first[-1]
+    nxt = dsl.search(
+        spark, documents, {**body, "search_after": [last["lang"], last["doc_id"]]}
+    ).collect()
+    got = [(r["lang"], r["doc_id"]) for r in first + nxt]
+    want = [(r["lang"], r["doc_id"]) for r in rows]
+    assert got == want
