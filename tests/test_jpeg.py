@@ -139,3 +139,40 @@ def test_frozen_fixture_decode_stable():
 # frozen by the first verified run (see test_frozen_fixture_decode_stable)
 ENCODED_MD5 = "7ae043c56d0b7bffc35c531355408925"
 DECODED_MD5 = "afc9136a9e0ecfba200b197298ff227d"
+
+
+# --- property fuzz (hypothesis) ---------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    sub=st.sampled_from(["444", "420"]),
+    quality=st.integers(30, 100),
+    gray=st.booleans(),
+    restart=st.integers(0, 4),
+)
+def test_roundtrip_any_shape_never_crashes(h, w, seed, sub, quality, gray, restart):
+    """Any size/content/config: encode→decode preserves shape, returns
+    uint8 in range, and raises nothing."""
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (h, w) if gray else (h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(px, quality, restart_interval=restart, subsampling=sub))
+    assert out.shape == (h, w, 1 if gray else 3)
+    assert out.dtype == np.uint8
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_high_quality_psnr_floor(seed):
+    """q=97 4:4:4 round-trip of smooth content stays above 30 dB."""
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 256, (4, 4, 3)).astype(np.float64)
+    # bilinear-ish upsample → smooth field
+    px = np.clip(np.kron(base, np.ones((8, 8, 1))), 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(px, quality=97))
+    assert psnr(out, px) > 30.0
