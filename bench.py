@@ -96,9 +96,15 @@ def build_pipeline(spark, n_pages: int, idx_dir: str, n_shards: int,
     ingest_dir = os.path.join(idx_dir, "ingest")
     docs.write.mode("overwrite").parquet(ingest_dir)
     spark.catalog.clearCache()  # drop the assign_doc_ids persist
+    # align_shards: shards are carved from the ingest scan splits in-task
+    # (chunked sub-shards), so the corpus text NEVER enters a shuffle —
+    # the 100-TB ingest path. Measured ≥ classic locally (A/B 400k pages:
+    # 20.8/21.1 s vs 21.5/26.0 s) and removes the cluster-wide text
+    # exchange entirely at scale. Rank-identity vs classic is pytest-
+    # asserted (test_build_merge.py).
     return build_index(
         spark, spark.read.parquet(ingest_dir), idx_dir, n_shards=n_shards,
-        positions=positions,
+        positions=positions, align_shards=True,
     )
 
 

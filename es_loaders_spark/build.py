@@ -74,6 +74,11 @@ DOCLEN_SCHEMA = T.StructType(
 # drops the first posting of every block (ADVICE r02).
 INDEX_FORMAT = 2
 
+# align_shards sub-shard id space per scan split: shard = split_id * stride
+# + chunk_idx. 4096 chunks × 3k docs ≈ 12M docs per 128MB split — far past
+# any real file; the last chunk absorbs overflow rather than wrapping.
+_ALIGN_STRIDE = 4096
+
 
 def load_stats(index_dir: str) -> dict:
     """Read + validate stats.json. Fails loudly on a stale on-disk format
@@ -259,6 +264,7 @@ def build_index(
     resume: bool = True,
     batch_tag: str | None = None,
     positions: bool = True,
+    align_shards: bool = False,
 ) -> dict:
     """Build the sharded compressed index under ``index_dir``.
 
@@ -274,6 +280,19 @@ def build_index(
     postings themselves); phrase queries on such an index raise a clear
     error (phrase.py). The flag is recorded in stats.json and inherited
     by ``append_documents``.
+
+    ``align_shards=True`` makes each INPUT SPLIT a shard (shard id =
+    scan partition id) and builds postings with ``mapInPandas`` directly
+    over the scan — the corpus' text bytes never enter a shuffle. This
+    is the 100-TB ingest path: the classic mode's ``repartition(shard)``
+    moves the whole corpus across the cluster once before tokenizing;
+    aligned mode moves nothing (the merge stage later operates on the
+    already-compressed postings, orders of magnitude smaller than the
+    text). Shard membership then depends on the input file layout, but
+    every query result is layout-invariant (doc-sorted blocks within a
+    shard + global merge; rank-identity asserted across modes in
+    tests). ``n_shards`` is ignored and replaced by the scan's actual
+    split count.
     """
     cat = ManifestCatalog(index_dir)
     stats_path = os.path.join(index_dir, "stats.json")
@@ -286,9 +305,15 @@ def build_index(
 
     has_dl = "dl" in docs.columns  # precomputed token counts from ingest
     cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
-    docs = docs.select(*cols + ([F.col("dl")] if has_dl else [])).withColumn(
-        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
-    )
+    docs = docs.select(*cols + ([F.col("dl")] if has_dl else []))
+    if align_shards:
+        # shard = scan split; ids assigned per-row at scan time, no shuffle
+        n_shards = docs.rdd.getNumPartitions()
+        docs = docs.withColumn("shard", F.spark_partition_id().cast("int"))
+    else:
+        docs = docs.withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+        )
 
     # --- stage 1: corpus stats — single-row agg; a precomputed `dl` column
     # (written at ingest) makes this a columnar scan with no tokenization ---
@@ -328,26 +353,82 @@ def build_index(
     done = cat.committed_partitions("shards", "postings") if resume else set()
     missing = sorted(set(range(n_shards)) - done)
     if missing:
-        cat.clean_uncommitted("shards")
-        cat.clean_uncommitted("doclens")
+        div = _ALIGN_STRIDE if align_shards else 1
+        cat.clean_uncommitted("shards", id_divisor=div)
+        cat.clean_uncommitted("doclens", id_divisor=div)
         os.makedirs(doclens_dir, exist_ok=True)
         t0 = time.time()
-        built = (
-            docs.select("shard", "doc_id", "text")
-            .filter(F.col("shard").isin(missing))
-            .repartition(len(missing), "shard")
-            .groupBy("shard")
-            .applyInPandas(
-                _build_shard_fn(doclens_dir, positions=positions), INDEX_SCHEMA
+        kernel = _build_shard_fn(doclens_dir, positions=positions)
+        if align_shards:
+            # zero-shuffle path: shards are carved out of each scan split
+            # in-task. A split can be arbitrarily fat (128 MB parquet files
+            # at 100 TB), so the task STREAMS its Arrow batches and cuts a
+            # sub-shard every ALIGN_CHUNK_DOCS docs — kernel group size
+            # stays at the measured sweet spot (~3k docs; a 28k-doc group
+            # regressed 15× under allocator/GC pressure), and task memory
+            # is bounded by one chunk, not the split. Sub-shard id =
+            # split_id * stride + chunk_idx.
+            chunk_docs = int(os.environ.get("SPARK_GRAFT_ALIGN_CHUNK_DOCS", "3000"))
+            stride = _ALIGN_STRIDE
+
+            def _run_partition(batches):
+                buf: list[pd.DataFrame] = []
+                n = 0
+                sub = 0
+
+                def cut(pdf_chunk: pd.DataFrame, sub_idx: int) -> pd.DataFrame:
+                    pid = int(pdf_chunk["shard"].iloc[0])
+                    out = pdf_chunk.assign(shard=pid * stride + sub_idx)
+                    return kernel(out)
+
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    buf.append(pdf)
+                    n += len(pdf)
+                    while n >= chunk_docs:
+                        cat = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+                        if sub >= stride - 1:
+                            # stride exhausted: last sub-shard takes the rest
+                            buf, n = [cat], len(cat)
+                            break
+                        yield cut(cat.iloc[:chunk_docs], sub)
+                        sub += 1
+                        rest = cat.iloc[chunk_docs:]
+                        buf = [rest] if len(rest) else []
+                        n = len(rest)
+                if n:
+                    yield cut(pd.concat(buf, ignore_index=True), sub)
+
+            built = (
+                docs.select("shard", "doc_id", "text")
+                .filter(F.col("shard").isin(missing))
+                .mapInPandas(_run_partition, INDEX_SCHEMA)
             )
-        )
+        else:
+            built = (
+                docs.select("shard", "doc_id", "text")
+                .filter(F.col("shard").isin(missing))
+                .repartition(len(missing), "shard")
+                .groupBy("shard")
+                .applyInPandas(kernel, INDEX_SCHEMA)
+            )
         built.write.partitionBy("shard").mode("append").parquet(shards_dir)
         wall = int((time.time() - t0) * 1000)
+        # manifest/lineage key: classic mode = the shard itself; aligned
+        # mode = the SCAN SPLIT (resume granularity is a split — its
+        # sub-shards land or are cleaned together)
+        key = (
+            F.floor(F.col("shard") / F.lit(_ALIGN_STRIDE)).cast("int")
+            if align_shards
+            else F.col("shard")
+        )
         lineage = {
-            r["shard"]: r
+            r["k"]: r
             for r in spark.read.parquet(shards_dir)
-            .filter(F.col("shard").isin(missing))
-            .groupBy("shard")
+            .withColumn("k", key)
+            .filter(F.col("k").isin(missing))
+            .groupBy("k")
             .agg(
                 F.count_distinct("term").alias("terms"),
                 F.sum(F.when(F.col("block_id") == 0, F.col("df"))).alias("postings"),
@@ -358,10 +439,11 @@ def build_index(
             .collect()
         }
         docs_per_shard = {
-            r["shard"]: r["cnt"]
+            r["k"]: r["cnt"]
             for r in spark.read.parquet(doclens_dir)
-            .filter(F.col("shard").isin(missing))
-            .groupBy("shard")
+            .withColumn("k", key)
+            .filter(F.col("k").isin(missing))
+            .groupBy("k")
             .agg(F.count("*").alias("cnt"))
             .collect()
         }
@@ -379,7 +461,13 @@ def build_index(
                 )
                 for s in missing
             ],
-            props={"n_shards": n_shards, "avgdl": stats["avgdl"], "n_docs": stats["n_docs"]},
+            props={
+                "n_shards": n_shards,
+                "avgdl": stats["avgdl"],
+                "n_docs": stats["n_docs"],
+                "aligned": bool(align_shards),
+                "align_stride": _ALIGN_STRIDE if align_shards else 1,
+            },
         )
         cat.commit(
             "doclens",

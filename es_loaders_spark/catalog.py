@@ -104,18 +104,23 @@ class ManifestCatalog:
         """DROP TABLE IF EXISTS (reference K6: es.indices.delete, ignore 404)."""
         shutil.rmtree(os.path.join(self.root, table), ignore_errors=True)
 
-    def clean_uncommitted(self, table: str, partition_col: str = "shard") -> None:
+    def clean_uncommitted(
+        self, table: str, partition_col: str = "shard", id_divisor: int = 1
+    ) -> None:
         """Remove partition dirs not recorded in the manifest.
 
         Replaces the reference's delete-then-reload guard
         (alhena_cli.py:47-50): a killed build leaves partial partition
         dirs; they are deleted before rebuild so resume is idempotent.
+
+        ``id_divisor``: manifest key = dir value // divisor (the aligned
+        build's sub-shards map back to their scan-split manifest entry).
         """
         committed = self.committed_partitions(table)
         d = self.table_dir(table)
         for name in os.listdir(d):
             if not name.startswith(f"{partition_col}="):
                 continue
-            pid = int(name.split("=", 1)[1])
+            pid = int(name.split("=", 1)[1]) // id_divisor
             if pid not in committed:
                 shutil.rmtree(os.path.join(d, name), ignore_errors=True)

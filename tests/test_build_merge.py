@@ -331,3 +331,48 @@ def test_positions_optout_bm25_identical_phrase_raises(
         .collect()[0]["b"]
     )
     assert pos_bytes2 == 0
+
+
+def test_align_shards_build_matches_classic(spark, documents, tmp_path_factory):
+    """align_shards=True (shard = input split, ZERO corpus shuffle) must be
+    rank-identical to the classic hash-sharded build, produce the same
+    corpus stats, and plan with no Exchange before the posting kernel."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import es_loaders_spark.build as B
+    from es_loaders_spark.build import build_index
+    from es_loaders_spark.wand import topk
+
+    d1 = str(tmp_path_factory.mktemp("cls_idx"))
+    d2 = str(tmp_path_factory.mktemp("aln_idx"))
+    s1 = build_index(spark, documents, d1, n_shards=4, positions=False)
+    s2 = build_index(spark, documents, d2, positions=False, align_shards=True)
+    assert (s1["n_docs"], s1["avgdl"]) == (s2["n_docs"], s2["avgdl"])
+
+    for q in ["spark index data", "the scan", "w0042"]:
+        a = [(r["doc_id"], r["score"]) for r in topk(spark, d1, q, k=12).collect()]
+        b = [(r["doc_id"], r["score"]) for r in topk(spark, d2, q, k=12).collect()]
+        assert a == b, q
+
+    # doclens cover every doc exactly once in both layouts
+    dl1 = spark.read.parquet(f"{d1}/doclens").agg(F.count("*"), F.sum("dl")).first()
+    dl2 = spark.read.parquet(f"{d2}/doclens").agg(F.count("*"), F.sum("dl")).first()
+    assert tuple(dl1) == tuple(dl2)
+
+    # the aligned stage plan carries no shuffle
+    src = documents.select("doc_id", "text").withColumn(
+        "shard", F.spark_partition_id().cast("int")
+    )
+    kern = B._build_shard_fn(None, positions=False)
+
+    def run(batches):
+        pdfs = [x for x in batches if len(x)]
+        if pdfs:
+            yield kern(pd.concat(pdfs, ignore_index=True))
+
+    plan = (
+        src.mapInPandas(run, B.INDEX_SCHEMA)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
