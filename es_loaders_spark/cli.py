@@ -34,6 +34,11 @@ def main(argv: list[str] | None = None) -> None:
         "--no-positions", action="store_true",
         help="BM25-only index: skip positional payloads (phrase queries unavailable)",
     )
+    b.add_argument(
+        "--align-shards", action="store_true",
+        help="zero-shuffle build: shards carved from input scan splits "
+        "in-task (corpus text never shuffles; --shards ignored)",
+    )
 
     a = sub.add_parser("append", help="append a new document generation")
     a.add_argument("--input", required=True, help="parquet dir of (doc_id, text)")
@@ -93,6 +98,7 @@ def main(argv: list[str] | None = None) -> None:
             n_shards=args.shards,
             resume=not args.no_resume,
             positions=not args.no_positions,
+            align_shards=args.align_shards,
         )
         print(json.dumps({"built": args.index_dir, **stats}))
     elif args.cmd == "append":
