@@ -12,11 +12,18 @@ Re-expresses the capabilities of the reference repo ``shahcompbio/es-loaders``
 - ``build``      partition-local index build with lineage/metrics checkpointing
 - ``merge``      global sort-merge of postings with hot-term salting
 - ``wand``       block-max WAND top-k query engine over the compressed index
+- ``phrase``     index-backed positional phrase queries
+- ``deletes``    tombstone deletes, live-docs filtering, compaction
+- ``dsl``        ES Query-DSL adapter (the reference's verbatim JSON bodies)
+- ``catalog``    Iceberg-shaped manifest catalog (atomic snapshot commits)
+- ``sources``    HTTP CSV / REST-JSON driver fetch → distributed read; glob scans
 - ``queries``    the reference's ETL/aggregation operator surface (SURVEY §2)
 - ``dedup``      exact / MinHash-LSH / SimHash / n-gram-Jaccard deduplication
-- ``similarity`` brute-force + LSH-bucketed cosine ANN over embeddings
+- ``similarity`` brute-force, LSH-bucketed and IVF cosine ANN over embeddings
 - ``textstats``  language-ID, quality scoring, token counting, fingerprinting
-- ``multimodal`` binary media columns with stubbed decoders, real Spark plumbing
+- ``jpeg``       baseline JPEG codec (pure numpy/stdlib)
+- ``multimodal`` binary media columns; real PPM/PNG/JPEG/WAV codecs (video stubbed)
+- ``streaming``  watermarked windowed aggs; exactly-once index appends
 """
 
 __version__ = "0.1.0"
