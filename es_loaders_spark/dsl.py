@@ -288,6 +288,46 @@ def _aggs(base: DataFrame, aggs: dict[str, Any], group_cols: list | None = None)
             F.min(f).alias("min"), F.max(f).alias("max"), F.avg(f).alias("avg"),
             F.sum(f).alias("sum"), F.count(f).alias("count"),
         )
+    # single-metric aggs (standard ES surface beyond the reference's bodies)
+    metrics = {
+        "avg": F.avg,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "value_count": F.count,
+    }
+    for m, fn in metrics.items():
+        if m in spec:
+            return base.agg(fn(spec[m]["field"]).alias("value"))
+    if "cardinality" in spec:
+        # ES cardinality is HLL-approximate; at scale use
+        # approx_count_distinct (same sketch family). Exact here so the
+        # result is deterministic and oracle-checkable — swap via
+        # {"cardinality": {"field": f, "approx": true}}.
+        c = spec["cardinality"]
+        fn = F.approx_count_distinct if c.get("approx") else F.count_distinct
+        return base.agg(fn(c["field"]).alias("value"))
+    if "date_histogram" in spec:
+        h = spec["date_histogram"]
+        field = h["field"]
+        iv = h.get("calendar_interval") or h.get("fixed_interval") or h["interval"]
+        unit = {
+            "minute": "minute", "1m": "minute",
+            "hour": "hour", "1h": "hour",
+            "day": "day", "1d": "day",
+            "week": "week", "month": "month", "quarter": "quarter",
+            "year": "year", "1y": "year",
+        }.get(iv)
+        if unit is None:
+            raise ValueError(f"unsupported date_histogram interval {iv!r}")
+        bucket = F.date_trunc(unit, F.col(field)).alias(f"{name}_key")
+        sub = spec.get("aggs")
+        grouped = base.withColumn(f"{name}_key", bucket)
+        if sub:
+            return _aggs(grouped, sub, group_cols + [f"{name}_key"])
+        return grouped.groupBy(*group_cols, f"{name}_key").agg(
+            F.count(F.lit(1)).alias("doc_count")
+        )
     if "histogram" in spec:
         h = spec["histogram"]
         field, interval = h["field"], h["interval"]

@@ -382,3 +382,52 @@ def test_search_after_keyset_pagination(spark, documents):
     got = [(r["lang"], r["doc_id"]) for r in first + nxt]
     want = [(r["lang"], r["doc_id"]) for r in rows]
     assert got == want
+
+
+def test_metric_aggs_and_cardinality(spark, events):
+    """Single-metric aggs (avg/sum/min/max/value_count/cardinality) —
+    standard ES metric aggregations."""
+    got = dsl.search(spark, events, {"aggs": {"a": {"avg": {"field": "value"}}}}).first()["value"]
+    want = events.agg(F.avg("value")).first()[0]
+    assert abs(got - want) < 1e-9
+
+    got = dsl.search(
+        spark, events, {"aggs": {"c": {"cardinality": {"field": "event_type"}}}}
+    ).first()["value"]
+    want = events.select("event_type").distinct().count()
+    assert got == want
+
+    got = dsl.search(
+        spark, events,
+        {"query": {"term": {"event_type": "click"}},
+         "aggs": {"n": {"value_count": {"field": "event_id"}}}},
+    ).first()["value"]
+    want = events.filter(F.col("event_type") == "click").count()
+    assert got == want
+
+
+def test_date_histogram_agg(spark, events):
+    """ES date_histogram (calendar_interval: day) → date_trunc buckets,
+    with a nested terms sub-agg like the reference's histogram nesting."""
+    out = dsl.search(
+        spark, events,
+        {"aggs": {"by_day": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}}},
+    )
+    got = {(r["by_day_key"], r["doc_count"]) for r in out.collect()}
+    want = {
+        (r["k"], r["n"])
+        for r in events.groupBy(F.date_trunc("day", "ts").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and len(got) > 1
+
+    nested = dsl.search(
+        spark, events,
+        {"aggs": {"by_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"top_type": {"terms": {"field": "event_type", "size": 1}}},
+        }}},
+    )
+    rows = nested.collect()
+    assert len(rows) == len(want)  # one winner per day bucket
+    assert set(nested.columns) == {"by_day_key", "event_type", "doc_count"}
