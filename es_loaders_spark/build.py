@@ -386,12 +386,14 @@ def build_index(
                         continue
                     buf.append(pdf)
                     n += len(pdf)
-                    while n >= chunk_docs:
+                    if sub >= stride - 1:
+                        # stride exhausted (pathological >stride*chunk split):
+                        # the final sub-shard absorbs the remainder — keep
+                        # APPENDING and concat once at flush (a concat per
+                        # batch over the growing tail would be O(n²) copy)
+                        continue
+                    while n >= chunk_docs and sub < stride - 1:
                         cat = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-                        if sub >= stride - 1:
-                            # stride exhausted: last sub-shard takes the rest
-                            buf, n = [cat], len(cat)
-                            break
                         yield cut(cat.iloc[:chunk_docs], sub)
                         sub += 1
                         rest = cat.iloc[chunk_docs:]

@@ -84,26 +84,47 @@ def filter_expr(query: dict[str, Any]) -> Column:
         (field, value), = body.items()
         if isinstance(value, dict):
             value = value["value"]
-        # ES wildcard: * = any run, ? = any one char. Escape LIKE's own
-        # metacharacters, then translate.
-        pat = (
-            str(value)
-            .replace("\\", "\\\\")
-            .replace("%", "\\%")
-            .replace("_", "\\_")
-            .replace("*", "%")
-            .replace("?", "_")
-        )
-        return F.col(field).like(pat)
+        # ES wildcard: * = any run, ? = any one char, backslash escapes a
+        # literal * / ? / \. Translate char-by-char so escapes survive and
+        # LIKE's own metacharacters (% _ \) are escaped.
+        out_chars = []
+        chars = iter(str(value))
+        for ch in chars:
+            if ch == "\\":
+                nxt = next(chars, None)
+                if nxt is None:
+                    out_chars.append("\\\\")
+                elif nxt in ("*", "?"):
+                    out_chars.append(nxt)  # escaped wildcard → literal
+                elif nxt == "\\":
+                    out_chars.append("\\\\")
+                else:
+                    out_chars.append("\\\\")
+                    out_chars.append("\\" + nxt if nxt in ("%", "_") else nxt)
+            elif ch == "*":
+                out_chars.append("%")
+            elif ch == "?":
+                out_chars.append("_")
+            elif ch in ("%", "_"):
+                out_chars.append("\\" + ch)
+            else:
+                out_chars.append(ch)
+        return F.col(field).like("".join(out_chars))
     if kind == "bool":
+        # ES two-valued match semantics: a clause over a missing/NULL field
+        # simply DOESN'T MATCH. Spark predicates are three-valued (NULL
+        # propagates), so every sub-clause is coalesced to false before
+        # negation/counting — otherwise must_not wrongly drops NULL-field
+        # rows (~NULL = NULL) and msm counts go NULL-poisoned.
+        matches = lambda sub: F.coalesce(filter_expr(sub), F.lit(False))  # noqa: E731
         out = F.lit(True)
         has_positive = False
         for clause in ("filter", "must"):
             for sub in _as_list(body.get(clause)):
-                out = out & filter_expr(sub)
+                out = out & matches(sub)
                 has_positive = True
         for sub in _as_list(body.get("must_not")):
-            out = out & ~filter_expr(sub)
+            out = out & ~matches(sub)
         shoulds = _as_list(body.get("should"))
         if shoulds:
             # ES default: minimum_should_match is 1 when should stands
@@ -114,12 +135,12 @@ def filter_expr(query: dict[str, Any]) -> Column:
             if msm == 1:
                 any_of = F.lit(False)
                 for sub in shoulds:
-                    any_of = any_of | filter_expr(sub)
+                    any_of = any_of | matches(sub)
                 out = out & any_of
             elif msm > 1:  # n-of-m: count satisfied should clauses
                 cnt = F.lit(0)
                 for sub in shoulds:
-                    cnt = cnt + filter_expr(sub).cast("int")
+                    cnt = cnt + matches(sub).cast("int")
                 out = out & (cnt >= F.lit(msm))
         return out
     raise ValueError(f"unsupported query clause: {kind!r}")
@@ -180,6 +201,24 @@ def search(
     scoring, filters = _split_scoring(body.get("query"))
     size = int(body.get("size", 10))
     if scoring is not None:
+        if body.get("sort") or body.get("search_after") is not None:
+            # ES would sort ALL matching docs by the sort key (relevance
+            # discarded); that is a filter query here, not a top-k — fail
+            # loudly rather than return a silently mis-ordered page
+            raise ValueError(
+                "sort/search_after with a scoring (match) query is not "
+                "supported — use a filter query with sort, or take the "
+                "relevance-ranked page via from/size"
+            )
+        offset = int(body.get("from", 0))
+
+        def page(scored: DataFrame) -> DataFrame:
+            out = scored.offset(offset) if offset else scored
+            src = body.get("_source")
+            if isinstance(src, list) and src:
+                out = out.select(*src)
+            return out
+
         (kind, sub), = scoring.items()
         (field, text), = sub.items()
         if isinstance(text, dict):
@@ -191,12 +230,12 @@ def search(
 
             hits = phrase_docs(spark, index_dir, text)
             out = docs.join(hits, id_col, "left_semi").filter(filter_expr(filters))
-            return out.limit(size)
-        # match → BM25 top-k
+            return page(out.limit(offset + size))
+        # match → BM25 top-k (deep enough for the requested page)
         if index_dir is not None and not filters:
             from .wand import topk
 
-            return topk(spark, index_dir, text, k=size)
+            return page(topk(spark, index_dir, text, k=offset + size))
         from .bm25 import bm25_topk
         from .postings import corpus_stats, doc_lengths, postings_long, term_df
 
@@ -212,7 +251,11 @@ def search(
                 F.col(id_col).alias("doc_id")
             )
             cand = p.join(allowed.hint("broadcast"), "doc_id", "left_semi")
-        return bm25_topk(spark, cand, dl, term_df(p), corpus_stats(dl), text, k=size)
+        return page(
+            bm25_topk(
+                spark, cand, dl, term_df(p), corpus_stats(dl), text, k=offset + size
+            )
+        )
 
     out = docs.filter(filter_expr(filters))
     sort_cols = []

@@ -231,7 +231,18 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → HxWxC uint8 (C = 1 gray, 3 RGB)."""
+    """Baseline JFIF bytes → HxWxC uint8 (C = 1 gray, 3 RGB).
+
+    Malformed/truncated headers raise ValueError (like the PNG/PPM
+    decoders), so a corrupt media row fails its document, not the task.
+    """
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error) as e:  # truncated stream mid-header
+        raise ValueError(f"malformed JPEG stream: {e}") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2

@@ -304,15 +304,21 @@ class _WarmIndex:
     - ``stats``: parsed stats.json.
 
     Invalidation is by snapshot identity: (stats.json mtime+size, deletes
-    manifest version, merged manifest version). Any append / delete /
-    compact changes one of these files atomically, so a stale cache can
-    never serve (catalog.py commit discipline). Scale note: the cache
-    holds DataFrames (cluster memory via .persist), never driver-side
-    rows — the same pattern works on a 1000-executor cluster, where it
-    is exactly Lucene/ES keeping segment readers open between searches.
+    manifest version). Any append / delete / compact rewrites stats.json
+    or the deletes manifest atomically, so a stale cache can never serve
+    (catalog.py commit discipline); nothing merged-table-derived is
+    cached here — if that ever changes, the merged manifest must join
+    the token. Scale note: the cache holds DataFrames (cluster memory
+    via .persist), never driver-side rows — the same pattern works on a
+    1000-executor cluster, where it is exactly Lucene/ES keeping segment
+    readers open between searches. At most ``_MAX_WARM`` indexes stay
+    warm; beyond that the least-recently-used entry is unpersisted
+    (long-lived sessions serving many indexes would otherwise pin every
+    index's doclens in cluster memory forever).
     """
 
     _by_dir: dict[str, "_WarmIndex"] = {}
+    _MAX_WARM = 8
 
     def __init__(self, spark: SparkSession, index_dir: str, token: tuple):
         from .build import read_generations
@@ -392,17 +398,25 @@ class _WarmIndex:
             stamp(os.path.join(index_dir, "deletes", "_manifest.json")),
         )
 
+    def _unpersist(self) -> None:
+        self.dls.unpersist()
+        self.dls_serve.unpersist()
+        self.terms.unpersist()
+
     @classmethod
     def get(cls, spark: SparkSession, index_dir: str) -> "_WarmIndex":
         key = os.path.abspath(index_dir)
         token = cls._snapshot_token(index_dir)
         cached = cls._by_dir.get(key)
         if cached is not None and cached.token == token:
+            cls._by_dir[key] = cls._by_dir.pop(key)  # LRU touch (dict order)
             return cached
         if cached is not None:
-            cached.dls.unpersist()
-            cached.dls_serve.unpersist()
-            cached.terms.unpersist()
+            cached._unpersist()
+            del cls._by_dir[key]
+        while len(cls._by_dir) >= cls._MAX_WARM:
+            oldest = next(iter(cls._by_dir))
+            cls._by_dir.pop(oldest)._unpersist()
         warm = cls(spark, index_dir, token)
         cls._by_dir[key] = warm
         return warm
@@ -522,6 +536,17 @@ def _serve_partition_fn(gen_dirs: list[str], term_dfs: dict[str, int],
         pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
+        # serving does direct POSIX reads of the index files (the Lucene
+        # model: each searcher opens its local segments). If NO generation
+        # root is visible from this task, the index path isn't shared
+        # storage — fail loudly instead of silently returning empty top-k
+        # (mode="cogroup" serves non-POSIX stores through Catalyst scans).
+        if not any(os.path.exists(root) for root in gen_dirs):
+            raise FileNotFoundError(
+                f"index generations not visible from executor: {gen_dirs}; "
+                "serve mode needs the index on shared storage — use "
+                'topk(..., mode="cogroup") otherwise'
+            )
         for shard, g in pdf.groupby("shard", sort=False):
             parts = []
             for root in gen_dirs:

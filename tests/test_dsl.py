@@ -431,3 +431,73 @@ def test_date_histogram_agg(spark, events):
     rows = nested.collect()
     assert len(rows) == len(want)  # one winner per day bucket
     assert set(nested.columns) == {"by_day_key", "event_type", "doc_count"}
+
+
+def test_must_not_includes_null_field_rows(spark):
+    """ES: must_not matches docs whose field is missing/NULL (the clause
+    can't match there). Spark's three-valued NOT must not drop them."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], "id long, category string"
+    )
+    got = {
+        r["id"]
+        for r in dsl.search(
+            spark, df,
+            {"query": {"bool": {"must_not": {"term": {"category": "x"}}}}, "size": 10},
+        ).collect()
+    }
+    assert got == {2, 3}  # NULL row included, as in ES
+
+
+def test_minimum_should_match_null_clause_not_poisoned(spark):
+    """A should clause over a NULL field counts as 0, not NULL."""
+    df = spark.createDataFrame(
+        [(1, None, 2, 3), (2, 1, 9, 9)], "id long, a long, b long, c long"
+    )
+    body = {
+        "query": {"bool": {
+            "should": [{"term": {"a": 1}}, {"term": {"b": 2}}, {"term": {"c": 3}}],
+            "minimum_should_match": 2,
+        }},
+        "size": 10,
+    }
+    got = {r["id"] for r in dsl.search(spark, df, body).collect()}
+    assert got == {1}  # row 1: b,c match (a NULL→0); row 2: only a matches
+
+
+def test_wildcard_escaped_literals(spark):
+    r"""ES \* and \? are literal; LIKE metacharacters in data don't act."""
+    df = spark.createDataFrame(
+        [(1, "a*b"), (2, "axb"), (3, "a%b"), (4, "aXb")], "id long, s string"
+    )
+    got = {r["id"] for r in dsl.search(
+        spark, df, {"query": {"wildcard": {"s": "a\\*b"}}, "size": 10}).collect()}
+    assert got == {1}  # escaped * is literal
+    got = {r["id"] for r in dsl.search(
+        spark, df, {"query": {"wildcard": {"s": "a%b"}}, "size": 10}).collect()}
+    assert got == {3}  # % in the pattern is literal, not LIKE-any
+    got = {r["id"] for r in dsl.search(
+        spark, df, {"query": {"wildcard": {"s": "a?b"}}, "size": 10}).collect()}
+    assert got == {1, 2, 3, 4}  # ? matches any single char
+
+
+def test_match_respects_from_and_source(spark, documents):
+    """BM25 page 2 = ranked hits [5, 10) with _source projection."""
+    full = dsl.search(
+        spark, documents, {"query": {"match": {"text": "spark data"}}, "size": 10}
+    ).collect()
+    page2 = dsl.search(
+        spark, documents,
+        {"query": {"match": {"text": "spark data"}}, "from": 5, "size": 5,
+         "_source": ["doc_id"]},
+    ).collect()
+    assert [r["doc_id"] for r in page2] == [r["doc_id"] for r in full[5:]]
+    assert list(page2[0].asDict()) == ["doc_id"]
+
+
+def test_match_with_sort_raises(spark, documents):
+    with pytest.raises(ValueError, match="sort"):
+        dsl.search(
+            spark, documents,
+            {"query": {"match": {"text": "spark"}}, "sort": [{"doc_id": "asc"}]},
+        )

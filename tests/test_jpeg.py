@@ -176,3 +176,14 @@ def test_high_quality_psnr_floor(seed):
     px = np.clip(np.kron(base, np.ones((8, 8, 1))), 0, 255).astype(np.uint8)
     out = decode_jpeg(encode_jpeg(px, quality=97))
     assert psnr(out, px) > 30.0
+
+
+def test_truncated_stream_raises_valueerror():
+    """Header truncation anywhere must surface as ValueError (the media
+    pipeline's malformed-payload contract), never IndexError."""
+    full = encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), quality=90)
+    for cut in [3, 5, 9, 20, len(full) // 2]:
+        with pytest.raises(ValueError):
+            decode_jpeg(full[:cut] + b"\xFF")  # ends in a dangling marker byte
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xFF\xD8\xFF")

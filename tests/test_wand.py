@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -209,3 +211,28 @@ def test_merged_kernel_prunes_blocks(spark, documents, tmp_path_factory):
     # block-max kernel (not the exhaustive scorer) ran over merged rows
     assert metrics["decoded"] <= metrics["total"], metrics
     assert metrics["scored"] < metrics["postings"], metrics
+
+
+def test_warm_index_cache_is_bounded(spark, tmp_path_factory):
+    """_WarmIndex evicts LRU beyond _MAX_WARM (no unbounded persist leak)."""
+    from es_loaders_spark.build import build_index
+    from es_loaders_spark.wand import _WarmIndex, topk
+
+    dirs = []
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(30)], "doc_id long, text string"
+    )
+    old_max = _WarmIndex._MAX_WARM
+    _WarmIndex._MAX_WARM = 2
+    try:
+        for i in range(3):
+            d = str(tmp_path_factory.mktemp(f"warm{i}"))
+            build_index(spark, docs, d, n_shards=2, positions=False)
+            topk(spark, d, "alpha", k=3).collect()
+            dirs.append(os.path.abspath(d))
+        assert len(_WarmIndex._by_dir) <= 2
+        assert dirs[0] not in _WarmIndex._by_dir  # oldest evicted
+        # evicted index still queryable (re-warms on demand)
+        assert topk(spark, dirs[0], "alpha", k=3).count() == 3
+    finally:
+        _WarmIndex._MAX_WARM = old_max
