@@ -355,16 +355,14 @@ class _WarmIndex:
             live.repartition(serve_parts, "shard").persist()
         )
         self.dls_serve.count()  # materialize now; queries hit the cache
-        # pre-sorted by the cogroup key: the cached plan's
-        # outputPartitioning AND outputOrdering both satisfy the cogroup's
-        # requirements — a warm batch neither shuffles nor re-sorts the
-        # corpus doclens
-        self.dls = (
-            live.repartition(batch_parts, "shard")
-            .sortWithinPartitions("shard")
-            .persist()
-        )
-        self.dls.count()
+        # batch (cogroup) layout built LAZILY on the first batch query —
+        # a cold interactive query pays only the serve layout. Pre-sorted
+        # by the cogroup key: the cached plan's outputPartitioning AND
+        # outputOrdering both satisfy the cogroup's requirements, so a
+        # warm batch neither shuffles nor re-sorts the corpus doclens.
+        self._live = live
+        self._batch_parts = batch_parts
+        self._dls = None
         self.terms = (
             spark.read.parquet(os.path.join(index_dir, "terms")).persist()
         )
@@ -398,8 +396,20 @@ class _WarmIndex:
             stamp(os.path.join(index_dir, "deletes", "_manifest.json")),
         )
 
+    @property
+    def dls(self):
+        if self._dls is None:
+            self._dls = (
+                self._live.repartition(self._batch_parts, "shard")
+                .sortWithinPartitions("shard")
+                .persist()
+            )
+            self._dls.count()
+        return self._dls
+
     def _unpersist(self) -> None:
-        self.dls.unpersist()
+        if self._dls is not None:
+            self._dls.unpersist()
         self.dls_serve.unpersist()
         self.terms.unpersist()
 
