@@ -91,16 +91,17 @@ def filter_expr(query: dict[str, Any]) -> Column:
         chars = iter(str(value))
         for ch in chars:
             if ch == "\\":
+                # Lucene WILDCARD_ESCAPE: backslash makes the NEXT char
+                # literal, whatever it is
                 nxt = next(chars, None)
                 if nxt is None:
                     out_chars.append("\\\\")
-                elif nxt in ("*", "?"):
-                    out_chars.append(nxt)  # escaped wildcard → literal
                 elif nxt == "\\":
                     out_chars.append("\\\\")
+                elif nxt in ("%", "_"):
+                    out_chars.append("\\" + nxt)
                 else:
-                    out_chars.append("\\\\")
-                    out_chars.append("\\" + nxt if nxt in ("%", "_") else nxt)
+                    out_chars.append(nxt)
             elif ch == "*":
                 out_chars.append("%")
             elif ch == "?":
@@ -216,6 +217,14 @@ def search(
             out = scored.offset(offset) if offset else scored
             src = body.get("_source")
             if isinstance(src, list) and src:
+                missing = [c for c in src if c not in scored.columns]
+                if missing:
+                    # _source asks for document fields the scorer doesn't
+                    # carry (topk returns doc_id+score): join them back,
+                    # re-establishing the relevance order the join loses
+                    out = out.join(docs, id_col)
+                    if "score" in scored.columns:
+                        out = out.orderBy(F.desc("score"), F.asc(id_col))
                 out = out.select(*src)
             return out
 
@@ -230,7 +239,10 @@ def search(
 
             hits = phrase_docs(spark, index_dir, text)
             out = docs.join(hits, id_col, "left_semi").filter(filter_expr(filters))
-            return page(out.limit(offset + size))
+            # deterministic paging: order by doc_id (ES orders phrase hits
+            # by score; an unordered limit/offset would give overlapping /
+            # skipping pages across jobs)
+            return page(out.orderBy(id_col).limit(offset + size))
         # match → BM25 top-k (deep enough for the requested page)
         if index_dir is not None and not filters:
             from .wand import topk
@@ -311,27 +323,7 @@ def _aggs(base: DataFrame, aggs: dict[str, Any], group_cols: list | None = None)
     """Compile an aggs dict. Nested histogram▸histogram▸terms supported
     exactly as the reference composes it (mira_loader.py:262-319)."""
     group_cols = group_cols or []
-    if len(aggs) > 1 and all("stats" in a for a in aggs.values()):
-        # parallel stats aggs in one pass (get_bin_sizes shape)
-        exprs = []
-        for name, spec in aggs.items():
-            f = spec["stats"]["field"]
-            exprs += [
-                F.min(f).alias(f"{name}_min"),
-                F.max(f).alias(f"{name}_max"),
-                F.avg(f).alias(f"{name}_avg"),
-                F.sum(f).alias(f"{name}_sum"),
-                F.count(f).alias(f"{name}_count"),
-            ]
-        return base.agg(*exprs)
-    (name, spec), = aggs.items()
-    if "stats" in spec:
-        f = spec["stats"]["field"]
-        return base.agg(
-            F.min(f).alias("min"), F.max(f).alias("max"), F.avg(f).alias("avg"),
-            F.sum(f).alias("sum"), F.count(f).alias("count"),
-        )
-    # single-metric aggs (standard ES surface beyond the reference's bodies)
+
     metrics = {
         "avg": F.avg,
         "sum": F.sum,
@@ -339,17 +331,50 @@ def _aggs(base: DataFrame, aggs: dict[str, Any], group_cols: list | None = None)
         "max": F.max,
         "value_count": F.count,
     }
-    for m, fn in metrics.items():
-        if m in spec:
-            return base.agg(fn(spec[m]["field"]).alias("value"))
-    if "cardinality" in spec:
-        # ES cardinality is HLL-approximate; at scale use
-        # approx_count_distinct (same sketch family). Exact here so the
-        # result is deterministic and oracle-checkable — swap via
-        # {"cardinality": {"field": f, "approx": true}}.
-        c = spec["cardinality"]
-        fn = F.approx_count_distinct if c.get("approx") else F.count_distinct
-        return base.agg(fn(c["field"]).alias("value"))
+
+    def leaf_exprs(name: str, spec: dict, multi: bool) -> list | None:
+        """Aliased agg expressions for a stats/metric/cardinality leaf
+        (None if the spec is a bucketing agg). Sibling aggs get
+        name-prefixed aliases; a lone agg keeps the bare ES names."""
+        if "stats" in spec:
+            f = spec["stats"]["field"]
+            p = f"{name}_" if multi else ""
+            return [
+                F.min(f).alias(f"{p}min"), F.max(f).alias(f"{p}max"),
+                F.avg(f).alias(f"{p}avg"), F.sum(f).alias(f"{p}sum"),
+                F.count(f).alias(f"{p}count"),
+            ]
+        for m, fn in metrics.items():
+            if m in spec:
+                alias = f"{name}_value" if multi else "value"
+                return [fn(spec[m]["field"]).alias(alias)]
+        if "cardinality" in spec:
+            # ES cardinality is HLL-approximate; at scale use
+            # approx_count_distinct (same sketch family). Exact here so
+            # the result is deterministic and oracle-checkable — swap via
+            # {"cardinality": {"field": f, "approx": true}}.
+            c = spec["cardinality"]
+            fn = F.approx_count_distinct if c.get("approx") else F.count_distinct
+            alias = f"{name}_value" if multi else "value"
+            return [fn(c["field"]).alias(alias)]
+        return None
+
+    # any number of sibling stats/metric/cardinality aggs → ONE pass
+    # (the reference's get_bin_sizes parallel-stats shape, generalized);
+    # honors group_cols so metric sub-aggs nested under histogram /
+    # date_histogram aggregate PER BUCKET, not globally
+    per = {n: leaf_exprs(n, s, len(aggs) > 1) for n, s in aggs.items()}
+    if all(v is not None for v in per.values()):
+        flat = [e for v in per.values() for e in v]
+        if group_cols:
+            return base.groupBy(*group_cols).agg(*flat)
+        return base.agg(*flat)
+    if len(aggs) > 1:
+        raise ValueError(
+            "sibling aggs are supported only for stats/metric leaves; "
+            f"got {sorted(aggs)}"
+        )
+    (name, spec), = aggs.items()
     if "date_histogram" in spec:
         h = spec["date_histogram"]
         field = h["field"]

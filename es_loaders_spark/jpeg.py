@@ -238,8 +238,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """
     try:
         return _decode_jpeg(payload)
-    except (IndexError, struct.error) as e:  # truncated stream mid-header
-        raise ValueError(f"malformed JPEG stream: {e}") from e
+    except (IndexError, struct.error, KeyError, ZeroDivisionError) as e:
+        # truncated stream, dangling table selector, zeroed sampling byte —
+        # every corrupt-header shape surfaces as the one contract error
+        raise ValueError(f"malformed JPEG stream: {e!r}") from e
 
 
 def _decode_jpeg(payload: bytes) -> np.ndarray:

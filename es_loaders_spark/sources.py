@@ -62,7 +62,13 @@ def read_json_url(spark: SparkSession, url: str, records_key: str | None = None)
         payload = payload[records_key]
     if isinstance(payload, dict):
         payload = [payload]
-    return spark.createDataFrame(payload)
+    # spark.read.json over a parallelized string RDD: cluster-safe (rows
+    # ship with the job, no driver-local path) AND keeps read.json's
+    # inference — all-null fields become string columns and nested
+    # objects become STRUCTs (createDataFrame(list[dict]) raised on
+    # all-null fields and inferred maps instead)
+    lines = spark.sparkContext.parallelize([json.dumps(r) for r in payload])
+    return spark.read.json(lines)
 
 
 def read_parquet_glob(spark: SparkSession, pattern: str) -> DataFrame:

@@ -501,3 +501,59 @@ def test_match_with_sort_raises(spark, documents):
             spark, documents,
             {"query": {"match": {"text": "spark"}}, "sort": [{"doc_id": "asc"}]},
         )
+
+
+def test_metric_sub_agg_respects_buckets(spark, events):
+    """A metric sub-agg nested under date_histogram aggregates PER
+    BUCKET (was: collapsed to one global row, bucket key dropped)."""
+    out = dsl.search(
+        spark, events,
+        {"aggs": {"by_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"m": {"avg": {"field": "value"}}},
+        }}},
+    )
+    got = {(r["by_day_key"], round(r["value"], 6)) for r in out.collect()}
+    want = {
+        (r["k"], round(r["v"], 6))
+        for r in events.groupBy(F.date_trunc("day", "ts").alias("k"))
+        .agg(F.avg("value").alias("v")).collect()
+    }
+    assert got == want and len(got) > 1
+
+
+def test_sibling_metric_aggs_one_pass(spark, events):
+    """Two sibling metric aggs in one body → one row with name-prefixed
+    values (was: ValueError unpack crash)."""
+    row = dsl.search(
+        spark, events,
+        {"aggs": {"a": {"avg": {"field": "value"}}, "b": {"max": {"field": "value"}}}},
+    ).first()
+    want_a = events.agg(F.avg("value")).first()[0]
+    want_b = events.agg(F.max("value")).first()[0]
+    assert abs(row["a_value"] - want_a) < 1e-9 and row["b_value"] == want_b
+
+
+def test_wildcard_backslash_escapes_any_char(spark):
+    r"""Lucene WILDCARD_ESCAPE: \x is literal x for ANY x (incl. %)."""
+    df = spark.createDataFrame(
+        [(1, "a%b"), (2, "a\\%b"), (3, "axb")], "id long, s string"
+    )
+    got = {r["id"] for r in dsl.search(
+        spark, df, {"query": {"wildcard": {"s": "a\\%b"}}, "size": 10}).collect()}
+    assert got == {1}  # escaped % = literal percent, no backslash retained
+
+
+def test_match_source_with_document_fields(spark, documents):
+    """_source naming real document fields on a match query joins them
+    back in relevance order (was: AnalysisException)."""
+    rows = dsl.search(
+        spark, documents,
+        {"query": {"match": {"text": "spark data"}}, "size": 5,
+         "_source": ["doc_id", "lang"]},
+    ).collect()
+    ranked = dsl.search(
+        spark, documents, {"query": {"match": {"text": "spark data"}}, "size": 5}
+    ).collect()
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in ranked]
+    assert set(rows[0].asDict()) == {"doc_id", "lang"}

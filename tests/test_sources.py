@@ -69,3 +69,20 @@ def test_read_parquet_glob(spark, sf_dir, tmp_path):
     a = whole.agg(F.sum("doc_id")).first()[0]
     b = globbed.agg(F.sum("doc_id")).first()[0]
     assert a == b
+
+
+def test_read_json_url_all_null_and_nested(spark, tmp_path):
+    """read.json inference semantics survive the cluster-safe path:
+    all-null fields become string columns (no raise), nested objects
+    become STRUCTs, not maps."""
+    p = tmp_path / "n.json"
+    p.write_text(json.dumps([
+        {"a": 1, "b": None, "meta": {"x": 1, "y": "s"}},
+        {"a": 2, "b": None, "meta": {"x": 2, "y": "t"}},
+    ]))
+    df = read_json_url(spark, f"file://{p}")
+    assert df.count() == 2
+    kinds = dict(df.dtypes)
+    assert kinds["b"] == "string"           # all-null → string, no crash
+    assert kinds["meta"].startswith("struct")  # struct, not map
+    assert df.select("meta.x").rdd.map(lambda r: r[0]).sum() == 3
