@@ -47,22 +47,35 @@ def normalize(rows):
     return sorted(out)
 
 
-ALL = sorted(entrymod.queries())
+from es_loaders_spark.queries import EXTRA_ORACLES, EXTRA_QUERIES
+
+# Driver-facing entries PLUS retired twins (EXTRA_QUERIES): the driver gate
+# caps at 50 entries, so the twins keep their oracle check here only.
+ALL = sorted(entrymod.queries()) + sorted(EXTRA_QUERIES)
+
+
+def _lookup(name):
+    if name in EXTRA_QUERIES:
+        return EXTRA_QUERIES[name], EXTRA_ORACLES.get(name)
+    return entrymod.queries()[name], entrymod.oracle_sql().get(name)
 
 
 @pytest.mark.parametrize("name", ALL)
 def test_query_matches_oracle(spark, sf_dir, duck, name):
-    q = entrymod.queries()[name]
+    q, _ = _lookup(name)
     df = q(spark, sf_dir)
-    got_cols = [c.lower() for c in df.columns]
+    # Case-SENSITIVE names: the driver's compare sorts columns by exact name
+    # before hashing, so a case mismatch (pivot `F` vs oracle `f`) is a real
+    # failure — do not normalize it away here.
+    got_cols = list(df.columns)
     got = [tuple(r[c] for c in df.columns) for r in df.collect()]
 
-    oracle = entrymod.oracle_sql().get(name)
+    _, oracle = _lookup(name)
     if oracle is None:
         assert len(got) >= 0  # rows-only check (driver's weaker gate)
         return
     res = duck.execute(oracle)
-    want_cols = [d[0].lower() for d in res.description]
+    want_cols = [d[0] for d in res.description]
     want = res.fetchall()
 
     assert got_cols == want_cols, f"{name}: column names differ"
@@ -72,6 +85,32 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     g = normalize([tuple(r[i] for i in order) for r in got])
     w = normalize([tuple(r[i] for i in order) for r in want])
     assert g == w, f"{name}: values differ; first spark={g[:2]} duck={w[:2]}"
+
+
+def test_registry_fits_driver_cap():
+    """The driver's correctness gate ran exactly 50 of 53 r3 entries —
+    it caps at 50. Every unique operator must fit so each gets a row;
+    twins live in EXTRA_QUERIES (local gate only)."""
+    qs = entrymod.queries()
+    assert len(qs) <= 50, f"{len(qs)} queries() entries exceed the driver's 50-row cap"
+    for must in ("ann_ivf_exhaustive", "ann_ivf", "embedding_near_dups",
+                 "minhash_lsh_dups_fast", "pivot_wide"):
+        assert must in qs
+    # oracle keys must be a subset of query keys (driver joins by name)
+    assert set(entrymod.oracle_sql()) <= set(qs)
+
+
+def test_gate_rejects_case_mismatched_alias(spark, sf_dir, duck):
+    """Regression for the r2/r3 pivot_wide mask: the compare must be
+    case-SENSITIVE on column names, exactly like the driver's."""
+    df = entrymod.queries()["pivot_wide"](spark, sf_dir)
+    assert df.columns == ["o_orderpriority", "f", "o", "p"]
+    miscased = df.toDF("o_orderpriority", "F", "O", "P")
+    res = duck.execute(entrymod.oracle_sql()["pivot_wide"])
+    want_cols = [d[0] for d in res.description]
+    assert [c for c in miscased.columns] != want_cols, (
+        "gate failed to distinguish column-name case"
+    )
 
 
 def test_entry_smoke(spark):
