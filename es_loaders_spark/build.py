@@ -449,6 +449,23 @@ def build_index(
             .agg(F.count("*").alias("cnt"))
             .collect()
         }
+        if align_shards and len(missing) == n_shards:
+            # Guard against plan/runtime partition-count divergence: shard ids
+            # come from spark_partition_id() at EXECUTION time, but n_shards
+            # was read from the plan in a separate action. If the runtime scan
+            # produced more partitions (AQE coalesce flipped off, dynamic
+            # file-split changes), rows in partitions >= n_shards would be
+            # silently dropped by the isin(missing) filter while stats.n_docs
+            # still counts them — fail loudly instead (ADVICE r03 #1).
+            built_docs = sum(docs_per_shard.values())
+            if built_docs != stats["n_docs"]:
+                raise RuntimeError(
+                    f"aligned build indexed {built_docs} docs but corpus stats "
+                    f"counted {stats['n_docs']}: the scan's runtime partition "
+                    f"count diverged from the planned shard count ({n_shards}). "
+                    "Input layout must be stable across actions; rebuild with "
+                    "align_shards=False or re-run on a settled input."
+                )
         cat.commit(
             "shards",
             [

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def filter_expr(query: dict[str, Any]) -> Column:
+def filter_expr(query: dict[str, Any], id_col: str = "doc_id") -> Column:
     """Compile a DSL filter-context query dict to a boolean Column."""
     if not query:
         return F.lit(True)
@@ -73,8 +73,9 @@ def filter_expr(query: dict[str, Any]) -> Column:
     if kind == "match_all":
         return F.lit(True)
     if kind == "ids":
-        # ES `_id` ≙ the engine's doc_id column
-        return F.col("doc_id").isin([int(v) for v in body["values"]])
+        # ES `_id` ≙ the engine's configured id column (ADVICE r03 #2:
+        # was hard-coded doc_id, breaking tables with a different id col)
+        return F.col(id_col).isin([int(v) for v in body["values"]])
     if kind == "prefix":
         (field, value), = body.items()
         if isinstance(value, dict):  # long form {"value": v}
@@ -117,7 +118,7 @@ def filter_expr(query: dict[str, Any]) -> Column:
         # propagates), so every sub-clause is coalesced to false before
         # negation/counting — otherwise must_not wrongly drops NULL-field
         # rows (~NULL = NULL) and msm counts go NULL-poisoned.
-        matches = lambda sub: F.coalesce(filter_expr(sub), F.lit(False))  # noqa: E731
+        matches = lambda sub: F.coalesce(filter_expr(sub, id_col), F.lit(False))  # noqa: E731
         out = F.lit(True)
         has_positive = False
         for clause in ("filter", "must"):
@@ -196,7 +197,7 @@ def search(
     (``size: 0`` bodies, as the reference always uses for aggs).
     """
     if "aggs" in body:
-        base = docs.filter(filter_expr(body.get("query", {})))
+        base = docs.filter(filter_expr(body.get("query", {}), id_col))
         return _aggs(base, body["aggs"])
 
     scoring, filters = _split_scoring(body.get("query"))
@@ -238,7 +239,7 @@ def search(
             from .phrase import phrase_docs
 
             hits = phrase_docs(spark, index_dir, text)
-            out = docs.join(hits, id_col, "left_semi").filter(filter_expr(filters))
+            out = docs.join(hits, id_col, "left_semi").filter(filter_expr(filters, id_col))
             # deterministic paging: order by doc_id (ES orders phrase hits
             # by score; an unordered limit/offset would give overlapping /
             # skipping pages across jobs)
@@ -259,7 +260,7 @@ def search(
         dl = doc_lengths(docs.select(id_col, text_col))
         cand = p
         if filters:
-            allowed = docs.filter(filter_expr(filters)).select(
+            allowed = docs.filter(filter_expr(filters, id_col)).select(
                 F.col(id_col).alias("doc_id")
             )
             cand = p.join(allowed.hint("broadcast"), "doc_id", "left_semi")
@@ -269,7 +270,7 @@ def search(
             )
         )
 
-    out = docs.filter(filter_expr(filters))
+    out = docs.filter(filter_expr(filters, id_col))
     sort_cols = []
     for s in _as_list(body.get("sort")):
         (field, spec), = s.items() if isinstance(s, dict) else ((s, "asc"),)
@@ -288,6 +289,14 @@ def search(
         # after v2) OR ...
         if not sort_cols:
             raise ValueError("search_after requires a sort")
+        if len(after) != len(sort_cols):
+            # ES rejects this request; a silent zip-truncate would weaken
+            # the keyset predicate and duplicate rows across pages
+            # (ADVICE r03 #3)
+            raise ValueError(
+                f"search_after has {len(after)} values but sort has "
+                f"{len(sort_cols)} keys — they must match"
+            )
         specs = []
         for s, v in zip(_as_list(body.get("sort")), after):
             (field, spec), = s.items() if isinstance(s, dict) else ((s, "asc"),)
@@ -313,10 +322,15 @@ def search(
     return out
 
 
-def count(spark: SparkSession, docs: DataFrame, body: dict | None = None) -> DataFrame:
+def count(
+    spark: SparkSession,
+    docs: DataFrame,
+    body: dict | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
     """``es.count`` analogue → one-row DataFrame (n bigint)."""
     q = (body or {}).get("query", {})
-    return docs.filter(filter_expr(q)).agg(F.count(F.lit(1)).alias("n"))
+    return docs.filter(filter_expr(q, id_col)).agg(F.count(F.lit(1)).alias("n"))
 
 
 def _aggs(base: DataFrame, aggs: dict[str, Any], group_cols: list | None = None) -> DataFrame:
@@ -367,7 +381,12 @@ def _aggs(base: DataFrame, aggs: dict[str, Any], group_cols: list | None = None)
     if all(v is not None for v in per.values()):
         flat = [e for v in per.values() for e in v]
         if group_cols:
-            return base.groupBy(*group_cols).agg(*flat)
+            # metric sub-aggs nested under a bucketing agg: ES always
+            # reports per-bucket doc_count alongside the sub-agg values
+            # (ADVICE r03 #4 — consumers read bucket.doc_count)
+            return base.groupBy(*group_cols).agg(
+                *flat, F.count(F.lit(1)).alias("doc_count")
+            )
         return base.agg(*flat)
     if len(aggs) > 1:
         raise ValueError(
@@ -465,7 +484,7 @@ def delete_by_query(
             "delete_by_query needs the documents table for non-text filters "
             f"(got {q!r}); pass docs= or use a term filter on {text_col!r}"
         )
-    ids = docs.filter(filter_expr(q)).select(F.col(id_col).alias("doc_id"))
+    ids = docs.filter(filter_expr(q, id_col)).select(F.col(id_col).alias("doc_id"))
     return delete_ids(spark, index_dir, ids)
 
 

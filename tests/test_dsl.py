@@ -366,6 +366,33 @@ def test_from_size_pagination_and_source(spark, documents):
     assert cols == ["doc_id"]
 
 
+def test_ids_clause_respects_id_col(spark, documents):
+    """ids must resolve against the configured id column, not a
+    hard-coded doc_id (ADVICE r03 #2)."""
+    renamed = documents.withColumnRenamed("doc_id", "page_id")
+    got = {
+        r["page_id"]
+        for r in dsl.search(
+            spark, renamed,
+            {"query": {"ids": {"values": [2, 4]}}, "size": 10},
+            id_col="page_id",
+        ).collect()
+    }
+    assert got == {2, 4}
+
+
+def test_search_after_arity_mismatch_rejected(spark, documents):
+    """ES rejects search_after whose length differs from the sort key
+    count; a silent zip-truncate would overlap pages (ADVICE r03 #3)."""
+    body = {
+        "sort": [{"lang": {"order": "asc"}}, {"doc_id": {"order": "desc"}}],
+        "search_after": ["en"],  # one value, two sort keys
+        "size": 5,
+    }
+    with pytest.raises(ValueError, match="search_after"):
+        dsl.search(spark, documents, body)
+
+
 def test_search_after_keyset_pagination(spark, documents):
     """search_after tiles the sorted stream exactly like from/size but as
     a sort-key predicate (multi-field sort incl. a desc tie-breaker)."""
@@ -513,12 +540,13 @@ def test_metric_sub_agg_respects_buckets(spark, events):
             "aggs": {"m": {"avg": {"field": "value"}}},
         }}},
     )
-    got = {(r["by_day_key"], round(r["value"], 6)) for r in out.collect()}
+    got = {(r["by_day_key"], round(r["value"], 6), r["doc_count"]) for r in out.collect()}
     want = {
-        (r["k"], round(r["v"], 6))
+        (r["k"], round(r["v"], 6), r["n"])
         for r in events.groupBy(F.date_trunc("day", "ts").alias("k"))
-        .agg(F.avg("value").alias("v")).collect()
+        .agg(F.avg("value").alias("v"), F.count(F.lit(1)).alias("n")).collect()
     }
+    # ES always reports per-bucket doc_count next to metric sub-aggs
     assert got == want and len(got) > 1
 
 
