@@ -18,9 +18,10 @@ Decode status (VERDICT r01 item 9 — real decode for real formats):
   video frames only.
 - **audio/WAV (PCM16)**: REAL pure-numpy RIFF chunk walker → int16
   sample matrix (n_samples × channels).
-- **video**: STUB behind an import-guard — the container ships no
-  video codec libs; the frame-sampling SCHEDULE and all Spark plumbing
-  are real.
+- **video/MJPEG-AVI**: REAL encoder + decoder — Motion-JPEG frames
+  (jpeg.py) in a conformant RIFF/AVI container (fourcc 'MJPG'); frame
+  sampling entropy-decodes only the scheduled frames. No stubs remain
+  (VERDICT r03 #5).
 
 Design notes for 100 TB: media bytes dominate row size, so stages
 ``select`` only (id, media) before the UDF (column pruning keeps Arrow
@@ -29,8 +30,6 @@ bounds per-batch memory; feature outputs are small fixed-width arrays.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -291,24 +290,126 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples.reshape(-1, channels), int(sample_rate)
 
 
-# --- stub for formats the container cannot decode ---------------------------
+# --- MJPEG-AVI video codec — pure numpy/stdlib, real bytes ------------------
+#
+# Motion-JPEG in a minimal-but-conformant AVI (RIFF) container: the same
+# chunk discipline as WAV above, frames encoded with the baseline JPEG
+# codec (jpeg.py). This is a REAL public format (video fourcc 'MJPG');
+# players (ffplay, VLC) open these payloads. Closes the last decode stub
+# (VERDICT r03 #5): every media kind in the table now round-trips real
+# bytes with no codec libs in the container.
 
 
-def _decode_compressed_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Video-frame decode. STUB: no codec libs in this container (PPM,
-    PNG and baseline JPEG are all decoded for real — see
-    :func:`decode_image`).
+def encode_mjpeg_avi(
+    frames: list[np.ndarray], fps: int = 30, quality: int = 90
+) -> bytes:
+    """list of (h, w, 3) uint8 frames → MJPEG AVI bytes."""
+    import struct
 
-    Real deployments wire PyAV/torchvision here. The deterministic
-    fake derives pixels from the payload hash so pipelines stay testable.
-    """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError:
-        digest = hashlib.sha256(payload).digest()
-        base = np.frombuffer(digest, dtype=np.uint8).astype(np.float64)
-        return np.resize(base, (height, width, 3))
-    raise NotImplementedError("real compressed-image decode not wired here")
+    from .jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    jpegs = []
+    for fr in frames:
+        if fr.shape[:2] != (h, w):
+            raise ValueError("all frames must share one size")
+        jpegs.append(encode_jpeg(fr, quality=quality, subsampling="420"))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    n = len(jpegs)
+    max_bytes = max(len(j) for j in jpegs)
+    # MainAVIHeader: µs/frame, max bytes/sec, pad, flags(HASINDEX),
+    # frames, initial, streams, bufsize, w, h, reserved[4]
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<IIIIIIIIII4I",
+            1_000_000 // fps, max_bytes * fps, 0, 0x10, n, 0, 1, max_bytes,
+            w, h, 0, 0, 0, 0,
+        ),
+    )
+    # AVIStreamHeader: fccType 'vids', handler 'MJPG', ... rate/scale=fps,
+    # length=n frames, frame rect
+    strh = chunk(
+        b"strh",
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIiI4H", 0, 0, 0, 0, 1, fps, 0, n, max_bytes,
+                      -1, 0, 0, 0, w, h),
+    )
+    # BITMAPINFOHEADER with biCompression 'MJPG'
+    strf = chunk(
+        b"strf",
+        struct.pack("<IiiHH", 40, w, h, 1, 24) + b"MJPG"
+        + struct.pack("<IiiII", w * h * 3, 0, 0, 0, 0),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    # idx1: one entry per frame (fourcc, flags=KEYFRAME, offset, size);
+    # offsets are relative to the start of the 'movi' list data and step
+    # over each chunk's header + word-aligned body
+    idx_entries = []
+    off = 4
+    for j in jpegs:
+        idx_entries.append(b"00dc" + struct.pack("<III", 0x10, off, len(j)))
+        off += 8 + len(j) + (len(j) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _avi_frame_chunks(payload: bytes) -> list[bytes]:
+    """Walk the RIFF tree and return the raw JPEG bytes of each video
+    frame ('00dc'/'00db' chunks inside the 'movi' list), in order."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    frames: list[bytes] = []
+
+    def walk(i: int, end: int) -> None:
+        while i + 8 <= end:
+            cid = payload[i : i + 4]
+            (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            if cid == b"LIST":
+                walk(i + 12, i + 8 + size)
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(payload[i + 8 : i + 8 + size].rstrip(b"\x00"))
+            i += 8 + size + (size & 1)
+
+    walk(12, len(payload))
+    return frames
+
+
+def decode_mjpeg_avi(
+    payload: bytes, frame_indices: list[int] | None = None
+) -> list[np.ndarray]:
+    """MJPEG AVI → list of (h, w, 3) uint8 frames.
+
+    ``frame_indices`` decodes ONLY the requested frames (the container
+    walk is O(total bytes) but entropy decode — the expensive part —
+    runs per selected frame only; this is what frame SAMPLING relies on
+    to stay cheap at scale)."""
+    from .jpeg import decode_jpeg
+
+    chunks = _avi_frame_chunks(payload)
+    if frame_indices is None:
+        return [decode_jpeg(c) for c in chunks]
+    return [decode_jpeg(chunks[i]) for i in frame_indices]
+
+
+def video_n_frames(payload: bytes) -> int:
+    """Frame count from the container chunk walk (no entropy decode)."""
+    return len(_avi_frame_chunks(payload))
 
 
 # --- synthetic media table (REAL payload bytes for ppm/wav) -----------------
@@ -340,7 +441,16 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             samples = (rng.randn(sr // 100, 1) * 3000).astype(np.int16)
             payload = encode_wav(samples, sr)
         else:
-            payload = rng.bytes(256 + (i % 5) * 64)
+            # REAL video bytes: small MJPEG-AVI clips (frame count kept in
+            # meta.n_frames and verifiable from the container itself)
+            n_frames = 4 + i % 3
+            vw, vh = 16, 16
+            frames = [
+                rng.randint(0, 256, size=(vh, vw, 3), dtype=np.uint8)
+                for _ in range(n_frames)
+            ]
+            payload = encode_mjpeg_avi(frames, fps=10)
+            w, h = vw, vh
         rows.append((i, kind, bytearray(payload), (w, h, sr, n_frames)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -384,7 +494,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                     samples, sr = decode_wav(b)
                     feats.append(_audio_features(samples, sr))
                 else:
-                    arr = _decode_compressed_image(b, meta["width"], meta["height"])
+                    # video: features from the FIRST frame (real decode);
+                    # per-frame features go through extract_frames
+                    (arr,) = decode_mjpeg_avi(b, frame_indices=[0])
                     feats.append(_image_features(arr))
             yield pd.DataFrame(
                 {
@@ -428,10 +540,10 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """video rows → (media_id, frame_idx) frame-sampling plan (metadata only).
+    """video rows → (media_id, frame_idx) frame-sampling plan.
 
-    Frame extraction itself is a decode stub; the sampling schedule is
-    real Catalyst (explode over a sequence — no Python).
+    The sampling schedule is pure Catalyst (explode over a sequence — no
+    Python); :func:`extract_frames` materializes the scheduled frames.
     """
     return (
         media.filter(F.col("kind") == "video")
@@ -440,5 +552,48 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.explode(
                 F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
             ).alias("frame_idx"),
+        )
+    )
+
+
+def extract_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """video rows → (media_id, frame_idx, payload PNG, width, height):
+    REAL frame extraction from the MJPEG-AVI payloads.
+
+    Per row, only the SCHEDULED frames are entropy-decoded (the container
+    walk to locate frame chunks is cheap); each sampled frame re-encodes
+    as PNG so downstream image stages (features, resize) consume it
+    directly. Arrow-batched mapInPandas, media bytes pruned to the video
+    rows before the UDF.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, payloads, ws, hs = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                chunks = _avi_frame_chunks(b)
+                sel = list(range(0, len(chunks), every_n))
+                for i, arr in zip(sel, decode_mjpeg_avi(b, frame_indices=sel)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    payloads.append(encode_png(arr))
+                    hs.append(arr.shape[0])
+                    ws.append(arr.shape[1])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "payload": payloads,
+                    "width": ws,
+                    "height": hs,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(
+            run, "media_id long, frame_idx int, payload binary, width int, height int"
         )
     )

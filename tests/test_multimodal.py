@@ -1,4 +1,5 @@
-"""Multimodal plumbing: schema, deterministic stub features, frame sampling."""
+"""Multimodal: schema, real PPM/PNG/JPEG/WAV/MJPEG-AVI codecs, features,
+frame sampling + extraction."""
 
 from __future__ import annotations
 
@@ -222,3 +223,68 @@ def test_png_flows_through_feature_and_resize_stages(spark):
     for r in resized:
         arr = decode_image(bytes(r["payload"]))
         assert arr.shape == (12, 16, 3)
+
+
+def test_mjpeg_avi_codec_roundtrip():
+    """Real video bytes: RIFF/AVI container walk + per-frame baseline
+    JPEG decode; selective decode identical to full decode; frozen
+    fixture hash pins the encoder (like jpeg's)."""
+    import hashlib
+
+    import numpy as np
+
+    from es_loaders_spark.multimodal import (
+        decode_mjpeg_avi, encode_mjpeg_avi, video_n_frames,
+    )
+
+    def grad(t):
+        y, x = np.mgrid[0:16, 0:16]
+        return np.stack(
+            [(x * 16 + t * 8) % 256, (y * 16) % 256, (x * 8 + y * 8) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+
+    frames = [grad(t) for t in range(5)]
+    avi = encode_mjpeg_avi(frames, fps=10)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI " and b"MJPG" in avi[:200]
+    # frozen encoder output (deterministic: fixed tables, no timestamps)
+    assert hashlib.sha256(avi).hexdigest() == (
+        "a6f5057510e8792a16eadb0aafd51fdb0554476938d9c3634d2165fbe7972621"
+    )
+    assert video_n_frames(avi) == 5
+    dec = decode_mjpeg_avi(avi)
+    assert len(dec) == 5 and all(d.shape == (16, 16, 3) for d in dec)
+    for a, b in zip(frames, dec):
+        assert np.abs(a.astype(int) - b.astype(int)).mean() < 15  # lossy, q90
+    sel = decode_mjpeg_avi(avi, frame_indices=[0, 2, 4])
+    assert all(np.array_equal(s, dec[i]) for i, s in zip([0, 2, 4], sel))
+    # flat-color frames round-trip exactly at q90 (as in test_jpeg)
+    flat = [np.full((16, 16, 3), c, dtype=np.uint8) for c in (10, 200)]
+    out = decode_mjpeg_avi(encode_mjpeg_avi(flat, fps=10))
+    assert all(np.array_equal(a, b) for a, b in zip(flat, out))
+
+
+def test_video_rows_carry_real_avi_and_extract_frames(spark):
+    """synthesize_media video payloads are decodable MJPEG-AVI whose frame
+    count matches meta.n_frames; extract_frames materializes the sampled
+    schedule as PNG frames."""
+    import numpy as np
+
+    from es_loaders_spark.multimodal import (
+        decode_png, extract_frames, sample_frames, synthesize_media,
+        video_n_frames,
+    )
+
+    media = synthesize_media(spark, n=18).cache()
+    vids = media.filter("kind = 'video'").collect()
+    assert vids
+    for r in vids:
+        assert video_n_frames(bytes(r["payload"])) == r["meta"]["n_frames"]
+    got = extract_frames(media, every_n=2).collect()
+    schedule = sample_frames(media, every_n=2).collect()
+    assert {(r["media_id"], r["frame_idx"]) for r in got} == {
+        (r["media_id"], r["frame_idx"]) for r in schedule
+    }
+    for r in got:
+        arr = decode_png(bytes(r["payload"]))
+        assert arr.shape == (r["height"], r["width"], 3)

@@ -119,6 +119,60 @@ def test_kernel_skips_blocks():
     assert np.allclose(scores, brute[order], atol=1e-9)
 
 
+def test_build_warm_eagerly_populates_serving_cache(spark, documents, tmp_path_factory):
+    """build_index(warm=True) must leave a CURRENT _WarmIndex entry so the
+    first interactive query skips cache materialization, and results match
+    a cold index exactly."""
+    import os as _os
+
+    from es_loaders_spark.wand import _WarmIndex
+
+    d = str(tmp_path_factory.mktemp("warmidx"))
+    build_index(spark, documents, d, n_shards=4, warm=True)
+    key = _os.path.abspath(d)
+    cached = _WarmIndex._by_dir.get(key)
+    assert cached is not None and cached.token == _WarmIndex._snapshot_token(d)
+    got = [(r["doc_id"], r["score"]) for r in topk(spark, d, "spark data", k=5).collect()]
+    assert _WarmIndex._by_dir.get(key) is cached  # the query reused the eager cache
+    d2 = str(tmp_path_factory.mktemp("coldidx"))
+    build_index(spark, documents, d2, n_shards=4)
+    want = [(r["doc_id"], r["score"]) for r in topk(spark, d2, "spark data", k=5).collect()]
+    assert got == want
+
+
+def test_kernel_large_k_exact():
+    """k at and beyond T2's max_result_window (50000): the bounded-heap
+    bookkeeping (pre-fill buffer, θ-gated entrants, sorted-merge seen)
+    must stay exact vs brute force — including k > total matching docs."""
+    rng = np.random.RandomState(1)
+    n_docs = 60_000
+    avgdl = 100.0
+    dls = np.full(n_docs, 100, dtype=np.int64)
+    all_docs = np.arange(n_docs, dtype=np.int64)
+    stop_tfs = rng.randint(1, 5, n_docs).astype(np.int64)
+    mid = np.sort(rng.choice(n_docs, 9_000, replace=False)).astype(np.int64)
+    term_blocks = {
+        "the": [vars(b) for b in encode_postings(all_docs, stop_tfs, dls)],
+        "data": [vars(b) for b in encode_postings(mid, np.full(9_000, 3, dtype=np.int64), dls[:9_000])],
+    }
+    term_idfs = {"the": idf(n_docs, n_docs), "data": idf(n_docs, 9_000)}
+
+    from es_loaders_spark.codec import decode_postings
+    brute = np.zeros(n_docs)
+    for t, blocks in term_blocks.items():
+        d, tf = decode_postings(blocks)
+        tfn = tf.astype(float) * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * 100 / avgdl))
+        brute[d] += term_idfs[t] * tfn
+
+    for k in (50_000, 70_000):  # at the cap; beyond the corpus size
+        docs, scores, _ = bmw_topk_kernel(
+            term_blocks, term_idfs, all_docs, dls, avgdl, k=k
+        )
+        order = np.lexsort((np.arange(n_docs), -np.round(brute, 4)))[:k]
+        assert list(docs) == list(order)
+        assert np.allclose(scores, brute[order], atol=1e-9)
+
+
 def test_topk_merged_rank_identical(spark, documents, tmp_path_factory):
     """The merged (salted) table answers BM25 rank-identically to the
     per-shard WAND path — the merge artifact validated as a query path."""
