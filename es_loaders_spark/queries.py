@@ -1248,17 +1248,64 @@ def ann_ivf_exhaustive(spark, sf_dir):
     return ivf_topk(emb, _query_vec(spark, sf_dir), cent, k=20, nprobe=len(cent))
 
 
-@q("ann_ivf", None)  # approximate: no SQL twin (recall vs brute force in pytest)
+def _ivf_fixed_oracle_sql(
+    k: int = 20, n_lists: int = 8, nprobe: int = 2, seed: int = 11, dim: int = 64
+) -> str:
+    """DuckDB twin of similarity.ivf_topk_fixed: the seeded unit
+    centroids serialize as literals; assignment = first-max of the
+    per-list dots (list_position ↔ numpy argmax ties), probes = top-2
+    lists by query-centroid dot. All arithmetic in DOUBLE with the same
+    sequential fold order as the Spark side."""
+    from .similarity import fixed_ivf_centroids
+
+    cents = fixed_ivf_centroids(dim, n_lists, seed)
+    lits = [_plane_sql_literal(c) for c in cents]
+    dots = ", ".join(f"round(list_dot_product(v, {c}), 9)" for c in lits)
+    qsims = "\n       UNION ALL ".join(
+        f"SELECT {i} AS list_id, round(list_dot_product((SELECT qv FROM q), {c}), 9) AS sim"
+        for i, c in enumerate(lits)
+    )
+    return f"""WITH e AS (
+       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+     ), asg AS (
+       SELECT vec_id, v,
+              list_position([{dots}], list_max([{dots}])) - 1 AS list_id
+       FROM e
+     ), q AS (
+       SELECT v AS qv FROM e WHERE vec_id = 0
+     ), qs AS (
+       {qsims}
+     ), probes AS (
+       SELECT list_id FROM qs ORDER BY sim DESC, list_id ASC LIMIT {nprobe}
+     )
+     SELECT vec_id,
+            round(list_cosine_similarity(v, (SELECT qv FROM q)), 4) AS cosine
+     FROM asg
+     WHERE list_id IN (SELECT list_id FROM probes)
+     ORDER BY cosine DESC, vec_id ASC LIMIT {k}"""
+
+
+@q("ann_ivf", None)  # oracle attached below (generated SQL)
 def ann_ivf(spark, sf_dir):
     """IVF approximate cosine top-20 at nprobe=2 of 8 lists — the 100-TB
-    serving shape: with the index materialized (similarity.build_ivf_index)
-    each probe is a partition-pruned scan of ~nprobe/n_centroids of the
-    data. Recall vs brute force asserted in tests/test_similarity.py."""
-    from .similarity import ivf_topk
+    serving shape: each probe scans ~nprobe/n_lists of the data (with the
+    index materialized, similarity.build_ivf_index, a partition-pruned
+    scan). Runs the FIXED seeded quantizer (similarity.ivf_topk_fixed):
+    assignment is pure Catalyst and the whole approximate pipeline —
+    assignment, probe selection, pruned scoring — is recomputed by the
+    DuckDB oracle from the serialized centroids (r4: upgraded from the
+    r3 rows-only check). The trained k-means quantizer remains the
+    production path, covered by tests/test_similarity.py (nprobe=all ≡
+    brute force; recall at nprobe=2; partition-pruned indexed probes)."""
+    from .similarity import fixed_ivf_centroids, ivf_topk_fixed
 
     emb = _T(spark, sf_dir, "embeddings")
-    cent = _ivf_centroids(spark, sf_dir)
-    return ivf_topk(emb, _query_vec(spark, sf_dir), cent, k=20, nprobe=2)
+    dim = len(_query_vec(spark, sf_dir))
+    cent = fixed_ivf_centroids(dim, n_lists=8, seed=11)
+    return ivf_topk_fixed(emb, _query_vec(spark, sf_dir), cent, k=20, nprobe=2)
+
+
+ORACLES["ann_ivf"] = _ivf_fixed_oracle_sql()
 
 
 _ND_PLANES = 4  # 16 sub-blocks per label

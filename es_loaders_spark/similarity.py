@@ -225,6 +225,67 @@ def train_ivf_centroids(
     return centroids
 
 
+def fixed_ivf_centroids(dim: int, n_lists: int = 8, seed: int = 11) -> np.ndarray:
+    """Seeded, data-INDEPENDENT unit centroids (rounded to 6 decimals so
+    they serialize as exact SQL literals). A random spherical code is a
+    legitimate coarse quantizer (worse list balance than trained k-means,
+    same probe/prune structure); being data-free it can be baked into a
+    static DuckDB oracle — the trained k-means quantizer stays the
+    production path (train_ivf_centroids / build_ivf_index)."""
+    rng = np.random.RandomState(seed)
+    return np.round(_normalize_rows(rng.normal(size=(n_lists, dim))), 6)
+
+
+def ivf_assign_col(vec_col, centroids: np.ndarray):
+    """Pure-Catalyst nearest-centroid assignment (NO Python in the plan).
+
+    Centroids are unit vectors, so argmax dot == argmax cosine. Dots are
+    computed in double (sequential fold — the same IEEE op order as the
+    SQL twin's list_dot_product over CAST(... AS DOUBLE[])), rounded to
+    9 decimals; argmax = first position of the max (ties to the lowest
+    list id, matching numpy argmax and DuckDB list_position)."""
+    vec = F.transform(vec_col, lambda x: x.cast("double"))
+    dots = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(w)) for w in c]),
+                        lambda x, w: x * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                9,
+            )
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_topk_fixed(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate cosine top-k over the FIXED quantizer — assignment
+    and probe selection both SQL-reproducible (oracle-gated end to end)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    sims = np.round(centroids.astype(np.float64) @ q, 9)
+    order = np.lexsort((np.arange(len(sims)), -sims))
+    probes = [int(i) for i in order[:nprobe]]
+    assigned = df.withColumn("_list", ivf_assign_col(F.col(vec_col), centroids))
+    return cosine_topk(
+        assigned.filter(F.col("_list").isin(probes)), query_vec, k, id_col, vec_col
+    )
+
+
 def _probe_lists(query_vec: list[float], centroids: np.ndarray, nprobe: int) -> list[int]:
     qn = _normalize_rows(np.asarray(query_vec, dtype=np.float64)[None, :])[0]
     sims = _normalize_rows(centroids.astype(np.float64)) @ qn
