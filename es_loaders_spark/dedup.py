@@ -9,10 +9,11 @@ Scale-first designs (the 100 TB rationale, per operator):
   Zipf-head shingles exactly like the hot-term merge (merge.py), so the
   blocking key is restricted before the self-join; full Jaccard is then
   computed only for candidates.
-- **MinHash+LSH**: H universal-hash minima per doc (one aggregation over
-  exploded shingles — no per-doc Python), banded into B buckets; docs
-  sharing a band-bucket are candidates (classic banding; band join is the
-  only shuffle).
+- **MinHash+LSH**: H universal-hash minima per doc, computed row-local
+  over the shingle ARRAY (array_min ∘ transform — no explode, no
+  per-doc Python, ZERO shuffle for signatures), banded into B buckets;
+  docs sharing a band-bucket are candidates (classic banding; the band
+  join is the only shuffle in the whole pipeline).
 - **SimHash**: 64-bit fingerprint from per-token md5 bits, weighted by tf;
   near-dups = equal fingerprints (or Hamming ≤ r via bit-band blocking).
 
@@ -167,25 +168,46 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<long>) MinHash signatures over word shingles.
 
-    Shingle → 64-bit int via xxhash64 (JVM) — or the md5-based
-    :func:`portable_hash60` when ``portable`` (DuckDB-reproducible; the
-    driver's oracle gate) — then H affine universal hashes mod a Mersenne
-    prime; per-doc minima via one groupBy with map-side partial
-    aggregation. No Python UDF anywhere.
+    ZERO-shuffle: the per-doc shingle set stays an ARRAY column (never
+    exploded), each shingle is hashed ONCE into ``_xs`` (xxhash64 JVM-side
+    — or the md5-based :func:`portable_hash60` when ``portable``, the
+    DuckDB-reproducible form the driver's oracle gate uses), and each of
+    the H affine universal hashes mod a Mersenne prime is an
+    ``array_min(transform(...))`` over that array — pure per-row Catalyst,
+    embarrassingly parallel at 100 TB. The hashed array is a separate
+    projection so CollapseProject keeps it evaluated once per row, not
+    once per hash function (non-cheap expr referenced H times is not
+    inlined). Replaces the r1–r3 explode + 32-min groupBy, whose shuffle
+    of every shingle row was the single slowest bench item.
     """
     a, b = _minhash_params(num_hashes, seed)
-    base = portable_hash60(F.col("shingle")) if portable else F.xxhash64("shingle")
-    sh = shingles(df, n, text_col).withColumn("x", F.pmod(base, F.lit(_MERSENNE)))
+
+    def base(s):
+        return portable_hash60(s) if portable else F.xxhash64(s)
+
+    toks = terms_array(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    hashed = df.filter(F.size(toks) >= n).withColumn(
+        "_xs",
+        F.transform(
+            F.array_distinct(grams), lambda s: F.pmod(base(s), F.lit(_MERSENNE))
+        ),
+    )
     mins = [
-        F.min(F.pmod(F.col("x") * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE))).alias(
-            f"h{i}"
+        F.array_min(
+            F.transform(
+                F.col("_xs"),
+                lambda x: F.pmod(
+                    x * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE)
+                ),
+            )
         )
         for i in range(num_hashes)
     ]
-    agg = sh.groupBy("doc_id").agg(*mins)
-    return agg.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    return hashed.select("doc_id", F.array(*mins).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -319,37 +341,42 @@ def simhash(df: DataFrame, text_col: str = "text", portable: bool = False) -> Da
     """(doc_id, simhash long): 64-bit SimHash over analyzer tokens.
 
     Token → xxhash64 bits; each bit contributes +tf / −tf; sign of the
-    per-bit sum gives the fingerprint bit. Pure Catalyst: explode tokens,
-    one groupBy(doc_id) with 64 conditional sums folded into a packed
-    bigint (bits summed via stack of bit tests).
+    per-bit sum gives the fingerprint bit. Pure Catalyst and row-local:
+    tokens are hashed once into an array column, each bit's sum is an
+    ``F.aggregate`` fold over it, and the 64 signs pack into one bigint —
+    no explode, no groupBy, no shuffle.
 
     ``portable``: token hash = :func:`portable_hash60` (60 bits, same
     value in DuckDB), so the driver's oracle recomputes the identical
     fingerprint in SQL.
     """
     n_bits = 60 if portable else 64
-    hash_col = portable_hash60(F.col("term")) if portable else F.xxhash64("term")
-    toks = (
-        df.select("doc_id", F.explode(terms_array(F.col(text_col))).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", hash_col)
-    )
+    hash_of = portable_hash60 if portable else F.xxhash64
+    # tf-weighting is free: Σ_distinct-terms tf·(±1) ≡ Σ_occurrences (±1),
+    # so no (doc, term) grouping is needed — hash every occurrence once
+    # into an array column (own projection: CollapseProject keeps the
+    # non-cheap hash evaluated once, not once per bit) and fold each bit
+    # as a row-local F.aggregate. ZERO shuffles (was explode + 2 groupBys
+    # in r1–r3); embarrassingly parallel at 100 TB.
+    hashed = df.select(
+        "doc_id",
+        F.transform(terms_array(F.col(text_col)), lambda t: hash_of(t)).alias("_hs"),
+    ).filter(F.size("_hs") > 0)  # token-less docs had no rows under the old explode
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
-                -F.col("tf")
-            )
-        ).alias(f"b{i}")
+        F.aggregate(
+            F.col("_hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
         for i in range(n_bits)
     ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
     packed = None
     for i in range(n_bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(bit_sums[i] > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         packed = term if packed is None else packed.bitwiseOR(term)
-    return agg.select("doc_id", packed.alias("simhash"))
+    return hashed.select("doc_id", packed.alias("simhash"))
 
 
 def simhash_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
