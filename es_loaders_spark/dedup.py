@@ -56,16 +56,24 @@ def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
 # --- shingles ----------------------------------------------------------------
 
 
-def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+def shingle_sets(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Per-doc distinct word n-gram shingle SET as an array column:
+    (doc_id, sh_set). Row-local (tokenize → slide → array_distinct) —
+    no explode, no shuffle."""
     toks = terms_array(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return (
-        df.filter(F.size(toks) >= n)
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    return df.filter(F.size(toks) >= n).select(
+        "doc_id", F.array_distinct(grams).alias("sh_set")
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    return shingle_sets(df, n, text_col).select(
+        "doc_id", F.explode("sh_set").alias("shingle")
     )
 
 
@@ -94,29 +102,34 @@ def jaccard_candidates(
     )
 
 
-def exact_jaccard_for_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+def exact_jaccard_for_pairs(cand: DataFrame, sets: DataFrame) -> DataFrame:
     """Exact shingle Jaccard for given candidate pairs: (a, b, jaccard).
 
-    Intersection via a shingle join restricted to the candidate docs;
-    union from per-doc shingle counts (|A|+|B|−|A∩B|). The expensive
-    all-pairs work never happens — only candidates are verified.
+    ``sets`` is the (doc_id, sh_set) relation from :func:`shingle_sets`
+    (row-local, never exploded). Each candidate pair joins to exactly two
+    arrays and the intersection is a row-local ``array_intersect`` —
+    |cand| rows through two equi-joins, instead of the r1–r3 per-shingle
+    join whose intermediate was |cand| × shingles per doc. Union from
+    |A|+|B|−|A∩B|. The expensive all-pairs work never happens — only
+    candidates are verified; a pair's verification cost is O(|A|+|B|)
+    local set arithmetic. Pairs with an empty intersection come out with
+    jaccard 0.0 (callers threshold-filter them away).
     """
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
-        .join(sh.select(F.col("doc_id").alias("b"), F.col("shingle").alias("sh_b")), "b")
-        .filter(F.col("shingle") == F.col("sh_b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        cand.join(
+            sets.select(F.col("doc_id").alias("a"), F.col("sh_set").alias("set_a")), "a"
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("b"), F.col("sh_set").alias("set_b")), "b"
+        )
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
         .select(
             "a",
             "b",
             F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+                F.col("inter")
+                / (F.size("set_a") + F.size("set_b") - F.col("inter")),
+                4,
             ).alias("jaccard"),
         )
     )
@@ -130,9 +143,9 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """(a, b, jaccard) for candidate pairs with full Jaccard ≥ threshold."""
-    sh = shingles(df, n, text_col)
-    cand = jaccard_candidates(sh, rare_df_max)
-    return exact_jaccard_for_pairs(cand, sh).filter(F.col("jaccard") >= threshold)
+    sets = shingle_sets(df, n, text_col)
+    cand = jaccard_candidates(sets.select("doc_id", F.explode("sh_set").alias("shingle")), rare_df_max)
+    return exact_jaccard_for_pairs(cand, sets).filter(F.col("jaccard") >= threshold)
 
 
 # --- MinHash + LSH -----------------------------------------------------------
@@ -327,11 +340,12 @@ def lsh_verified_pairs(
     (1 − 0.9⁴)⁸ ≈ 2.4 × 10⁻⁴, and on the fixture corpora recall is
     measured exactly 1.0 (all true pairs sit at J ≥ 0.9).
     """
-    sh = shingles(df, n, text_col)
     cand = minhash_lsh_pairs(
         df, n, num_hashes, bands, seed, text_col, portable=False, max_bucket=max_bucket
     ).select("a", "b")
-    return exact_jaccard_for_pairs(cand, sh).filter(F.col("jaccard") >= threshold)
+    return exact_jaccard_for_pairs(cand, shingle_sets(df, n, text_col)).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 # --- SimHash -----------------------------------------------------------------
