@@ -343,9 +343,12 @@ def lsh_verified_pairs(
     cand = minhash_lsh_pairs(
         df, n, num_hashes, bands, seed, text_col, portable=False, max_bucket=max_bucket
     ).select("a", "b")
-    return exact_jaccard_for_pairs(cand, shingle_sets(df, n, text_col)).filter(
-        F.col("jaccard") >= threshold
-    )
+    # persisted because the verification joins reference it twice (set_a,
+    # set_b) — same discipline as sig inside minhash_lsh_pairs; Spark's
+    # LRU block eviction reclaims it under pressure (measured ~30% off
+    # the pipeline at sf0.1)
+    sets = shingle_sets(df, n, text_col).persist()
+    return exact_jaccard_for_pairs(cand, sets).filter(F.col("jaccard") >= threshold)
 
 
 # --- SimHash -----------------------------------------------------------------

@@ -486,6 +486,17 @@ def warm_index(spark: SparkSession, index_dir: str) -> None:
     _WarmIndex.get(spark, index_dir)
 
 
+def evict_index(index_dir: str) -> None:
+    """Release the serving cache for an index — call before dropping its
+    directory. Unpersists the cached doclens/terms DataFrames and forgets
+    the entry, so a dead index never pins cluster memory until LRU
+    pressure (and a dropped-then-queried path can't try to recompute
+    evicted cached partitions from deleted files). No-op if not warm."""
+    cached = _WarmIndex._by_dir.pop(os.path.abspath(index_dir), None)
+    if cached is not None:
+        cached._unpersist()
+
+
 def topk(
     spark: SparkSession, index_dir: str, query: str, k: int = 10,
     mode: str = "serve",

@@ -140,6 +140,26 @@ def test_build_warm_eagerly_populates_serving_cache(spark, documents, tmp_path_f
     assert got == want
 
 
+def test_evict_index_releases_cache_and_requery_rebuilds(
+    spark, documents, tmp_path_factory
+):
+    import os as _os
+
+    from es_loaders_spark.wand import _WarmIndex, evict_index
+
+    d = str(tmp_path_factory.mktemp("evictidx"))
+    build_index(spark, documents, d, n_shards=4, warm=True)
+    key = _os.path.abspath(d)
+    assert key in _WarmIndex._by_dir
+    before = [(r["doc_id"], r["score"]) for r in topk(spark, d, "spark data", k=5).collect()]
+    evict_index(d)
+    assert key not in _WarmIndex._by_dir
+    evict_index(d)  # idempotent on a cold index
+    # a later query on the still-live index rebuilds the cache and matches
+    after = [(r["doc_id"], r["score"]) for r in topk(spark, d, "spark data", k=5).collect()]
+    assert after == before and key in _WarmIndex._by_dir
+
+
 def test_kernel_large_k_exact():
     """k at and beyond T2's max_result_window (50000): the bounded-heap
     bookkeeping (pre-fill buffer, θ-gated entrants, sorted-merge seen)
