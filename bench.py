@@ -95,11 +95,13 @@ def build_pipeline(spark, n_pages: int, idx_dir: str, n_shards: int,
     )
     ingest_dir = os.path.join(idx_dir, "ingest")
     docs.write.mode("overwrite").parquet(ingest_dir)
-    # drop ONLY the assign_doc_ids persist: the r3 clearCache() here also
+    # drop ONLY the assign_doc_ids persists: the r3 clearCache() here also
     # evicted the suite-level exact-scorer caches (p/dl/tdf), which was the
     # whole of the r3 `postings` 0.24→0.63 s "drift" (interleaved A/B in
     # BENCH.md r4: cached 0.18 s vs evicted 0.64 s, same code)
-    ids._persisted_source.unpersist()
+    from es_loaders_spark.build import release_doc_id_caches
+
+    release_doc_id_caches()
     # align_shards: shards are carved from the ingest scan splits in-task
     # (chunked sub-shards), so the corpus text NEVER enters a shuffle —
     # the 100-TB ingest path. Measured ≥ classic locally (A/B 400k pages:

@@ -149,12 +149,27 @@ def assign_doc_ids(docs: DataFrame, url_col: str = "url") -> DataFrame:
         .withColumn("doc_id", F.col("_offset") + local_rank)
         .drop("_pid", "_offset")
     )
-    # handle for callers to release the internal persist once the ids are
-    # materialized (a blanket catalog.clearCache() would also evict any
-    # UNRELATED caches the application holds — measured 2.7× on a cached
-    # downstream query in BENCH.md r4)
+    # register the internal persist so callers can release it once the ids
+    # are materialized — release_doc_id_caches() survives any DataFrame
+    # transformation, unlike an attribute on `out` (a blanket
+    # catalog.clearCache() would also evict UNRELATED caches the
+    # application holds — measured 2.7× on a cached downstream query in
+    # BENCH.md r4). The attribute stays as a per-result handle.
+    _ID_PERSISTS.append(parted)
     out._persisted_source = parted
     return out
+
+
+_ID_PERSISTS: list[DataFrame] = []
+
+
+def release_doc_id_caches() -> None:
+    """Unpersist every range-partitioned url table that
+    :func:`assign_doc_ids` is keeping alive for id stability. Call after
+    the assigned ids have been materialized (written to a table /
+    consumed by a build); safe to call repeatedly."""
+    while _ID_PERSISTS:
+        _ID_PERSISTS.pop().unpersist()
 
 
 def _build_shard_fn(doclens_dir: str | None = None, positions: bool = True):
@@ -384,6 +399,8 @@ def build_index(
             chunk_docs = int(os.environ.get("SPARK_GRAFT_ALIGN_CHUNK_DOCS", "3000"))
             stride = _ALIGN_STRIDE
 
+            allowed = frozenset(missing)
+
             def _run_partition(batches):
                 buf: list[pd.DataFrame] = []
                 n = 0
@@ -391,6 +408,23 @@ def build_index(
 
                 def cut(pdf_chunk: pd.DataFrame, sub_idx: int) -> pd.DataFrame:
                     pid = int(pdf_chunk["shard"].iloc[0])
+                    if pid not in allowed:
+                        # shard ids come from spark_partition_id() at
+                        # EXECUTION time; n_shards was read from the plan
+                        # in a separate action. If the runtime scan
+                        # produced partitions outside the planned range
+                        # (AQE flip, file-split change between plan and
+                        # run, resume on a re-laid-out input), fail loudly
+                        # in-task rather than drop rows (ADVICE r03 #1 —
+                        # this covers RESUME too, which the driver-side
+                        # fresh-build count guard cannot).
+                        raise RuntimeError(
+                            f"aligned build: runtime partition id {pid} is "
+                            f"outside the planned build set (n_shards="
+                            f"{n_shards}); input layout changed between "
+                            "planning and execution — re-run on a settled "
+                            "input or use align_shards=False"
+                        )
                     out = pdf_chunk.assign(shard=pid * stride + sub_idx)
                     return kernel(out)
 
@@ -415,11 +449,13 @@ def build_index(
                 if n:
                     yield cut(pd.concat(buf, ignore_index=True), sub)
 
-            built = (
-                docs.select("shard", "doc_id", "text")
-                .filter(F.col("shard").isin(missing))
-                .mapInPandas(_run_partition, INDEX_SCHEMA)
-            )
+            # filter only COMMITTED shards out; anything else (including an
+            # out-of-range runtime partition id) flows to the kernel, which
+            # raises on ids outside the planned set instead of dropping them
+            built = docs.select("shard", "doc_id", "text")
+            if done:
+                built = built.filter(~F.col("shard").isin(sorted(done)))
+            built = built.mapInPandas(_run_partition, INDEX_SCHEMA)
         else:
             built = (
                 docs.select("shard", "doc_id", "text")

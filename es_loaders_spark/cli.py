@@ -164,6 +164,9 @@ def main(argv: list[str] | None = None) -> None:
             .select("doc_id", "text")
         )
         stats = build_index(spark, docs, args.index_dir, n_shards=16)
+        from .build import release_doc_id_caches
+
+        release_doc_id_caches()  # ids are materialized in the index now
         merge_index(spark, args.index_dir, n_salts=4, n_buckets=8)
         print(json.dumps({"stats": stats}))
         for qtext in ("spark index crawl", "the data page"):

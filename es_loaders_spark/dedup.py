@@ -148,6 +148,33 @@ def ngram_jaccard_pairs(
     return exact_jaccard_for_pairs(cand, sets).filter(F.col("jaccard") >= threshold)
 
 
+# --- pipeline cache discipline ----------------------------------------------
+
+# The LSH pipeline persists two corpus-derived relations (signatures, shingle
+# sets) that its own downstream joins reference multiple times. A persist
+# cannot be released before the caller's action, so each NEW pipeline
+# invocation releases the PREVIOUS invocation's persists (self-bounding: at
+# most one pipeline's caches live, repeated calls — bench loops, long
+# sessions — never accumulate). A prior invocation's returned DataFrame stays
+# correct afterwards; it just recomputes if re-collected.
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_dedup_caches() -> None:
+    """Unpersist the relations the dedup pipelines keep cached for their
+    own multi-reference joins. Called automatically at the start of each
+    new pipeline invocation; call explicitly to free cluster memory after
+    the last dedup action of a session."""
+    while _TRACKED_PERSISTS:
+        _TRACKED_PERSISTS.pop().unpersist()
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 # 2^31-1: keeps x*a < 2^62 so the affine hash never overflows a Spark
@@ -252,7 +279,8 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
-    sig = minhash_signatures(df, n, num_hashes, seed, text_col, portable).cache()
+    release_dedup_caches()  # self-bounding: drop the previous invocation's
+    sig = _persist_tracked(minhash_signatures(df, n, num_hashes, seed, text_col, portable))
     bucket_key = (
         # collision-free: the band's raw values, '_'-joined (SQL twin joins
         # on the raw columns, which is the same relation)
@@ -328,26 +356,34 @@ def lsh_verified_pairs(
 ) -> DataFrame:
     """Production near-dup pipeline: xxhash64 MinHash-LSH **candidate
     generation** followed by **exact shingle-Jaccard verification** —
-    output (a, b, jaccard) with TRUE Jaccard ≥ threshold.
+    output (a, b, jaccard): LSH-candidate pairs whose TRUE Jaccard ≥
+    threshold. Every emitted pair's Jaccard is exact; COMPLETENESS is
+    probabilistic, bounded by LSH candidate recall.
 
     This is the standard two-stage web-dedup design (candidates from LSH,
     then verify): the O(n²) exact comparison runs only on the LSH
     candidate set, while the emitted pairs carry the exact Jaccard — a
     hash-family-independent value a SQL oracle can recompute from the raw
-    shingle sets (an all-pairs shared-shingle join at oracle scale). The
-    only divergence possible vs that oracle is an LSH recall miss; with
-    32 hashes / 8 bands the per-pair miss probability at J = 0.9 is
-    (1 − 0.9⁴)⁸ ≈ 2.4 × 10⁻⁴, and on the fixture corpora recall is
-    measured exactly 1.0 (all true pairs sit at J ≥ 0.9).
+    shingle sets (an all-pairs shared-shingle join at oracle scale).
+    Recall at 32 hashes / 8 bands follows the banding S-curve
+    1 − (1 − J⁴)⁸: ≈ 2.4 × 10⁻⁴ miss per pair at J = 0.9, but only ~50%
+    at J ≈ 0.6 — so with `threshold` well below ~0.85 the output is NOT
+    the exhaustive ≥-threshold pair set (tune num_hashes/bands up for
+    higher recall at lower thresholds). Additionally, buckets larger than
+    ``max_bucket`` fall back to canonical-star pairing (bounded
+    candidates; connected groups rather than all within-bucket pairs).
+    On the fixture corpora all true near-dup pairs sit at J ≥ 0.9 and no
+    bucket degenerates, so measured recall there is exactly 1.0 — the
+    driver gate runs at threshold 0.9 for this reason (queries.py).
     """
     cand = minhash_lsh_pairs(
         df, n, num_hashes, bands, seed, text_col, portable=False, max_bucket=max_bucket
     ).select("a", "b")
-    # persisted because the verification joins reference it twice (set_a,
-    # set_b) — same discipline as sig inside minhash_lsh_pairs; Spark's
-    # LRU block eviction reclaims it under pressure (measured ~30% off
-    # the pipeline at sf0.1)
-    sets = shingle_sets(df, n, text_col).persist()
+    # persisted (tracked) because the verification joins reference it
+    # twice (set_a, set_b) — measured ~30% off the pipeline at sf0.1;
+    # minhash_lsh_pairs above already released the previous invocation's
+    # caches, so this invocation holds exactly {sig, sets}
+    sets = _persist_tracked(shingle_sets(df, n, text_col))
     return exact_jaccard_for_pairs(cand, sets).filter(F.col("jaccard") >= threshold)
 
 

@@ -14,8 +14,7 @@ Decode status (VERDICT r01 item 9 — real decode for real formats):
   CRC-checked encode). VERDICT r02 #8.
 - **image/JPEG**: REAL baseline (SOF0) decoder + encoder — pure
   numpy + stdlib Huffman/DCT (jpeg.py): gray + YCbCr, 4:4:4/4:2:2/4:2:0
-  sampling, restart markers. The compressed-image stub now covers
-  video frames only.
+  sampling, restart markers (no compressed-image stubs anywhere).
 - **audio/WAV (PCM16)**: REAL pure-numpy RIFF chunk walker → int16
   sample matrix (n_samples × channels).
 - **video/MJPEG-AVI**: REAL encoder + decoder — Motion-JPEG frames
@@ -111,8 +110,9 @@ def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 # Full baseline PNG: 8-bit gray / RGB / RGBA, all five scanline filters
 # (None/Sub/Up/Average/Paeth), non-interlaced. Inflate comes from the
 # stdlib zlib module (always present); chunk walking, CRC, and
-# unfiltering are numpy. This replaces the r02 compressed-image stub for
-# PNG (VERDICT r02 #8); JPEG/video remain import-guarded stubs.
+# unfiltering are numpy. This replaced the r02 compressed-image stub for
+# PNG (VERDICT r02 #8); JPEG and MJPEG-AVI video followed in r3/r4
+# (jpeg.py, decode_mjpeg_avi) — no decode stubs remain.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type → samples per pixel
@@ -391,17 +391,20 @@ def _avi_frame_chunks(payload: bytes) -> list[bytes]:
 
 
 def decode_mjpeg_avi(
-    payload: bytes, frame_indices: list[int] | None = None
+    payload: bytes,
+    frame_indices: list[int] | None = None,
+    _chunks: list[bytes] | None = None,
 ) -> list[np.ndarray]:
     """MJPEG AVI → list of (h, w, 3) uint8 frames.
 
     ``frame_indices`` decodes ONLY the requested frames (the container
     walk is O(total bytes) but entropy decode — the expensive part —
     runs per selected frame only; this is what frame SAMPLING relies on
-    to stay cheap at scale)."""
+    to stay cheap at scale). A caller that already walked the container
+    (``_avi_frame_chunks``) can pass the chunks to avoid a second walk."""
     from .jpeg import decode_jpeg
 
-    chunks = _avi_frame_chunks(payload)
+    chunks = _chunks if _chunks is not None else _avi_frame_chunks(payload)
     if frame_indices is None:
         return [decode_jpeg(c) for c in chunks]
     return [decode_jpeg(chunks[i]) for i in frame_indices]
@@ -416,8 +419,9 @@ def video_n_frames(payload: bytes) -> int:
 
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic media table: image rows carry REAL PPM bytes, audio
-    rows REAL WAV bytes, video rows opaque bytes (stub decode)."""
+    """Deterministic media table with REAL payload bytes for every kind:
+    image rows rotate PPM/PNG/JPEG, audio rows are WAV, video rows are
+    MJPEG-AVI (decodable by :func:`decode_mjpeg_avi`)."""
     rng = np.random.RandomState(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -478,7 +482,9 @@ def _audio_features(samples: np.ndarray, sample_rate: int) -> list[float]:
 def extract_features(media: DataFrame) -> DataFrame:
     """media → (media_id, kind, features array<double>) via mapInPandas.
 
-    One Arrow pass; REAL decode for ppm/wav payloads, stub for video.
+    One Arrow pass; REAL decode for every kind — PPM/PNG/JPEG images,
+    WAV audio, and MJPEG-AVI video (features from the entropy-decoded
+    first frame; per-frame work goes through :func:`extract_frames`).
     Output is narrow (id + FEATURE_DIM floats), so downstream joins
     broadcast.
     """
@@ -572,9 +578,11 @@ def extract_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             ids, idxs, payloads, ws, hs = [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                chunks = _avi_frame_chunks(b)
+                chunks = _avi_frame_chunks(b)  # one container walk per row
                 sel = list(range(0, len(chunks), every_n))
-                for i, arr in zip(sel, decode_mjpeg_avi(b, frame_indices=sel)):
+                for i, arr in zip(
+                    sel, decode_mjpeg_avi(b, frame_indices=sel, _chunks=chunks)
+                ):
                     ids.append(mid)
                     idxs.append(i)
                     payloads.append(encode_png(arr))

@@ -1060,18 +1060,23 @@ def _exact_jaccard_oracle_sql(threshold: float = 0.5) -> str:
      WHERE round(i / (sa.n_sh + sb.n_sh - i), 4) >= {threshold}"""
 
 
-@q("minhash_lsh_dups_fast", _exact_jaccard_oracle_sql(0.5))
+@q("minhash_lsh_dups_fast", _exact_jaccard_oracle_sql(0.9))
 def minhash_lsh_dups_fast(spark, sf_dir):
     """The PRODUCTION near-dup pipeline (100-TB path): xxhash64
     MinHash-LSH candidates + exact shingle-Jaccard verification
     (dedup.lsh_verified_pairs). Emits hash-family-independent exact
-    Jaccard, so the DuckDB oracle is the ground-truth all-pairs join —
-    this row being green proves LSH recall 1.0 on the fixture corpus
-    (per-pair miss probability at J=0.9 is ≈2.4e-4), upgraded from the
-    r3 rows-only check (VERDICT r03 #4)."""
+    Jaccard, so the DuckDB oracle is the ground-truth all-pairs join.
+    Gated at threshold 0.9, the operating point where LSH candidate
+    recall is effectively exact (per-pair miss probability (1−0.9⁴)⁸ ≈
+    2.4e-4 at 32 hashes / 8 bands — at, say, J=0.6 the S-curve gives
+    only ~50% recall, so a 0.5-gate against a ground-truth oracle would
+    be comparing different semantics). Also requires no degenerate
+    (>max_bucket) LSH bucket in the corpus: those fall back to
+    canonical-star pairing (connected groups, deliberately not all
+    pairs). Upgraded from the r3 rows-only check (VERDICT r03 #4)."""
     from .dedup import lsh_verified_pairs
 
-    return lsh_verified_pairs(_T(spark, sf_dir, "documents"), threshold=0.5)
+    return lsh_verified_pairs(_T(spark, sf_dir, "documents"), threshold=0.9)
 
 
 def _simhash_oracle_sql(n_bits: int = 60) -> str:

@@ -173,7 +173,7 @@ def test_kernel_large_k_exact():
     mid = np.sort(rng.choice(n_docs, 9_000, replace=False)).astype(np.int64)
     term_blocks = {
         "the": [vars(b) for b in encode_postings(all_docs, stop_tfs, dls)],
-        "data": [vars(b) for b in encode_postings(mid, np.full(9_000, 3, dtype=np.int64), dls[:9_000])],
+        "data": [vars(b) for b in encode_postings(mid, np.full(9_000, 3, dtype=np.int64), dls[mid])],
     }
     term_idfs = {"the": idf(n_docs, n_docs), "data": idf(n_docs, 9_000)}
 
