@@ -603,7 +603,17 @@ def generation_dirs(index_dir: str, table: str = "shards") -> list[str]:
         gens = int(json.load(f).get("generations", 1))
     dirs = [os.path.join(index_dir, table)]
     dirs += [os.path.join(index_dir, f"{table}_gen{g}") for g in range(1, gens)]
-    return [d for d in dirs if os.path.exists(d)]
+    missing = [d for d in dirs if not os.path.exists(d)]
+    if missing:
+        # stats.json says these generations are committed; serving a
+        # partial union would silently drop documents (e.g. a crash in
+        # compact/merge's swap window) — fail loudly instead
+        raise RuntimeError(
+            f"index at {index_dir} declares {gens} generation(s) of "
+            f"'{table}' but {missing} missing — crash mid-compaction/"
+            "merge? Restore the directory or rebuild the index."
+        )
+    return dirs
 
 
 def read_generations(spark: SparkSession, index_dir: str, table: str = "shards") -> DataFrame:

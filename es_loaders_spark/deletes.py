@@ -130,6 +130,86 @@ def delete_by_term(spark: SparkSession, index_dir: str, term: str) -> int:
     return delete_ids(spark, index_dir, ids)
 
 
+# Shared (shard)-keyed re-encode kernel: decode every block of the group,
+# keep only docs present in the doclens side (the "live set" — survivors
+# for compaction, everything for a generation merge), re-segment by term,
+# re-encode. Generations have disjoint ascending docID ranges, so sorting
+# by (term, min_doc) makes the concatenation doc-sorted globally.
+def reencode_shard(key, idx_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+    shard = int(key[0])
+    empty = pd.DataFrame(
+        {
+            f.name: pd.Series(
+                dtype="object" if "payload" in f.name or f.name == "term" else "int64"
+            )
+            for f in INDEX_SCHEMA.fields
+        }
+    )
+    # dl_pdf empty = every doc in this shard tombstoned → no survivors
+    # (keep_docs[np.minimum(pos_idx, -1)] on a size-0 array would raise:
+    # numpy & does not short-circuit; ADVICE r02)
+    if idx_pdf.empty or dl_pdf.empty:
+        return empty
+    keep_docs = np.sort(dl_pdf["doc_id"].to_numpy(dtype=np.int64))
+    keep_dls = dl_pdf.sort_values("doc_id")["dl"].to_numpy(dtype=np.int64)
+    # ONE vectorized pass for the whole shard (VERDICT r02 #3):
+    # batch-decode all blocks (term-grouped, doc-sorted — generations
+    # have disjoint ascending ranges), mask survivors, re-segment by
+    # term, and re-encode every term's postings in one
+    # encode_blocks_flat call.
+    srt = idx_pdf.sort_values(["term", "min_doc"], kind="stable")
+    d_flat, t_flat, off = decode_blocks_flat_batch(
+        srt["min_doc"].to_numpy(), srt["docs_payload"].tolist(),
+        srt["tfs_payload"].tolist(),
+    )
+    counts = np.diff(off)
+    raw_pos = srt["pos_payload"].tolist()
+    has_pos = all(p is not None and len(p) > 0 for p in raw_pos)
+    pos_flat = (
+        decode_positions_flat_batch(raw_pos, t_flat) if has_pos else None
+    )
+    codes, uniq_terms = pd.factorize(srt["term"], sort=False)
+    post_code = np.repeat(codes, counts)
+
+    pos_idx = np.searchsorted(keep_docs, d_flat)
+    ok = (pos_idx < keep_docs.size) & (
+        keep_docs[np.minimum(pos_idx, keep_docs.size - 1)] == d_flat
+    )
+    if not ok.any():
+        return empty
+    docs = d_flat[ok]
+    tfs = t_flat[ok]
+    code_kept = post_code[ok]
+    dls_per_posting = keep_dls[np.searchsorted(keep_docs, docs)]
+    positions = pos_flat[np.repeat(ok, t_flat)] if has_pos else None
+
+    seg = np.concatenate(
+        [[0], np.flatnonzero(np.diff(code_kept)) + 1, [code_kept.size]]
+    ).astype(np.int64)
+    term_codes = code_kept[seg[:-1]]
+    seg_df = np.diff(seg)
+    fb = encode_blocks_flat(docs, tfs, dls_per_posting, seg, positions=positions)
+    term_strs = np.asarray(uniq_terms, dtype=object)
+    return pd.DataFrame(
+        {
+            "shard": np.full(fb["term_idx"].size, shard, dtype=np.int32),
+            "term": term_strs[term_codes[fb["term_idx"]]],
+            "df": seg_df[fb["term_idx"]],
+            "block_id": fb["block_id"],
+            "min_doc": fb["min_doc"],
+            "max_doc": fb["max_doc"],
+            "n": fb["n"],
+            "max_tf": fb["max_tf"],
+            "min_dl": fb["min_dl"],
+            "docs_payload": fb["docs_payload"],
+            "tfs_payload": fb["tfs_payload"],
+            "sky_tfs_payload": fb["sky_tfs_payload"],
+            "sky_dls_payload": fb["sky_dls_payload"],
+            "pos_payload": fb["pos_payload"],
+        }
+    )
+
+
 def compact_index(spark: SparkSession, index_dir: str) -> dict:
     """Physically drop tombstoned docs: rebuild shards/doclens/terms from
     the survivor set, clear tombstones, reset to one generation.
@@ -165,85 +245,11 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     shards = read_generations(spark, index_dir, "shards")
     dl_clean = spark.read.parquet(new_doclens)
 
-    def compact_shard(key, idx_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
-        shard = int(key[0])
-        empty = pd.DataFrame(
-            {
-                f.name: pd.Series(
-                    dtype="object" if "payload" in f.name or f.name == "term" else "int64"
-                )
-                for f in INDEX_SCHEMA.fields
-            }
-        )
-        # dl_pdf empty = every doc in this shard tombstoned → no survivors
-        # (keep_docs[np.minimum(pos_idx, -1)] on a size-0 array would raise:
-        # numpy & does not short-circuit; ADVICE r02)
-        if idx_pdf.empty or dl_pdf.empty:
-            return empty
-        keep_docs = np.sort(dl_pdf["doc_id"].to_numpy(dtype=np.int64))
-        keep_dls = dl_pdf.sort_values("doc_id")["dl"].to_numpy(dtype=np.int64)
-        # ONE vectorized pass for the whole shard (VERDICT r02 #3):
-        # batch-decode all blocks (term-grouped, doc-sorted — generations
-        # have disjoint ascending ranges), mask survivors, re-segment by
-        # term, and re-encode every term's postings in one
-        # encode_blocks_flat call.
-        srt = idx_pdf.sort_values(["term", "min_doc"], kind="stable")
-        d_flat, t_flat, off = decode_blocks_flat_batch(
-            srt["min_doc"].to_numpy(), srt["docs_payload"].tolist(),
-            srt["tfs_payload"].tolist(),
-        )
-        counts = np.diff(off)
-        raw_pos = srt["pos_payload"].tolist()
-        has_pos = all(p is not None and len(p) > 0 for p in raw_pos)
-        pos_flat = (
-            decode_positions_flat_batch(raw_pos, t_flat) if has_pos else None
-        )
-        codes, uniq_terms = pd.factorize(srt["term"], sort=False)
-        post_code = np.repeat(codes, counts)
-
-        pos_idx = np.searchsorted(keep_docs, d_flat)
-        ok = (pos_idx < keep_docs.size) & (
-            keep_docs[np.minimum(pos_idx, keep_docs.size - 1)] == d_flat
-        )
-        if not ok.any():
-            return empty
-        docs = d_flat[ok]
-        tfs = t_flat[ok]
-        code_kept = post_code[ok]
-        dls_per_posting = keep_dls[np.searchsorted(keep_docs, docs)]
-        positions = pos_flat[np.repeat(ok, t_flat)] if has_pos else None
-
-        seg = np.concatenate(
-            [[0], np.flatnonzero(np.diff(code_kept)) + 1, [code_kept.size]]
-        ).astype(np.int64)
-        term_codes = code_kept[seg[:-1]]
-        seg_df = np.diff(seg)
-        fb = encode_blocks_flat(docs, tfs, dls_per_posting, seg, positions=positions)
-        term_strs = np.asarray(uniq_terms, dtype=object)
-        return pd.DataFrame(
-            {
-                "shard": np.full(fb["term_idx"].size, shard, dtype=np.int32),
-                "term": term_strs[term_codes[fb["term_idx"]]],
-                "df": seg_df[fb["term_idx"]],
-                "block_id": fb["block_id"],
-                "min_doc": fb["min_doc"],
-                "max_doc": fb["max_doc"],
-                "n": fb["n"],
-                "max_tf": fb["max_tf"],
-                "min_dl": fb["min_dl"],
-                "docs_payload": fb["docs_payload"],
-                "tfs_payload": fb["tfs_payload"],
-                "sky_tfs_payload": fb["sky_tfs_payload"],
-                "sky_dls_payload": fb["sky_dls_payload"],
-                "pos_payload": fb["pos_payload"],
-            }
-        )
-
     new_shards = os.path.join(index_dir, "shards_compact")
     (
         shards.groupBy("shard")
         .cogroup(dl_clean.groupBy("shard"))
-        .applyInPandas(compact_shard, INDEX_SCHEMA)
+        .applyInPandas(reencode_shard, INDEX_SCHEMA)
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(new_shards)
@@ -286,5 +292,105 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         "applied_batches": list(stats.get("applied_batches", [])),
         "positions": bool(stats.get("positions", True)),
     }
+    _write_json_atomic(stats_path, stats)
+    return stats
+
+
+def merge_generations(
+    spark: SparkSession, index_dir: str, min_generations: int = 3
+) -> dict:
+    """Tiered segment merge: collapse every APPENDED generation
+    (``shards_gen1..gen{G-1}``) into a single generation, leaving the
+    base generation (gen-0 — typically orders of magnitude larger)
+    untouched. Lucene's tiered merge policy re-expressed for this index:
+    merge cost is proportional to the small appended segments, never the
+    base, so a streaming/append-heavy index keeps its per-query
+    generation fan-in bounded without ever paying a full rewrite
+    (``compact_index`` remains the full-rewrite path, which also drops
+    tombstones — this merge deliberately preserves them).
+
+    Logical content is UNCHANGED: the merged generation holds exactly the
+    union of the appended generations' postings and doclens (generations
+    have disjoint ascending docID ranges, so per-term concatenation in
+    doc order is a pure re-blocking). n_docs, avgdl, global term dfs, the
+    tombstone table, and the merged hot-term table are all unaffected —
+    queries are rank-identical before/after (pytest-asserted).
+
+    No-op unless at least ``min_generations`` appended generations exist.
+    Commit protocol mirrors ``compact_index``: new tables are fully
+    written to temp dirs, old generation dirs+manifests are dropped, the
+    temps move into place as gen-1, and the atomic ``stats.json`` write
+    (generations=2) is the visibility point. Also resets append-resume
+    manifests of the dropped generations so a later ``append_documents``
+    (which will write gen-2) starts clean.
+    """
+    import shutil
+
+    from .build import load_stats
+
+    stats = load_stats(index_dir)
+    g = int(stats.get("generations", 1))
+    if g - 1 < min_generations:
+        return stats
+    cat = ManifestCatalog(index_dir)
+    n_shards = int(cat.load("shards").props["n_shards"])
+    stats_path = os.path.join(index_dir, "stats.json")
+
+    def _union(dirs: list[str]) -> DataFrame:
+        dfs = [spark.read.parquet(d) for d in dirs]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    shard_dirs = [os.path.join(index_dir, f"shards_gen{i}") for i in range(1, g)]
+    dl_dirs = [os.path.join(index_dir, f"doclens_gen{i}") for i in range(1, g)]
+
+    tmp_dl = os.path.join(index_dir, "doclens_genmerge_tmp")
+    _union(dl_dirs).repartition(n_shards, "shard").sortWithinPartitions(
+        "doc_id"
+    ).write.mode("overwrite").partitionBy("shard").parquet(tmp_dl)
+    dl_merged = spark.read.parquet(tmp_dl)
+
+    tmp_sh = os.path.join(index_dir, "shards_genmerge_tmp")
+    (
+        _union(shard_dirs)
+        .groupBy("shard")
+        .cogroup(dl_merged.groupBy("shard"))
+        .applyInPandas(reencode_shard, INDEX_SCHEMA)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp_sh)
+    )
+    docs_per_shard = {
+        r["shard"]: r["cnt"]
+        for r in dl_merged.groupBy("shard").agg(F.count("*").alias("cnt")).collect()
+    }
+
+    # swap: drop old generation dirs + their manifests, move the merged
+    # tables into place as gen-1; stats.json replace is the visibility point
+    for i in range(1, g):
+        cat.drop(f"shards_gen{i}")
+        cat.drop(f"doclens_gen{i}")
+    os.replace(tmp_sh, os.path.join(index_dir, "shards_gen1"))
+    os.replace(tmp_dl, os.path.join(index_dir, "doclens_gen1"))
+    cat.commit(
+        "shards_gen1",
+        [
+            PartitionEntry(
+                partition_id=s,
+                stage="postings",
+                input_rows=0,
+                docs=int(docs_per_shard.get(s, 0)),
+                terms=0,
+                bytes=0,
+                wall_ms=0,
+            )
+            for s in range(n_shards)
+        ],
+        props={"generation": 1, "merged_from": g - 1},
+    )
+    stats = dict(stats)
+    stats["generations"] = 2
     _write_json_atomic(stats_path, stats)
     return stats

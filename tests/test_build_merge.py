@@ -376,3 +376,60 @@ def test_align_shards_build_matches_classic(spark, documents, tmp_path_factory):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_merge_generations_tiered(spark, documents, tmp_path_factory):
+    """Tiered generation merge: 3 appended generations collapse into one
+    (base untouched), queries are rank-identical before/after, a later
+    append lands as gen-2, and tombstones survive the merge."""
+    from es_loaders_spark.build import append_documents, generation_dirs
+    from es_loaders_spark.deletes import delete_ids, merge_generations
+    from es_loaders_spark.wand import topk
+
+    base = documents.filter(F.col("doc_id") < 200)
+    deltas = [
+        documents.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        for lo, hi in [(200, 300), (300, 380), (380, 450)]
+    ]
+    tail = documents.filter(F.col("doc_id") >= 450)
+
+    d = str(tmp_path_factory.mktemp("idx_tiered"))
+    build_index(spark, base, d, n_shards=4)
+    for delta in deltas:
+        append_documents(spark, delta, d)
+    # tombstone a doc that lives in an appended generation
+    delete_ids(spark, d, spark.range(1).select(F.lit(250).alias("doc_id")))
+
+    queries = ["spark query data", "the fast scan", "w0005"]
+    before = {
+        q: [(r["doc_id"], r["score"]) for r in topk(spark, d, q, k=15).collect()]
+        for q in queries
+    }
+    s0 = merge_generations(spark, d, min_generations=4)
+    assert s0["generations"] == 4  # below threshold: no-op
+    stats = merge_generations(spark, d, min_generations=3)
+    assert stats["generations"] == 2
+    assert len(generation_dirs(d, "shards")) == 2
+    assert len(generation_dirs(d, "doclens")) == 2
+    after = {
+        q: [(r["doc_id"], r["score"]) for r in topk(spark, d, q, k=15).collect()]
+        for q in queries
+    }
+    assert after == before  # rank-identical, tombstone still effective
+    assert all(250 not in [doc for doc, _ in hits] for hits in after.values())
+    assert stats["n_docs"] == 450  # logical stats unchanged by the merge
+
+    # a later append starts a clean gen-2 (old manifests dropped)
+    s2 = append_documents(spark, tail, d)
+    assert s2["generations"] == 3
+    d_full = str(tmp_path_factory.mktemp("idx_tiered_oneshot"))
+    build_index(spark, documents, d_full, n_shards=4)
+    for q in queries:
+        inc = [(r["doc_id"], r["score"]) for r in topk(spark, d, q, k=15).collect()]
+        full = [
+            (r["doc_id"], r["score"])
+            for r in topk(spark, d_full, q, k=15).collect()
+            if r["doc_id"] != 250
+        ][: len(inc)]
+        # tombstoned doc excluded from the tiered index; scores otherwise equal
+        assert [doc for doc, _ in inc] == [doc for doc, _ in full]
