@@ -116,6 +116,7 @@ def stream_index_updates(
     checkpoint_dir: str,
     text_col: str = "text",
     available_now: bool = True,
+    merge_every: int = 8,
 ):
     """Continuously index a document stream: each micro-batch becomes a
     new index generation via ``build.append_documents``.
@@ -137,6 +138,14 @@ def stream_index_updates(
 
     The stream must carry (url, text) columns [or (doc_id, text) with
     caller-guaranteed monotone ids].
+
+    ``merge_every``: once the index accumulates this many appended
+    generations, the batch hook runs ``deletes.merge_generations``
+    (tiered merge — collapses the per-batch segments into one, base
+    untouched), bounding per-query generation fan-in for a long-running
+    stream. The merge is rank-neutral and its stats.json commit is
+    atomic, so a crash between append and merge just defers the merge to
+    a later batch. 0 disables.
     """
     import json
     import os
@@ -171,6 +180,10 @@ def stream_index_updates(
             build_index(spark, batch_df, index_dir, n_shards=8, batch_tag=tag)
         else:
             append_documents(spark, batch_df, index_dir, batch_tag=tag)
+            if merge_every:
+                from ..deletes import merge_generations
+
+                merge_generations(spark, index_dir, min_generations=merge_every)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -166,3 +166,51 @@ def test_stateful_group_totals_carry_across_batches(spark, sf_dir, tmp_path):
     assert got == want
     # state genuinely carried: some key must have been emitted more than once
     assert (emitted.groupby("key").size() > 1).any()
+
+
+def test_stream_index_updates_tiered_merge_bounds_generations(spark, tmp_path):
+    """A long-running stream's per-batch generations get collapsed by the
+    tiered merge hook (merge_every), keeping fan-in bounded while results
+    match an unbounded run."""
+    from es_loaders_spark.corpus import synthesize_web_pages
+    from es_loaders_spark.extract import extract_text
+    from es_loaders_spark.streaming.pipeline import stream_index_updates
+    from es_loaders_spark.wand import topk
+
+    pages = synthesize_web_pages(spark, 240, seed=11).withColumn(
+        "text2", extract_text(F.col("html"))
+    )
+    schema = "url string, text string"
+    cuts = ["https://site060", "https://site120", "https://site180", None]
+
+    def run(idx, ckpt, src, merge_every):
+        lo = ""
+        for hi in cuts:
+            part = pages.filter(F.col("url") >= lo)
+            if hi is not None:
+                part = part.filter(F.col("url") < hi)
+                lo = hi
+            part.select("url", F.col("text2").alias("text")).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = stream_index_updates(
+                spark.readStream.schema(schema).parquet(src), idx, ckpt,
+                merge_every=merge_every,
+            )
+            q.awaitTermination(180)
+
+    idx_m, idx_u = str(tmp_path / "idx_m"), str(tmp_path / "idx_u")
+    run(idx_m, str(tmp_path / "ck_m"), str(tmp_path / "src_m"), merge_every=2)
+    run(idx_u, str(tmp_path / "ck_u"), str(tmp_path / "src_u"), merge_every=0)
+
+    import json, os
+
+    gm = json.load(open(os.path.join(idx_m, "stats.json")))
+    gu = json.load(open(os.path.join(idx_u, "stats.json")))
+    assert gm["n_docs"] == gu["n_docs"] == 240
+    assert gu["generations"] == 4  # build + 3 appends, unmerged
+    assert gm["generations"] < gu["generations"]  # tiered merge collapsed
+    for q in ["spark crawl the", "page data w0003"]:
+        a = [(r["doc_id"], r["score"]) for r in topk(spark, idx_m, q, k=10).collect()]
+        b = [(r["doc_id"], r["score"]) for r in topk(spark, idx_u, q, k=10).collect()]
+        assert a == b
