@@ -87,3 +87,15 @@ def test_scoring_scan_prunes_positions(spark, documents, tmp_path_factory):
     for line in read_schemas:
         assert "pos_payload" not in line, line
     assert "pos_payload" not in _SERVE_COLS and "docs_payload" in _SERVE_COLS
+
+
+def test_dedup_fingerprints_are_shuffle_free(spark, sf_dir):
+    """MinHash signatures and SimHash fingerprints must be map-only plans
+    (array HOFs over the corpus scan — no Exchange): the 100-TB property
+    that lets them run at ingest with zero cluster data movement."""
+    from es_loaders_spark.dedup import minhash_signatures, simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (minhash_signatures(docs), simhash(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
