@@ -78,6 +78,12 @@ def main(argv: list[str] | None = None) -> None:
     c = sub.add_parser("compact", help="physically drop tombstoned docs")
     c.add_argument("--index-dir", required=True)
 
+    mg = sub.add_parser(
+        "merge-gens", help="tiered merge: collapse appended generations"
+    )
+    mg.add_argument("--index-dir", required=True)
+    mg.add_argument("--min-generations", type=int, default=3)
+
     d = sub.add_parser("demo", help="synthesize a corpus, build, query (smoke)")
     d.add_argument("--pages", type=int, default=5000)
     d.add_argument("--index-dir", default="/tmp/es_loaders_spark_demo")
@@ -144,6 +150,13 @@ def main(argv: list[str] | None = None) -> None:
 
         stats = compact_index(spark, args.index_dir)
         print(json.dumps({"compacted": args.index_dir, **stats}))
+    elif args.cmd == "merge-gens":
+        from .deletes import merge_generations
+
+        stats = merge_generations(
+            spark, args.index_dir, min_generations=args.min_generations
+        )
+        print(json.dumps({"merged": args.index_dir, **stats}))
     elif args.cmd == "demo":
         import shutil
 
