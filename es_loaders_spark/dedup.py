@@ -53,6 +53,20 @@ def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.join(keep, "doc_id", "left_semi")
 
 
+def _spread_small_scan(df: DataFrame) -> DataFrame:
+    """CPU-heavy row-local stages inherit the SCAN's split count; a small
+    input (e.g. one parquet row group) would serialize their hashing on
+    one core. When the scan has fewer splits than the cluster's default
+    parallelism, round-robin repartition first. At 100 TB this is a
+    no-op (splits ≫ cores); on small inputs the rows it moves are the
+    same rows the r1–r3 explode/groupBy designs shuffled anyway. The
+    algorithms themselves still need NO key shuffle (plan-tested)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --- shingles ----------------------------------------------------------------
 
 
@@ -65,7 +79,7 @@ def shingle_sets(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return df.filter(F.size(toks) >= n).select(
+    return _spread_small_scan(df).filter(F.size(toks) >= n).select(
         "doc_id", F.array_distinct(grams).alias("sh_set")
     )
 
@@ -230,7 +244,7 @@ def minhash_signatures(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    hashed = df.filter(F.size(toks) >= n).withColumn(
+    hashed = _spread_small_scan(df).filter(F.size(toks) >= n).withColumn(
         "_xs",
         F.transform(
             F.array_distinct(grams), lambda s: F.pmod(base(s), F.lit(_MERSENNE))
@@ -411,7 +425,7 @@ def simhash(df: DataFrame, text_col: str = "text", portable: bool = False) -> Da
     # non-cheap hash evaluated once, not once per bit) and fold each bit
     # as a row-local F.aggregate. ZERO shuffles (was explode + 2 groupBys
     # in r1–r3); embarrassingly parallel at 100 TB.
-    hashed = df.select(
+    hashed = _spread_small_scan(df).select(
         "doc_id",
         F.transform(terms_array(F.col(text_col)), lambda t: hash_of(t)).alias("_hs"),
     ).filter(F.size("_hs") > 0)  # token-less docs had no rows under the old explode

@@ -89,13 +89,28 @@ def test_scoring_scan_prunes_positions(spark, documents, tmp_path_factory):
     assert "pos_payload" not in _SERVE_COLS and "docs_payload" in _SERVE_COLS
 
 
-def test_dedup_fingerprints_are_shuffle_free(spark, sf_dir):
-    """MinHash signatures and SimHash fingerprints must be map-only plans
-    (array HOFs over the corpus scan — no Exchange): the 100-TB property
-    that lets them run at ingest with zero cluster data movement."""
+def test_dedup_fingerprints_need_no_key_shuffle(spark, sf_dir):
+    """MinHash signatures and SimHash fingerprints are row-local (array
+    HOFs over the corpus scan): no hash/range Exchange anywhere — the
+    100-TB property that lets them run at ingest with no keyed data
+    movement. (A leading round-robin spread is permitted: it only fires
+    when the scan has fewer splits than cores, a small-input artifact.)"""
     from es_loaders_spark.dedup import minhash_signatures, simhash
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     for df in (minhash_signatures(docs), simhash(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString().lower()
+        assert "hashpartitioning" not in plan, plan
+        assert "rangepartitioning" not in plan, plan
+    # and once the input is as parallel as the cluster, the plan is pure
+    # map-only: zero Exchange of any kind
+    import tempfile
+
+    wide_dir = tempfile.mkdtemp(prefix="dedup_wide_")
+    docs.repartition(spark.sparkContext.defaultParallelism).write.mode(
+        "overwrite"
+    ).parquet(wide_dir)
+    wide = spark.read.parquet(wide_dir)
+    for df in (minhash_signatures(wide), simhash(wide)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
