@@ -163,11 +163,25 @@ def assign_doc_ids(docs: DataFrame, url_col: str = "url") -> DataFrame:
 _ID_PERSISTS: list[DataFrame] = []
 
 
-def release_doc_id_caches() -> None:
-    """Unpersist every range-partitioned url table that
-    :func:`assign_doc_ids` is keeping alive for id stability. Call after
-    the assigned ids have been materialized (written to a table /
-    consumed by a build); safe to call repeatedly."""
+def release_doc_id_caches(result: DataFrame | None = None) -> None:
+    """Unpersist range-partitioned url tables that :func:`assign_doc_ids`
+    keeps alive for id stability.
+
+    With ``result`` (any DataFrame derived from one assign_doc_ids
+    output that still carries ``_persisted_source``): release ONLY that
+    assignment's persist. Without arguments: release EVERY outstanding
+    assignment — only safe when no other assignment is still mid-flight
+    (an un-materialized assignment whose persist is dropped would
+    re-sample its range boundaries on recompute, destabilizing ids
+    between actions). Safe to call repeatedly.
+    """
+    if result is not None:
+        parted = getattr(result, "_persisted_source", None)
+        if parted is not None:
+            parted.unpersist()
+            # identity, not ==: DataFrame __eq__ builds a Column
+            _ID_PERSISTS[:] = [p for p in _ID_PERSISTS if p is not parted]
+        return
     while _ID_PERSISTS:
         _ID_PERSISTS.pop().unpersist()
 
@@ -337,6 +351,31 @@ def build_index(
     if align_shards:
         # shard = scan split; ids assigned per-row at scan time, no shuffle
         n_shards = docs.rdd.getNumPartitions()
+        # input-layout fingerprint: split planning is deterministic given
+        # (files, maxPartitionBytes), so a resume is only sound while the
+        # underlying files are unchanged. Same-count relayouts (rewritten
+        # files reshuffling rows across split ids) would otherwise pass
+        # the count guard and silently mis-resume.
+        import hashlib as _hashlib
+
+        align_fp = _hashlib.sha256(
+            "\n".join(
+                sorted(docs.inputFiles())
+                + [
+                    str(docs.sparkSession.conf.get("spark.sql.files.maxPartitionBytes")),
+                    str(n_shards),
+                ]
+            ).encode()
+        ).hexdigest()
+        prior_fp = cat.load("shards").props.get("align_fingerprint")
+        if prior_fp is not None and prior_fp != align_fp:
+            raise RuntimeError(
+                "aligned resume refused: the input's file layout changed "
+                "since the first build attempt (fingerprint mismatch), so "
+                "runtime split ids no longer correspond to committed "
+                "shards. Rebuild into a fresh index dir, or use "
+                "align_shards=False."
+            )
         docs = docs.withColumn("shard", F.spark_partition_id().cast("int"))
     else:
         docs = docs.withColumn(
@@ -535,6 +574,7 @@ def build_index(
                 "n_docs": stats["n_docs"],
                 "aligned": bool(align_shards),
                 "align_stride": _ALIGN_STRIDE if align_shards else 1,
+                **({"align_fingerprint": align_fp} if align_shards else {}),
             },
         )
         cat.commit(
@@ -616,18 +656,20 @@ def generation_dirs(index_dir: str, table: str = "shards") -> list[str]:
     return dirs
 
 
-def read_generations(spark: SparkSession, index_dir: str, table: str = "shards") -> DataFrame:
-    """Union scan over all generations of an index table.
-
-    One parquet scan per generation unioned by name (a single multi-root
-    read trips Spark's partition discovery); filters/pruning push into
-    each scan independently.
-    """
-    dfs = [spark.read.parquet(d) for d in generation_dirs(index_dir, table)]
+def union_parquet_dirs(spark: SparkSession, dirs: list[str]) -> DataFrame:
+    """Union scan over explicit parquet roots, one scan per root unioned
+    by name (a single multi-root read trips Spark's partition discovery);
+    filters/pruning push into each scan independently."""
+    dfs = [spark.read.parquet(d) for d in dirs]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def read_generations(spark: SparkSession, index_dir: str, table: str = "shards") -> DataFrame:
+    """Union scan over all generations of an index table."""
+    return union_parquet_dirs(spark, generation_dirs(index_dir, table))
 
 
 def append_documents(
@@ -738,12 +780,9 @@ def append_documents(
     # The union lists old generations (from current stats) + the new dir
     # explicitly, since read_generations only sees committed generations.
     terms_dir = os.path.join(index_dir, "terms")
-    gen_dfs = [
-        spark.read.parquet(d) for d in generation_dirs(index_dir, "shards")
-    ] + [spark.read.parquet(shards_dir)]
-    all_gens = gen_dfs[0]
-    for d in gen_dfs[1:]:
-        all_gens = all_gens.unionByName(d)
+    all_gens = union_parquet_dirs(
+        spark, generation_dirs(index_dir, "shards") + [shards_dir]
+    )
     tdf = (
         all_gens.filter(F.col("block_id") == 0)
         .groupBy("term")

@@ -390,6 +390,10 @@ def lsh_verified_pairs(
     bucket degenerates, so measured recall there is exactly 1.0 — the
     driver gate runs at threshold 0.9 for this reason (queries.py).
     """
+    # spread ONCE here: both stages below run row-local over this input,
+    # and each would otherwise round-robin the text independently on a
+    # narrow scan (their internal spreads become no-ops on the wide df)
+    df = _spread_small_scan(df)
     cand = minhash_lsh_pairs(
         df, n, num_hashes, bands, seed, text_col, portable=False, max_bucket=max_bucket
     ).select("a", "b")

@@ -231,6 +231,13 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     cat = ManifestCatalog(index_dir)
     n_shards = int(cat.load("shards").props["n_shards"])
 
+    # sweep leftovers of a previous compaction that crashed after its
+    # stats commit (the *_precompact aside state) — a fresh os.replace
+    # aside would otherwise collide with the stale directory
+    for name in os.listdir(index_dir):
+        if name.endswith("_precompact"):
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+
     # survivor doclens (per shard, doc-sorted like the build writes them)
     dls = read_generations(spark, index_dir, "doclens").join(
         tomb, "doc_id", "left_anti"
@@ -269,17 +276,28 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         .parquet(new_terms)
     )
 
-    # swap: drop old generations, move compacted tables into place; the
-    # atomic stats.json replace at the end is the visibility point
+    # swap — crash-safe: NOTHING is deleted before the stats commit. Old
+    # tables are renamed aside, the compacted tables move into place, the
+    # atomic stats.json replace is the visibility point, and only then is
+    # the aside state removed. A crash mid-swap leaves generation_dirs
+    # raising loudly with every byte still on disk under *_precompact
+    # (rename back to recover); a crash after the stats write leaves only
+    # harmless leftovers, swept by the next compaction.
+    aside: list[str] = []
+
+    def _aside(path: str) -> None:
+        if os.path.exists(path):
+            os.replace(path, path + "_precompact")
+            aside.append(path + "_precompact")
+
     for table in ("shards", "doclens"):
         for d in generation_dirs(index_dir, table):
-            shutil.rmtree(d, ignore_errors=True)
-    shutil.rmtree(os.path.join(index_dir, "terms"), ignore_errors=True)
-    shutil.rmtree(os.path.join(index_dir, "merged"), ignore_errors=True)
+            _aside(d)
+    _aside(os.path.join(index_dir, "terms"))
+    _aside(os.path.join(index_dir, "merged"))
     os.replace(new_shards, os.path.join(index_dir, "shards"))
     os.replace(new_doclens, os.path.join(index_dir, "doclens"))
     os.replace(new_terms, os.path.join(index_dir, "terms"))
-    cat.drop("deletes")
 
     stats = {
         "format": INDEX_FORMAT,
@@ -293,6 +311,10 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         "positions": bool(stats.get("positions", True)),
     }
     _write_json_atomic(stats_path, stats)
+    # visible now — clear tombstones and sweep the aside state
+    cat.drop("deletes")
+    for d in aside:
+        shutil.rmtree(d, ignore_errors=True)
     return stats
 
 
@@ -316,18 +338,31 @@ def merge_generations(
     tombstone table, and the merged hot-term table are all unaffected —
     queries are rank-identical before/after (pytest-asserted).
 
-    No-op unless at least ``min_generations`` appended generations exist.
-    Commit protocol mirrors ``compact_index``: new tables are fully
-    written to temp dirs, old generation dirs+manifests are dropped, the
-    temps move into place as gen-1, and the atomic ``stats.json`` write
-    (generations=2) is the visibility point. Also resets append-resume
-    manifests of the dropped generations so a later ``append_documents``
-    (which will write gen-2) starts clean.
+    No-op unless at least ``min_generations`` (clamped to ≥1) appended
+    generations exist. Single-writer, like Lucene's merge lock: do not
+    run concurrently with an append.
+
+    Crash safety — NOTHING is deleted before the new stats commit:
+    1. merged tables are fully written to ``*_genmerge_tmp``;
+    2. old generation dirs are RENAMED aside (``*_premerge``), the temps
+       move into place as gen-1, the gen-1 manifest is committed;
+    3. the atomic ``stats.json`` write (generations=2) is the visibility
+       point;
+    4. only then are the ``*_premerge`` dirs (and any orphaned
+       ``shards_gen{i>=2}`` left by a crashed in-flight append — its
+       data was never visible and the renumbering would otherwise let a
+       future append "resume" onto it) deleted.
+    A crash in step 2 leaves ``generation_dirs`` raising loudly with
+    every byte still on disk under ``*_premerge``/``*_genmerge_tmp``
+    (rename back to recover); a crash in step 4 leaves only harmless
+    leftovers, which the next merge removes first.
     """
+    import re
     import shutil
 
-    from .build import load_stats
+    from .build import load_stats, union_parquet_dirs
 
+    min_generations = max(1, min_generations)
     stats = load_stats(index_dir)
     g = int(stats.get("generations", 1))
     if g - 1 < min_generations:
@@ -336,25 +371,32 @@ def merge_generations(
     n_shards = int(cat.load("shards").props["n_shards"])
     stats_path = os.path.join(index_dir, "stats.json")
 
-    def _union(dirs: list[str]) -> DataFrame:
-        dfs = [spark.read.parquet(d) for d in dirs]
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
-        return out
+    def _sweep_leftovers(max_gen: int) -> None:
+        pat = re.compile(r"^(shards|doclens)_(gen(\d+)|genmerge_tmp)")
+        for name in os.listdir(index_dir):
+            m = pat.match(name)
+            stale = name.endswith("_premerge") or (
+                m and (m.group(3) is None or int(m.group(3) or 0) >= max_gen)
+            )
+            if stale:
+                shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+
+    _sweep_leftovers(max_gen=g)  # prior crashed merges / abandoned appends
 
     shard_dirs = [os.path.join(index_dir, f"shards_gen{i}") for i in range(1, g)]
     dl_dirs = [os.path.join(index_dir, f"doclens_gen{i}") for i in range(1, g)]
 
     tmp_dl = os.path.join(index_dir, "doclens_genmerge_tmp")
-    _union(dl_dirs).repartition(n_shards, "shard").sortWithinPartitions(
-        "doc_id"
-    ).write.mode("overwrite").partitionBy("shard").parquet(tmp_dl)
+    union_parquet_dirs(spark, dl_dirs).repartition(
+        n_shards, "shard"
+    ).sortWithinPartitions("doc_id").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(tmp_dl)
     dl_merged = spark.read.parquet(tmp_dl)
 
     tmp_sh = os.path.join(index_dir, "shards_genmerge_tmp")
     (
-        _union(shard_dirs)
+        union_parquet_dirs(spark, shard_dirs)
         .groupBy("shard")
         .cogroup(dl_merged.groupBy("shard"))
         .applyInPandas(reencode_shard, INDEX_SCHEMA)
@@ -367,11 +409,9 @@ def merge_generations(
         for r in dl_merged.groupBy("shard").agg(F.count("*").alias("cnt")).collect()
     }
 
-    # swap: drop old generation dirs + their manifests, move the merged
-    # tables into place as gen-1; stats.json replace is the visibility point
-    for i in range(1, g):
-        cat.drop(f"shards_gen{i}")
-        cat.drop(f"doclens_gen{i}")
+    # step 2: rename aside (no deletes yet), install merged as gen-1
+    for d in shard_dirs + dl_dirs:
+        os.replace(d, d + "_premerge")
     os.replace(tmp_sh, os.path.join(index_dir, "shards_gen1"))
     os.replace(tmp_dl, os.path.join(index_dir, "doclens_gen1"))
     cat.commit(
@@ -390,7 +430,13 @@ def merge_generations(
         ],
         props={"generation": 1, "merged_from": g - 1},
     )
+
+    # step 3: the atomic visibility point
     stats = dict(stats)
     stats["generations"] = 2
     _write_json_atomic(stats_path, stats)
+
+    # step 4: now — and only now — delete the replaced generations and
+    # any orphaned higher-numbered gen dirs
+    _sweep_leftovers(max_gen=2)
     return stats

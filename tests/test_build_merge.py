@@ -433,3 +433,37 @@ def test_merge_generations_tiered(spark, documents, tmp_path_factory):
         ][: len(inc)]
         # tombstoned doc excluded from the tiered index; scores otherwise equal
         assert [doc for doc, _ in inc] == [doc for doc, _ in full]
+
+
+def test_merge_generations_sweeps_leftovers_and_clamps(
+    spark, documents, tmp_path_factory
+):
+    """Janitor + clamp: crashed-merge leftovers (*_premerge, *_genmerge_tmp)
+    and orphaned higher-gen dirs from an abandoned append are swept; a
+    min_generations <= 0 is clamped (no crash, no always-merge on a fresh
+    index)."""
+    import os
+
+    from es_loaders_spark.build import append_documents
+    from es_loaders_spark.deletes import merge_generations
+    from es_loaders_spark.wand import topk
+
+    d = str(tmp_path_factory.mktemp("idx_sweep"))
+    build_index(spark, documents.filter(F.col("doc_id") < 200), d, n_shards=2)
+    # clamp: fresh index (generations=1), min_generations=0 → clean no-op
+    s = merge_generations(spark, d, min_generations=0)
+    assert s["generations"] == 1
+    for lo, hi in [(200, 300), (300, 400)]:
+        append_documents(
+            spark, documents.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), d
+        )
+    # plant crash debris: an aside leftover, a tmp, and an abandoned gen5
+    for name in ("shards_gen1_premerge", "doclens_genmerge_tmp", "shards_gen5"):
+        os.makedirs(os.path.join(d, name), exist_ok=True)
+    before = [(r["doc_id"], r["score"]) for r in topk(spark, d, "spark data", k=10).collect()]
+    s = merge_generations(spark, d, min_generations=2)
+    assert s["generations"] == 2
+    leftover = [n for n in os.listdir(d) if "premerge" in n or "genmerge_tmp" in n or n == "shards_gen5"]
+    assert leftover == []
+    after = [(r["doc_id"], r["score"]) for r in topk(spark, d, "spark data", k=10).collect()]
+    assert after == before
