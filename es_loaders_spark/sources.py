@@ -1,4 +1,4 @@
-"""Driver-side remote sources: HTTP CSV/TSV and REST-JSON ingestion.
+"""Driver-side remote sources: HTTP CSV/TSV, REST-JSON, and SCP staging.
 
 The reference fetches metadata over HTTP on the driver and feeds the
 rows into its engine (SURVEY §2.1 S4/S5: `requests.get(SAMPLES_URL)` →
@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import urllib.request
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,3 +78,80 @@ def read_parquet_glob(spark: SparkSession, pattern: str) -> DataFrame:
     surface (the reference used ``glob.glob`` + per-file reads,
     alhena_loader.py; here one distributed scan serves all matches)."""
     return spark.read.parquet(pattern)
+
+
+def fetch_scp(
+    remotes: list[str] | str,
+    dest_dir: str,
+    scp_bin: str = "scp",
+    batch_mode: bool = True,
+) -> list[str]:
+    """S7: SCP bulk staging (reference: SCPClient.get over an SSHClient
+    session, mira/mira_data.py:43-129 — cells/genes/matrix/samples TSVs
+    pulled from ``juno`` into a local staging directory before loading).
+
+    Control-plane staging only: the reference moves a handful of
+    analysis TSVs this way, never the data plane — same contract here.
+    Each remote is a standard scp spec (``host:/path`` or
+    ``scp://host/path``); files land in ``dest_dir`` under their
+    basename, and the staged local paths are returned in input order.
+    At 100 TB nothing data-sized ever rides this path: corpora are
+    parquet scans over shared storage (S1/S2); this exists so the
+    reference's fetch-then-load workflows have a drop-in surface.
+
+    Uses the system ``scp`` binary via subprocess (the sandbox has no
+    paramiko; the binary honours ~/.ssh config exactly like the
+    reference's ``load_system_host_keys``). ``batch_mode`` adds ``-B``
+    so an unreachable host fails loudly instead of prompting. Raises
+    FileNotFoundError when no scp binary exists and RuntimeError on a
+    non-zero exit (stderr included).
+    """
+    import shutil as _shutil
+    import subprocess
+
+    if _shutil.which(scp_bin) is None:
+        raise FileNotFoundError(
+            f"scp binary {scp_bin!r} not found on PATH; install OpenSSH "
+            "client or pass scp_bin="
+        )
+    if isinstance(remotes, str):
+        remotes = [remotes]
+    os.makedirs(dest_dir, exist_ok=True)
+    staged: list[str] = []
+    for remote in remotes:
+        spec = remote
+        if spec.startswith("scp://"):
+            # scp://host/abs/path → host:/abs/path
+            rest = spec[len("scp://"):]
+            host, _, path = rest.partition("/")
+            spec = f"{host}:/{path}"
+        base = os.path.basename(spec.split(":", 1)[-1])
+        dest = os.path.join(dest_dir, base)
+        cmd = [scp_bin] + (["-B"] if batch_mode else []) + [spec, dest]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"scp failed ({proc.returncode}) for {remote!r}: "
+                f"{proc.stderr.strip()}"
+            )
+        staged.append(dest)
+    return staged
+
+
+def read_tsv_scp(
+    spark: SparkSession,
+    remote: str,
+    dest_dir: str,
+    sep: str = "\t",
+    scp_bin: str = "scp",
+) -> DataFrame:
+    """S7 fetch → S1 load in one call (the reference's download-then-
+    ``pd.read_csv`` sequence, mira_data.py → mira_loader.py): stage one
+    remote TSV via :func:`fetch_scp`, parse on the driver, ship rows to
+    the cluster via createDataFrame — cluster-safe like the other
+    driver-side sources (a driver-local temp path handed to
+    ``spark.read`` would be unreadable from executors)."""
+    import pandas as pd
+
+    local = fetch_scp(remote, dest_dir, scp_bin=scp_bin)[0]
+    return spark.createDataFrame(pd.read_csv(local, sep=sep))
