@@ -67,13 +67,71 @@ class ManifestCatalog:
         os.makedirs(d, exist_ok=True)
         return d
 
-    def load(self, table: str) -> Manifest:
-        p = self._path(table)
+    def load(self, table: str, version: int | None = None) -> Manifest:
+        """Current manifest, or — with ``version`` — that committed
+        snapshot (Iceberg time travel over the lineage/metrics log).
+
+        Snapshot files are written by :meth:`commit` alongside the
+        current pointer; they capture the manifest (which partitions
+        were committed, with what lineage + metrics) as of that commit.
+        Data-file time travel follows only for append-only tables
+        (generation appends); a rewrite (compaction, tiered merge)
+        replaces data in place, after which old snapshots still document
+        history but no longer resolve to readable data.
+        """
+        p = (
+            self._path(table)
+            if version is None
+            else os.path.join(self.root, table, f"_manifest.v{version}.json")
+        )
         if not os.path.exists(p):
+            if version is not None:
+                raise FileNotFoundError(
+                    f"no snapshot v{version} for table {table!r} "
+                    f"(expired or never committed); see snapshots()"
+                )
             return Manifest(table=table)
         with open(p) as f:
             raw = json.load(f)
         return Manifest(**raw)
+
+    def snapshots(self, table: str) -> list[dict]:
+        """Snapshot log, oldest first: one row per retained commit
+        (version, committed_at, n_partitions, total docs) — Iceberg's
+        ``snapshots`` metadata table for this catalog."""
+        d = os.path.join(self.root, table)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in sorted(os.listdir(d)):
+            if not (name.startswith("_manifest.v") and name.endswith(".json")):
+                continue
+            with open(os.path.join(d, name)) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "version": m["version"],
+                    "committed_at": m["props"].get("committed_at"),
+                    "n_partitions": len(m["partitions"]),
+                    "docs": sum(e.get("docs", 0) for e in m["partitions"]),
+                }
+            )
+        out.sort(key=lambda s: s["version"])
+        return out
+
+    def expire_snapshots(self, table: str, keep_last: int = 2) -> int:
+        """Drop all but the newest ``keep_last`` snapshot files
+        (Iceberg's expire_snapshots); the current pointer is never
+        touched. Returns the number removed."""
+        keep_last = max(0, keep_last)
+        snaps = self.snapshots(table)
+        removed = 0
+        for s in snaps[: len(snaps) - keep_last if keep_last else len(snaps)]:
+            os.remove(
+                os.path.join(self.root, table, f"_manifest.v{s['version']}.json")
+            )
+            removed += 1
+        return removed
 
     def committed_partitions(self, table: str, stage: str | None = None) -> set[int]:
         m = self.load(table)
@@ -97,6 +155,14 @@ class ManifestCatalog:
         fd, tmp = tempfile.mkstemp(dir=d, suffix=".manifest.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(asdict(m), f, indent=1)
+        # snapshot file first (history), then the atomic current-pointer
+        # replace — a crash between the two leaves an orphan snapshot that
+        # the next commit's version bump supersedes harmlessly
+        snap = os.path.join(d, f"_manifest.v{m.version}.json")
+        fd2, tmp2 = tempfile.mkstemp(dir=d, suffix=".manifest.tmp")
+        with os.fdopen(fd2, "w") as f:
+            json.dump(asdict(m), f, indent=1)
+        os.replace(tmp2, snap)
         os.replace(tmp, self._path(table))  # atomic on POSIX
         return m
 

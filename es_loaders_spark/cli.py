@@ -84,11 +84,35 @@ def main(argv: list[str] | None = None) -> None:
     mg.add_argument("--index-dir", required=True)
     mg.add_argument("--min-generations", type=int, default=3)
 
+    sn = sub.add_parser(
+        "snapshots", help="list the Iceberg-style snapshot log of an index table"
+    )
+    sn.add_argument("--index-dir", required=True)
+    sn.add_argument("--table", default="shards")
+    sn.add_argument(
+        "--expire-keep", type=int, default=None,
+        help="expire all but the newest N snapshots before listing",
+    )
+
     d = sub.add_parser("demo", help="synthesize a corpus, build, query (smoke)")
     d.add_argument("--pages", type=int, default=5000)
     d.add_argument("--index-dir", default="/tmp/es_loaders_spark_demo")
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "snapshots":  # pure metadata — no Spark session needed
+        from .catalog import ManifestCatalog
+
+        cat = ManifestCatalog(args.index_dir)
+        expired = (
+            cat.expire_snapshots(args.table, keep_last=args.expire_keep)
+            if args.expire_keep is not None
+            else 0
+        )
+        print(json.dumps({"table": args.table, "expired": expired,
+                          "snapshots": cat.snapshots(args.table)}))
+        return
+
     from .session import get_spark
 
     spark = get_spark(f"es-loaders-spark-{args.cmd}")
