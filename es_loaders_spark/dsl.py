@@ -112,6 +112,28 @@ def filter_expr(query: dict[str, Any], id_col: str = "doc_id") -> Column:
             else:
                 out_chars.append(ch)
         return F.col(field).like("".join(out_chars))
+    if kind == "regexp":
+        (field, value), = body.items()
+        if isinstance(value, dict):
+            value = value["value"]
+        # ES/Lucene regexp is ANCHORED — the pattern must match the ENTIRE
+        # field value (Lucene's syntax has no ^/$ operators at all). Spark's
+        # rlike is a substring search, so anchor explicitly; (?:...) keeps a
+        # top-level alternation like a|b from escaping the anchors.
+        return F.col(field).rlike(f"^(?:{value})$")
+    if kind == "fuzzy":
+        (field, value), = body.items()
+        fuzziness: Any = "AUTO"
+        if isinstance(value, dict):
+            fuzziness = value.get("fuzziness", "AUTO")
+            value = value["value"]
+        value = str(value)
+        if isinstance(fuzziness, str) and fuzziness.upper() == "AUTO":
+            # ES AUTO: edit distance 0 for length 1-2, 1 for 3-5, 2 for 6+
+            dist = 0 if len(value) <= 2 else 1 if len(value) <= 5 else 2
+        else:
+            dist = int(fuzziness)
+        return F.levenshtein(F.col(field), F.lit(value)) <= F.lit(dist)
     if kind == "bool":
         # ES two-valued match semantics: a clause over a missing/NULL field
         # simply DOESN'T MATCH. Spark predicates are three-valued (NULL
@@ -164,7 +186,7 @@ def _split_scoring(query: dict | None) -> tuple[dict | None, dict]:
     if not query:
         return None, {}
     (kind, body), = query.items()
-    if kind in ("match", "match_phrase"):
+    if kind in ("match", "match_phrase", "multi_match"):
         return query, {}
     if kind == "bool":
         scoring = None
@@ -172,13 +194,72 @@ def _split_scoring(query: dict | None) -> tuple[dict | None, dict]:
         musts = []
         for sub in _as_list(body.get("must")):
             (k, _), = sub.items()
-            if k in ("match", "match_phrase") and scoring is None:
+            if k in ("match", "match_phrase", "multi_match") and scoring is None:
                 scoring = sub
             else:
                 musts.append(sub)
         rest["must"] = musts
         return scoring, {"bool": rest}
     return None, query
+
+
+def _multi_match_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    sub: dict[str, Any],
+    filters: dict[str, Any],
+    id_col: str,
+    text_col: str,
+    k: int,
+) -> DataFrame:
+    """ES ``multi_match`` (type best_fields, the default): BM25 per field,
+    a document's score is its BEST single-field score.
+
+    Exactness of the per-field depth-k truncation: if a doc is in the
+    global top-k under (max-score desc, doc_id asc), every doc ahead of
+    it in its best field's ordering has max-score ≥ that field score and
+    wins the same tiebreak — so it is also ahead globally, hence the doc
+    sits within that field's own top-k. The union of per-field top-k
+    therefore contains the global top-k; fields are scored independently
+    (own dfs/avgdl per field, ES per-field statistics) and max-combined.
+    """
+    from .bm25 import bm25_topk
+    from .postings import corpus_stats, doc_lengths, postings_long, term_df
+
+    text = sub["query"]
+    fields = list(sub.get("fields") or [text_col])
+    mtype = sub.get("type", "best_fields")
+    if mtype != "best_fields":
+        raise ValueError(
+            f"multi_match type {mtype!r} not supported (best_fields only)"
+        )
+    if any("^" in f or "*" in f for f in fields):
+        raise ValueError("multi_match field boosts / wildcards not supported")
+    allowed = None
+    if filters:
+        allowed = docs.filter(filter_expr(filters, id_col)).select(
+            F.col(id_col).alias("doc_id")
+        )
+    per_field = []
+    for fld in fields:
+        p = postings_long(docs.select(id_col, fld), text_col=fld, id_col=id_col)
+        dl = doc_lengths(docs.select(id_col, fld), text_col=fld, id_col=id_col)
+        cand = (
+            p if allowed is None
+            else p.join(allowed.hint("broadcast"), "doc_id", "left_semi")
+        )
+        per_field.append(
+            bm25_topk(spark, cand, dl, term_df(p), corpus_stats(dl), text, k=k)
+        )
+    union = per_field[0]
+    for x in per_field[1:]:
+        union = union.unionByName(x)
+    return (
+        union.groupBy("doc_id")
+        .agg(F.max("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 def search(
@@ -230,12 +311,23 @@ def search(
             return out
 
         (kind, sub), = scoring.items()
+        if kind == "multi_match":
+            return page(
+                _multi_match_topk(
+                    spark, docs, sub, filters, id_col, text_col, k=offset + size
+                )
+            )
         (field, text), = sub.items()
         if isinstance(text, dict):
             text = text["query"]
         if kind == "match_phrase":
             if index_dir is None:
                 raise ValueError("match_phrase needs a built index (phrase.py)")
+            if field != text_col:
+                raise ValueError(
+                    f"match_phrase scores the indexed column {text_col!r}; "
+                    f"got field {field!r} (build an index over it)"
+                )
             from .phrase import phrase_docs
 
             hits = phrase_docs(spark, index_dir, text)
@@ -244,8 +336,12 @@ def search(
             # by score; an unordered limit/offset would give overlapping /
             # skipping pages across jobs)
             return page(out.orderBy(id_col).limit(offset + size))
-        # match → BM25 top-k (deep enough for the requested page)
-        if index_dir is not None and not filters:
+        # match → BM25 top-k (deep enough for the requested page).
+        # ES scores the field NAMED in the clause; the compressed index
+        # covers text_col, any other field takes the exact join scorer
+        # (previously the clause's field name was silently ignored and
+        # text_col scored — or an AnalysisException for a custom text_col)
+        if index_dir is not None and not filters and field == text_col:
             from .wand import topk
 
             return page(topk(spark, index_dir, text, k=offset + size))
@@ -256,8 +352,8 @@ def search(
         # the UNFILTERED corpus; the filter only restricts the candidate
         # set (ADVICE r02 — stats over the filtered set shifted idf/avgdl
         # and diverged from ES; same shape as bm25_topk_filtered)
-        p = postings_long(docs.select(id_col, text_col))
-        dl = doc_lengths(docs.select(id_col, text_col))
+        p = postings_long(docs.select(id_col, field), text_col=field, id_col=id_col)
+        dl = doc_lengths(docs.select(id_col, field), text_col=field, id_col=id_col)
         cand = p
         if filters:
             allowed = docs.filter(filter_expr(filters, id_col)).select(

@@ -585,3 +585,94 @@ def test_match_source_with_document_fields(spark, documents):
     ).collect()
     assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in ranked]
     assert set(rows[0].asDict()) == {"doc_id", "lang"}
+
+
+def test_regexp_is_anchored(spark):
+    """ES regexp matches the WHOLE value (Lucene has no ^/$ operators);
+    top-level alternation must not escape the anchors."""
+    df = spark.createDataFrame(
+        [(1, "error"), (2, "error_log"), (3, "xerror"), (4, "warn")],
+        "id long, s string",
+    )
+    got = {r["id"] for r in dsl.search(
+        spark, df, {"query": {"regexp": {"s": "err.*"}}, "size": 10}).collect()}
+    assert got == {1, 2}  # NOT 3: anchored at the start too
+    got = {r["id"] for r in dsl.search(
+        spark, df, {"query": {"regexp": {"s": "error|warn"}}, "size": 10}).collect()}
+    assert got == {1, 4}  # alternation stays inside the anchors
+
+
+def test_fuzzy_auto_and_explicit(spark):
+    df = spark.createDataFrame(
+        [(1, "spark"), (2, "sp班rk"), (3, "sparkle"), (4, "zzzzz"), (5, None)],
+        "id long, s string",
+    )
+    # AUTO for a 5-char term = distance 1
+    body = {"query": {"fuzzy": {"s": {"value": "spark"}}}, "size": 10}
+    got = {r["id"] for r in dsl.search(spark, df, body).collect()}
+    assert got == {1, 2}  # sparkle is distance 2; NULL row doesn't match
+    body = {"query": {"fuzzy": {"s": {"value": "spark", "fuzziness": 2}}}, "size": 10}
+    got = {r["id"] for r in dsl.search(spark, df, body).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_multi_match_best_fields(spark):
+    """multi_match (default best_fields) = max of the per-field BM25
+    scores, per-field statistics — checked against single-field match."""
+    rows = [
+        (0, "spark shuffle join", "introduction page"),
+        (1, "the quick brown fox", "spark spark spark"),
+        (2, "spark", "spark tuning guide"),
+        (3, "unrelated text here", "nothing relevant"),
+        (4, "shuffle partitions", "spark shuffle internals"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    got = dsl.search(
+        spark, df,
+        {"query": {"multi_match": {"query": "spark shuffle",
+                                   "fields": ["title", "body"]}}, "size": 3},
+        text_col="title",
+    ).collect()
+    per_field = {}
+    for fld in ("title", "body"):
+        for r in dsl.search(
+            spark, df, {"query": {"match": {fld: "spark shuffle"}}, "size": 5},
+            text_col=fld,
+        ).collect():
+            per_field[r["doc_id"]] = max(per_field.get(r["doc_id"], 0.0), r["score"])
+    want = sorted(per_field.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r["doc_id"], r["score"]) for r in got] == want
+
+
+def test_multi_match_with_filter_and_unsupported_type(spark):
+    df = spark.createDataFrame(
+        [(0, "spark docs", "a", "en"), (1, "spark docs", "b", "de")],
+        "doc_id long, title string, body string, lang string",
+    )
+    got = dsl.search(
+        spark, df,
+        {"query": {"bool": {
+            "must": [{"multi_match": {"query": "spark", "fields": ["title", "body"]}}],
+            "filter": [{"term": {"lang": "en"}}]}}, "size": 5},
+    ).collect()
+    assert [r["doc_id"] for r in got] == [0]
+    with pytest.raises(ValueError, match="best_fields only"):
+        dsl.search(spark, df, {"query": {"multi_match": {
+            "query": "spark", "fields": ["title"], "type": "phrase"}}})
+
+
+def test_match_scores_the_named_field(spark):
+    """ES `match` scores the field NAMED in the clause — previously the
+    clause's field was ignored and the engine's text_col scored."""
+    df = spark.createDataFrame(
+        [(0, "spark tuning", "cooking pasta"), (1, "cooking pasta", "spark tuning")],
+        "doc_id long, title string, body string",
+    )
+    hits = dsl.search(
+        spark, df, {"query": {"match": {"title": "spark"}}, "size": 5}
+    ).collect()
+    assert [r["doc_id"] for r in hits] == [0]
+    hits = dsl.search(
+        spark, df, {"query": {"match": {"body": "spark"}}, "size": 5}
+    ).collect()
+    assert [r["doc_id"] for r in hits] == [1]
