@@ -467,6 +467,23 @@ def _aggs(base: DataFrame, aggs: dict[str, Any], group_cols: list | None = None)
             fn = F.approx_count_distinct if c.get("approx") else F.count_distinct
             alias = f"{name}_value" if multi else "value"
             return [fn(c["field"]).alias(alias)]
+        if "percentiles" in spec:
+            # ES percentiles is t-digest-approximate; exact (sort-based,
+            # linear interpolation — numpy/ES 'linear') by default so the
+            # values are deterministic and oracle-checkable; the scale
+            # path is {"percentiles": {..., "approx": true}} →
+            # percentile_approx (Greenwald-Khanna sketch, one pass).
+            pc = spec["percentiles"]
+            f = pc["field"]
+            percents = pc.get("percents", [1, 5, 25, 50, 75, 95, 99])
+            fn = F.percentile_approx if pc.get("approx") else F.percentile
+            p = f"{name}_" if multi else ""
+            return [
+                fn(F.col(f), F.lit(float(q) / 100.0)).alias(
+                    f"{p}p{f'{q:g}'.replace('.', '_')}"
+                )
+                for q in percents
+            ]
         return None
 
     # any number of sibling stats/metric/cardinality aggs → ONE pass
@@ -524,6 +541,33 @@ def _aggs(base: DataFrame, aggs: dict[str, Any], group_cols: list | None = None)
         return grouped.groupBy(*group_cols, f"{name}_key").agg(
             F.count(F.lit(1)).alias("doc_count")
         )
+    if "top_hits" in spec:
+        # per-bucket example documents (ES top_hits): row_number window
+        # over the enclosing bucket keys — one shuffle on the bucket key,
+        # rank-limited in place, never a per-bucket collect. Tie order on
+        # equal sort keys is unspecified, as in ES — pass a total sort
+        # for deterministic pages.
+        th = spec["top_hits"]
+        size = int(th.get("size", 3))
+        sort_cols = []
+        for s in _as_list(th.get("sort")):
+            (f_, sp), = s.items() if isinstance(s, dict) else ((s, "asc"),)
+            order = sp["order"] if isinstance(sp, dict) else sp
+            sort_cols.append(
+                F.col(f_).desc() if order == "desc" else F.col(f_).asc()
+            )
+        if not sort_cols:
+            sort_cols = [F.col(c).asc() for c in base.columns[:1]]
+        w = Window.partitionBy(*group_cols).orderBy(*sort_cols)
+        out = (
+            base.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= size)
+            .drop("_rn")
+        )
+        src = th.get("_source")
+        if isinstance(src, list) and src:
+            out = out.select(*group_cols, *src)
+        return out
     if "terms" in spec:
         t = spec["terms"]
         field, topn = t["field"], int(t.get("size", 10))
@@ -533,11 +577,21 @@ def _aggs(base: DataFrame, aggs: dict[str, Any], group_cols: list | None = None)
         w = Window.partitionBy(*group_cols).orderBy(
             F.desc("doc_count"), F.asc(field)
         )
-        return (
+        buckets = (
             counted.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= topn)
             .drop("_rn")
         )
+        sub = spec.get("aggs")
+        if sub:
+            # sub-aggs run over only the docs of the surviving top-n
+            # buckets: semi join on the (tiny) bucket-key set, broadcast
+            keys = buckets.select(*group_cols, field)
+            restricted = base.join(
+                F.broadcast(keys), [*group_cols, field], "left_semi"
+            )
+            return _aggs(restricted, sub, group_cols + [field])
+        return buckets
     raise ValueError(f"unsupported agg: {sorted(spec)}")
 
 

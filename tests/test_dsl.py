@@ -676,3 +676,56 @@ def test_match_scores_the_named_field(spark):
         spark, df, {"query": {"match": {"body": "spark"}}, "size": 5}
     ).collect()
     assert [r["doc_id"] for r in hits] == [1]
+
+
+def test_percentiles_exact_linear(spark, events):
+    """percentiles (exact path) = numpy linear interpolation."""
+    import numpy as np
+
+    row = dsl.search(
+        spark, events,
+        {"aggs": {"v": {"percentiles": {"field": "value",
+                                        "percents": [50, 95, 99.9]}}}},
+    ).first()
+    vals = np.array([r["value"] for r in events.select("value").collect()])
+    assert abs(row["p50"] - np.percentile(vals, 50)) < 1e-9
+    assert abs(row["p95"] - np.percentile(vals, 95)) < 1e-9
+    assert abs(row["p99_9"] - np.percentile(vals, 99.9)) < 1e-9
+
+
+def test_percentiles_sibling_and_approx(spark, events):
+    row = dsl.search(
+        spark, events,
+        {"aggs": {
+            "a": {"percentiles": {"field": "value", "percents": [50], "approx": True}},
+            "b": {"avg": {"field": "value"}},
+        }},
+    ).first()
+    import numpy as np
+
+    vals = np.array([r["value"] for r in events.select("value").collect()])
+    assert abs(row["a_p50"] - np.percentile(vals, 50)) < abs(np.percentile(vals, 60))
+    assert abs(row["b_value"] - vals.mean()) < 1e-9
+
+
+def test_top_hits_under_terms(spark, events):
+    """top_hits nested under a terms bucket: N example docs per bucket,
+    ordered by the sort, bucket keys carried on every row."""
+    out = dsl.search(
+        spark, events,
+        {"aggs": {"types": {"terms": {"field": "event_type", "size": 3},
+                            "aggs": {"ex": {"top_hits": {
+                                "size": 2,
+                                "sort": [{"value": {"order": "desc"}}],
+                                "_source": ["event_id", "value"]}}}}}},
+    )
+    rows = out.collect()
+    assert set(out.columns) == {"event_type", "event_id", "value"}
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    assert all(len(v) <= 2 for v in by_type.values())
+    for et, got_vals in by_type.items():
+        want = [r["value"] for r in events.filter(F.col("event_type") == et)
+                .orderBy(F.desc("value")).limit(2).collect()]
+        assert got_vals == want
