@@ -54,9 +54,18 @@ class ManifestCatalog:
     """Atomic-commit manifest over a directory of partitioned parquet."""
 
     MANIFEST = "_manifest.json"
+    # Default snapshot retention: commit() keeps this many snapshot files
+    # per table (tombstone-heavy workloads commit often; unbounded tiny
+    # JSON files would accrete silently). Iceberg's equivalent knob is
+    # history.expire.max-snapshot-age; here it's count-based.
+    SNAPSHOT_RETENTION = 64
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, snapshot_retention: int | None = None):
         self.root = root
+        self.snapshot_retention = (
+            self.SNAPSHOT_RETENTION if snapshot_retention is None
+            else snapshot_retention
+        )
         os.makedirs(root, exist_ok=True)
 
     def _path(self, table: str) -> str:
@@ -126,7 +135,9 @@ class ManifestCatalog:
         keep_last = max(0, keep_last)
         snaps = self.snapshots(table)
         removed = 0
-        for s in snaps[: len(snaps) - keep_last if keep_last else len(snaps)]:
+        # max(0, ...): a negative cut would slice from the END and wrongly
+        # expire everything but the newest while history is still short
+        for s in snaps[: max(0, len(snaps) - keep_last)]:
             os.remove(
                 os.path.join(self.root, table, f"_manifest.v{s['version']}.json")
             )
@@ -164,6 +175,7 @@ class ManifestCatalog:
             json.dump(asdict(m), f, indent=1)
         os.replace(tmp2, snap)
         os.replace(tmp, self._path(table))  # atomic on POSIX
+        self.expire_snapshots(table, keep_last=self.snapshot_retention)
         return m
 
     def drop(self, table: str) -> None:

@@ -566,7 +566,9 @@ def _aggs(base: DataFrame, aggs: dict[str, Any], group_cols: list | None = None)
         )
         src = th.get("_source")
         if isinstance(src, list) and src:
-            out = out.select(*group_cols, *src)
+            out = out.select(
+                *group_cols, *[c for c in src if c not in group_cols]
+            )
         return out
     if "terms" in spec:
         t = spec["terms"]

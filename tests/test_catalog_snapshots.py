@@ -70,3 +70,18 @@ def test_build_accrues_snapshots(spark, tmp_path, documents):
     v_after_build = [s["version"] for s in cat.snapshots("shards")]
     assert v_after_build, "build must commit at least one shards snapshot"
     assert cat.load("shards", version=v_after_build[-1]).partitions
+
+
+def test_commit_auto_expires_to_retention(tmp_path):
+    cat = ManifestCatalog(str(tmp_path), snapshot_retention=3)
+    for i in range(6):
+        cat.commit("t", [_entry(i)])
+    assert [s["version"] for s in cat.snapshots("t")] == [4, 5, 6]
+    assert cat.load("t").version == 6
+
+
+def test_retention_zero_keeps_no_history(tmp_path):
+    cat = ManifestCatalog(str(tmp_path), snapshot_retention=0)
+    cat.commit("t", [_entry(0)])
+    assert cat.snapshots("t") == []
+    assert cat.load("t").version == 1  # current pointer unaffected
