@@ -91,6 +91,30 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     )
 
 
+def hashed_shingle_sets(
+    df: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc distinct shingle set as xxhash64 values: (doc_id, hs64).
+
+    The production dedup pipeline's shared relation: MinHash signatures
+    are affine transforms over these values and exact-Jaccard
+    verification intersects them — one tokenize+shingle pass feeds both,
+    and the verification joins move/intersect 8-byte longs instead of
+    ~25-byte shingle strings. Set semantics are exact up to xxhash64
+    collisions *within one document* (≈ m²/2⁶⁴ per doc, m = distinct
+    shingles — negligible at any real document size); the oracle-parity
+    variants keep raw strings (:func:`shingle_sets`)."""
+    toks = terms_array(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return _spread_small_scan(df).filter(F.size(toks) >= n).select(
+        "doc_id",
+        F.array_distinct(F.transform(grams, lambda s: F.xxhash64(s))).alias("hs64"),
+    )
+
+
 # --- n-gram Jaccard ----------------------------------------------------------
 
 
@@ -116,7 +140,9 @@ def jaccard_candidates(
     )
 
 
-def exact_jaccard_for_pairs(cand: DataFrame, sets: DataFrame) -> DataFrame:
+def exact_jaccard_for_pairs(
+    cand: DataFrame, sets: DataFrame, set_col: str = "sh_set"
+) -> DataFrame:
     """Exact shingle Jaccard for given candidate pairs: (a, b, jaccard).
 
     ``sets`` is the (doc_id, sh_set) relation from :func:`shingle_sets`
@@ -131,10 +157,10 @@ def exact_jaccard_for_pairs(cand: DataFrame, sets: DataFrame) -> DataFrame:
     """
     return (
         cand.join(
-            sets.select(F.col("doc_id").alias("a"), F.col("sh_set").alias("set_a")), "a"
+            sets.select(F.col("doc_id").alias("a"), F.col(set_col).alias("set_a")), "a"
         )
         .join(
-            sets.select(F.col("doc_id").alias("b"), F.col("sh_set").alias("set_b")), "b"
+            sets.select(F.col("doc_id").alias("b"), F.col(set_col).alias("set_b")), "b"
         )
         .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
         .select(
@@ -234,21 +260,38 @@ def minhash_signatures(
     inlined). Replaces the r1–r3 explode + 32-min groupBy, whose shuffle
     of every shingle row was the single slowest bench item.
     """
-    a, b = _minhash_params(num_hashes, seed)
-
-    def base(s):
-        return portable_hash60(s) if portable else F.xxhash64(s)
-
+    if not portable:
+        # one code path with the shared-relation pipeline: distinct-then-hash
+        # vs hash-then-distinct give the same multiset minimum
+        return minhash_signatures_from_hashed(
+            hashed_shingle_sets(df, n, text_col), num_hashes, seed
+        )
     toks = terms_array(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    hashed = _spread_small_scan(df).filter(F.size(toks) >= n).withColumn(
-        "_xs",
+    hashed = _spread_small_scan(df).filter(F.size(toks) >= n).select(
+        "doc_id",
         F.transform(
-            F.array_distinct(grams), lambda s: F.pmod(base(s), F.lit(_MERSENNE))
-        ),
+            F.array_distinct(grams), lambda s: portable_hash60(s)
+        ).alias("hs64"),
+    )
+    return minhash_signatures_from_hashed(hashed, num_hashes, seed)
+
+
+def minhash_signatures_from_hashed(
+    hsets: DataFrame, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """(doc_id, sig) from a precomputed (doc_id, hs64) hashed-shingle
+    relation (:func:`hashed_shingle_sets`) — the shared-relation form: the
+    tokenize+shingle+hash pass runs once and feeds both signature
+    generation and exact-Jaccard verification. ``_xs`` (the pmod-reduced
+    array) is its own projection so CollapseProject keeps it evaluated
+    once per row, not once per hash function."""
+    a, b = _minhash_params(num_hashes, seed)
+    hashed = hsets.withColumn(
+        "_xs", F.transform(F.col("hs64"), lambda x: F.pmod(x, F.lit(_MERSENNE)))
     )
     mins = [
         F.array_min(
@@ -292,9 +335,44 @@ def minhash_lsh_pairs(
     band's raw signature values) for the oracle gate.
     """
     assert num_hashes % bands == 0
-    rpb = num_hashes // bands
     release_dedup_caches()  # self-bounding: drop the previous invocation's
     sig = _persist_tracked(minhash_signatures(df, n, num_hashes, seed, text_col, portable))
+    cand = _lsh_candidates(sig, num_hashes, bands, portable, max_bucket)
+    sa = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(float(num_hashes)),
+                4,
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+def _lsh_candidates(
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    portable: bool,
+    max_bucket: int,
+) -> DataFrame:
+    """Banded-LSH candidate pairs (a, b) from a signature relation —
+    the band join is the pipeline's only shuffle; degenerate buckets
+    (> max_bucket) fall back to canonical-star pairing (O(n) pairs,
+    transitively connected). ``sig`` should be persisted by the caller:
+    the bucket relation is referenced twice (size agg + join-back)."""
+    rpb = num_hashes // bands
     bucket_key = (
         # collision-free: the band's raw values, '_'-joined (SQL twin joins
         # on the raw columns, which is the same relation)
@@ -335,27 +413,7 @@ def minhash_lsh_pairs(
             (F.col("n_in_bucket") > max_bucket) & (F.col("doc_id") > F.col("min_doc"))
         ).select(F.col("min_doc").alias("a"), F.col("doc_id").alias("b"))
     )
-    cand = pairs_small.unionByName(pairs_star).distinct()
-    sa = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
-    return (
-        cand.join(sa, "a")
-        .join(sb, "b")
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.size(
-                    F.filter(
-                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                        lambda eq: eq,
-                    )
-                )
-                / F.lit(float(num_hashes)),
-                4,
-            ).alias("est_jaccard"),
-        )
-    )
+    return pairs_small.unionByName(pairs_star).distinct()
 
 
 def lsh_verified_pairs(
@@ -378,7 +436,10 @@ def lsh_verified_pairs(
     then verify): the O(n²) exact comparison runs only on the LSH
     candidate set, while the emitted pairs carry the exact Jaccard — a
     hash-family-independent value a SQL oracle can recompute from the raw
-    shingle sets (an all-pairs shared-shingle join at oracle scale).
+    shingle sets (an all-pairs shared-shingle join at oracle scale) —
+    verification here intersects the xxhash64'd sets
+    (:func:`hashed_shingle_sets`), identical to the string-set Jaccard up
+    to negligible within-pair hash collisions.
     Recall at 32 hashes / 8 bands follows the banding S-curve
     1 − (1 − J⁴)⁸: ≈ 2.4 × 10⁻⁴ miss per pair at J = 0.9, but only ~50%
     at J ≈ 0.6 — so with `threshold` well below ~0.85 the output is NOT
@@ -390,19 +451,21 @@ def lsh_verified_pairs(
     bucket degenerates, so measured recall there is exactly 1.0 — the
     driver gate runs at threshold 0.9 for this reason (queries.py).
     """
-    # spread ONCE here: both stages below run row-local over this input,
-    # and each would otherwise round-robin the text independently on a
-    # narrow scan (their internal spreads become no-ops on the wide df)
-    df = _spread_small_scan(df)
-    cand = minhash_lsh_pairs(
-        df, n, num_hashes, bands, seed, text_col, portable=False, max_bucket=max_bucket
-    ).select("a", "b")
-    # persisted (tracked) because the verification joins reference it
-    # twice (set_a, set_b) — measured ~30% off the pipeline at sf0.1;
-    # minhash_lsh_pairs above already released the previous invocation's
-    # caches, so this invocation holds exactly {sig, sets}
-    sets = _persist_tracked(shingle_sets(df, n, text_col))
-    return exact_jaccard_for_pairs(cand, sets).filter(F.col("jaccard") >= threshold)
+    assert num_hashes % bands == 0
+    release_dedup_caches()  # self-bounding: drop the previous invocation's
+    # ONE tokenize+shingle+hash pass feeds BOTH stages: signatures are
+    # affine transforms over the hashed sets, and verification intersects
+    # the same 8-byte-long arrays (vs ~25-byte shingle strings — smaller
+    # join payloads, cheaper intersects). Persisted (tracked) because the
+    # verification joins reference it twice (set_a, set_b) — measured
+    # ~30% off the pipeline at sf0.1; this invocation holds exactly
+    # {hsets, sig}.
+    hsets = _persist_tracked(hashed_shingle_sets(df, n, text_col))
+    sig = _persist_tracked(minhash_signatures_from_hashed(hsets, num_hashes, seed))
+    cand = _lsh_candidates(sig, num_hashes, bands, portable=False, max_bucket=max_bucket)
+    return exact_jaccard_for_pairs(cand, hsets, set_col="hs64").filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 # --- SimHash -----------------------------------------------------------------
