@@ -133,3 +133,37 @@ def test_minhash_portable_matches_default_semantics(spark, dup_corpus):
         }
         assert (100, 101) in got  # identical docs always collide
         assert got[(100, 101)] == 1.0
+
+
+def test_verified_pipeline_hashed_sets_match_string_jaccard(spark, dup_corpus):
+    """The production pipeline's shared hashed-shingle relation must yield
+    the same exact-Jaccard values as the string-set path: xxhash64 is
+    injective on any real shingle set, so |A∩B|/|A∪B| is preserved."""
+    from es_loaders_spark.dedup import (
+        hashed_shingle_sets,
+        lsh_verified_pairs,
+        minhash_signatures_from_hashed,
+        release_dedup_caches,
+    )
+
+    fast = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in lsh_verified_pairs(dup_corpus, threshold=0.5).collect()
+    }
+    truth = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_corpus, threshold=0.5).collect()
+    }
+    assert fast[(100, 101)] == 1.0
+    for k, j in fast.items():
+        assert truth[k] == j, (k, j, truth.get(k))
+    # shared-relation signatures ARE the public API's signatures
+    via_shared = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures_from_hashed(hashed_shingle_sets(dup_corpus)).collect()
+    }
+    direct = {
+        r["doc_id"]: list(r["sig"]) for r in minhash_signatures(dup_corpus).collect()
+    }
+    assert via_shared == direct
+    release_dedup_caches()
