@@ -177,10 +177,20 @@ def release_doc_id_caches(result: DataFrame | None = None) -> None:
     """
     if result is not None:
         parted = getattr(result, "_persisted_source", None)
-        if parted is not None:
-            parted.unpersist()
-            # identity, not ==: DataFrame __eq__ builds a Column
-            _ID_PERSISTS[:] = [p for p in _ID_PERSISTS if p is not parted]
+        if parted is None:
+            # a transformed/derived DataFrame loses the attribute — a
+            # silent no-op here would leave the persist pinned forever
+            # while the caller believes it was freed (ADVICE r04)
+            raise ValueError(
+                "release_doc_id_caches(result) requires the EXACT "
+                "DataFrame returned by assign_doc_ids (derived frames "
+                "do not carry _persisted_source); pass that object, or "
+                "call release_doc_id_caches() with no arguments to "
+                "release every outstanding assignment"
+            )
+        parted.unpersist()
+        # identity, not ==: DataFrame __eq__ builds a Column
+        _ID_PERSISTS[:] = [p for p in _ID_PERSISTS if p is not parted]
         return
     while _ID_PERSISTS:
         _ID_PERSISTS.pop().unpersist()

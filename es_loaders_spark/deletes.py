@@ -47,6 +47,62 @@ from .codec import (
 )
 
 
+_ASIDE_SUFFIXES = ("_precompact", "_premerge")
+
+
+def _recover_or_refuse(index_dir: str) -> None:
+    """Crash recovery gate for compaction/merge retries (ADVICE r04).
+
+    A compaction/merge crash in the swap window leaves declared
+    generation dirs renamed aside (``*_precompact`` / ``*_premerge``).
+    Sweeping those aside copies at entry — BEFORE checking the index is
+    intact — turns the natural retry into permanent data loss: the
+    backups are deleted first, then the job fails on the missing dirs.
+
+    This gate runs before any sweep:
+
+    - If the index is intact (``generation_dirs`` succeeds for shards
+      and doclens and the terms table exists), return — the aside
+      copies are superseded leftovers and sweeping them is safe.
+    - Otherwise restore every aside copy over its original path. An
+      occupant at the original path can only be a never-yet-visible
+      install from the crashed run (stats.json — the visibility point —
+      is written only after every install), so the aside copy is
+      authoritative and the occupant is dropped.
+    - If restoration still leaves the index broken, raise with a
+      recovery message instead of sweeping anything.
+    """
+    import shutil
+
+    def _intact() -> bool:
+        try:
+            generation_dirs(index_dir, "shards")
+            generation_dirs(index_dir, "doclens")
+        except (RuntimeError, OSError):
+            return False
+        return os.path.exists(os.path.join(index_dir, "terms"))
+
+    if _intact():
+        return
+    restored: list[str] = []
+    for name in sorted(os.listdir(index_dir)):
+        suffix = next((s for s in _ASIDE_SUFFIXES if name.endswith(s)), None)
+        if suffix is None:
+            continue
+        orig = os.path.join(index_dir, name[: -len(suffix)])
+        if os.path.exists(orig):
+            shutil.rmtree(orig)
+        os.replace(os.path.join(index_dir, name), orig)
+        restored.append(os.path.basename(orig))
+    if not _intact():
+        raise RuntimeError(
+            f"index at {index_dir} is missing declared generation dirs "
+            f"and the aside copies ({'/'.join(_ASIDE_SUFFIXES)}) cannot "
+            f"restore it (restored: {restored or 'none'}). Refusing to "
+            "sweep — restore the missing directories manually or rebuild."
+        )
+
+
 def tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """Committed tombstone doc_ids, or None if nothing was deleted."""
     d = os.path.join(index_dir, "deletes")
@@ -223,6 +279,12 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
 
     from .build import INDEX_FORMAT, load_stats
 
+    # crash-retry gate FIRST (ADVICE r04, high): if a previous compaction
+    # died mid-swap, the *_precompact dirs are the only copy of the index —
+    # and the shards manifest rode along with the renamed dir. Restore (or
+    # refuse) before anything reads the index or sweeps the aside copies.
+    _recover_or_refuse(index_dir)
+
     tomb = tombstones(spark, index_dir)
     stats_path = os.path.join(index_dir, "stats.json")
     stats = load_stats(index_dir)
@@ -231,9 +293,9 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     cat = ManifestCatalog(index_dir)
     n_shards = int(cat.load("shards").props["n_shards"])
 
-    # sweep leftovers of a previous compaction that crashed after its
-    # stats commit (the *_precompact aside state) — a fresh os.replace
-    # aside would otherwise collide with the stale directory
+    # now the index is provably intact: any remaining *_precompact dirs are
+    # superseded leftovers of a compaction that crashed after its stats
+    # commit — a fresh os.replace aside would collide with them, sweep
     for name in os.listdir(index_dir):
         if name.endswith("_precompact"):
             shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
@@ -362,6 +424,12 @@ def merge_generations(
 
     from .build import load_stats, union_parquet_dirs
 
+    # crash-retry gate FIRST (ADVICE r04, high): a merge that died in the
+    # swap window left the appended generations only under *_premerge —
+    # sweeping before this check would delete the sole surviving copy and
+    # the *_genmerge_tmp merged copy, then fail on the missing gen dirs
+    _recover_or_refuse(index_dir)
+
     min_generations = max(1, min_generations)
     stats = load_stats(index_dir)
     g = int(stats.get("generations", 1))
@@ -381,6 +449,8 @@ def merge_generations(
             if stale:
                 shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
 
+    # index proven intact by the entry gate: remaining aside dirs are
+    # superseded leftovers — sweep them before fresh renames collide
     _sweep_leftovers(max_gen=g)  # prior crashed merges / abandoned appends
 
     shard_dirs = [os.path.join(index_dir, f"shards_gen{i}") for i in range(1, g)]

@@ -120,14 +120,26 @@ def fetch_scp(
     staged: list[str] = []
     for remote in remotes:
         spec = remote
+        port: str | None = None
         if spec.startswith("scp://"):
-            # scp://host/abs/path → host:/abs/path
+            # scp://host[:port]/abs/path → host:/abs/path (+ scp -P port)
             rest = spec[len("scp://"):]
             host, _, path = rest.partition("/")
+            if ":" in host:
+                host, _, port = host.partition(":")
+                if not port.isdigit():
+                    raise ValueError(f"bad port in scp URL {remote!r}")
             spec = f"{host}:/{path}"
         base = os.path.basename(spec.split(":", 1)[-1])
         dest = os.path.join(dest_dir, base)
-        cmd = [scp_bin] + (["-B"] if batch_mode else []) + [spec, dest]
+        # "--" ends option parsing: a spec starting with "-" must never be
+        # read as an scp option (-oProxyCommand=... injection; ADVICE r04)
+        cmd = (
+            [scp_bin]
+            + (["-B"] if batch_mode else [])
+            + (["-P", port] if port else [])
+            + ["--", spec, dest]
+        )
         proc = subprocess.run(cmd, capture_output=True, text=True)
         if proc.returncode != 0:
             raise RuntimeError(

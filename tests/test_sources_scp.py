@@ -15,15 +15,20 @@ import pytest
 from es_loaders_spark.sources import fetch_scp, read_tsv_scp
 
 FAKE_SCP = """#!/bin/sh
-# fake scp: last two args are src dst; src is host:/abs/path
-args=""
-for a in "$@"; do
-  case "$a" in
-    -*) ;;  # swallow flags (-B)
-    *) args="$args $a" ;;
+# fake scp: real-scp option grammar — "--" ends option parsing, -P takes
+# a value; records argv to $FAKE_SCP_LOG for assertions
+if [ -n "$FAKE_SCP_LOG" ]; then printf '%s\\n' "$@" > "$FAKE_SCP_LOG"; fi
+ops=""
+while [ $# -gt 0 ]; do
+  case "$1" in
+    --) shift; break ;;
+    -P) shift 2; continue ;;
+    -*) shift; continue ;;
+    *) ops="$ops $1"; shift ;;
   esac
 done
-set -- $args
+while [ $# -gt 0 ]; do ops="$ops $1"; shift; done
+set -- $ops
 src="$1"; dst="$2"
 path="${src#*:}"
 if [ ! -f "$path" ]; then
@@ -57,6 +62,36 @@ def test_fetch_scp_stages_files(tmp_path, fake_scp):
     assert [os.path.basename(p) for p in staged] == ["cells.tsv", "genes.tsv"]
     assert open(staged[0]).read() == src1.read_text()
     assert open(staged[1]).read() == src2.read_text()
+
+
+def test_fetch_scp_port_url(tmp_path, fake_scp, monkeypatch):
+    """scp://host:port/path → scp -P port host:/path (ADVICE r04: was
+    mangled to host:port:/path, losing the port and breaking the spec)."""
+    src = tmp_path / "matrix.tsv"
+    src.write_text("a\t1\n")
+    log = tmp_path / "argv.log"
+    monkeypatch.setenv("FAKE_SCP_LOG", str(log))
+    staged = fetch_scp(f"scp://juno:2222{src}", str(tmp_path / "stage"))
+    assert open(staged[0]).read() == src.read_text()
+    argv = log.read_text().splitlines()
+    p_at = argv.index("-P")
+    assert argv[p_at + 1] == "2222"
+    assert f"juno:{src}" in argv  # host:port: mangling gone
+    with pytest.raises(ValueError, match="bad port"):
+        fetch_scp(f"scp://juno:22x2{src}", str(tmp_path / "stage"))
+
+
+def test_fetch_scp_dashed_spec_is_operand(tmp_path, fake_scp, monkeypatch):
+    """A remote spec starting with '-' must ride after '--' so scp never
+    parses it as an option (-oProxyCommand injection; ADVICE r04)."""
+    src = tmp_path / "odd.tsv"
+    src.write_text("x\n")
+    log = tmp_path / "argv.log"
+    monkeypatch.setenv("FAKE_SCP_LOG", str(log))
+    staged = fetch_scp(f"-ohost:{src}", str(tmp_path / "stage"))
+    assert open(staged[0]).read() == "x\n"
+    argv = log.read_text().splitlines()
+    assert argv.index("--") < argv.index(f"-ohost:{src}")
 
 
 def test_fetch_scp_missing_remote_raises(tmp_path, fake_scp):
