@@ -93,8 +93,10 @@ def test_registry_fits_driver_cap():
     twins live in EXTRA_QUERIES (local gate only)."""
     qs = entrymod.queries()
     assert len(qs) <= 50, f"{len(qs)} queries() entries exceed the driver's 50-row cap"
-    for must in ("ann_ivf_exhaustive", "ann_ivf", "embedding_near_dups",
-                 "minhash_lsh_dups_fast", "pivot_wide"):
+    for must in ("ann_ivf", "embedding_near_dups", "minhash_lsh_dups_fast",
+                 "pivot_wide", "dsl_multi_match", "dsl_percentiles",
+                 "dsl_top_hits", "dsl_date_histogram", "dsl_regexp",
+                 "dsl_fuzzy"):
         assert must in qs
     # oracle keys must be a subset of query keys (driver joins by name)
     assert set(entrymod.oracle_sql()) <= set(qs)
