@@ -10,13 +10,16 @@
   against the brute-force baseline.
 - ``ivf_topk`` / ``build_ivf_index``: IVF (inverted-file) scale path —
   a k-means coarse quantizer (trained in ``n_iters`` DataFrame passes;
-  assignment is an Arrow-batched pandas UDF doing one matmul per batch)
-  partitions vectors into ``n_centroids`` lists; a query probes only the
-  ``nprobe`` nearest lists. With the index materialized the probe is a
-  partition-PRUNED parquet scan, like the LSH variant. ``nprobe =
-  n_centroids`` degenerates to the exact brute-force scan (the
-  SQL-oracle-checkable setting); small ``nprobe`` is the 100-TB serving
-  path (recall measured in tests against brute force).
+  assignment is a pure-Catalyst rounded dot fold, no Python in the
+  plan) partitions vectors into ``n_centroids`` lists; a query probes
+  only the ``nprobe`` nearest lists. With the index materialized the
+  probe is a partition-PRUNED parquet scan, like the LSH variant. The
+  trainer is SQL-replayable end to end (md5 init + 6-dp rounded means/
+  quantizer + 9-dp rounded dots), so the driver's ``ann_ivf`` oracle
+  recomputes training, assignment, probe selection AND pruned scoring
+  in DuckDB; ``nprobe = n_centroids`` degenerates to the exact
+  brute-force scan; small ``nprobe`` is the 100-TB serving path
+  (recall measured in tests against brute force).
 
 Hyperplanes and k-means seeds are fixed (deterministic across runs and
 cluster sizes).
@@ -161,25 +164,14 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-def _assign_udf(centroids: np.ndarray):
-    """pandas UDF: embedding → nearest-centroid list id (cosine).
-
-    One numpy matmul per Arrow batch; ties break to the lowest list id
-    (np.argmax takes the first maximum). Centroids ride the closure
-    (k×dim floats — broadcast-sized)."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import IntegerType
-
-    cn = _normalize_rows(centroids.astype(np.float64))
-
-    # no type hints: the module-level `from __future__ import annotations`
-    # stringifies them, which pandas_udf's hint inference rejects
-    def assign(vecs):
-        m = _normalize_rows(np.stack(vecs.to_numpy()).astype(np.float64))
-        return pd.Series(np.argmax(m @ cn.T, axis=1).astype(np.int32))
-
-    return pandas_udf(assign, IntegerType())
+def _unit6(centroids: np.ndarray) -> np.ndarray:
+    """Normalize rows to unit length and round to 6 decimals — the
+    quantizer surface every assignment/probe sees. The rounding makes the
+    matrix an EXACT set of double literals, so the identical values can
+    be recomputed by a SQL twin (list_transform round 6) and baked into
+    Catalyst expressions — arithmetic on both sides then agrees to the
+    9-decimal dot rounding, independent of fold/summation order."""
+    return np.round(_normalize_rows(centroids.astype(np.float64)), 6)
 
 
 def train_ivf_centroids(
@@ -190,19 +182,32 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Deterministic spherical k-means: init from the ``n_centroids``
-    rows with the smallest ``xxhash64(id, seed)`` (seed-stable, order-
-    free), then ``n_iters`` Lloyd passes. Each pass is one distributed
-    assignment (pandas-UDF matmul) + one posexplode/avg shuffle; the
-    k×dim centroid matrix is the only driver-side state. Means are
-    rounded to 6 decimals so partial-agg summation order can't drift
-    the trained centroids across cluster sizes."""
+    """Deterministic spherical k-means whose every step is replayable by
+    a SQL twin (the driver's ``ann_ivf`` oracle replays the full loop in
+    DuckDB — queries._ivf_trained_oracle_sql):
+
+    - init: the ``n_centroids`` rows with the smallest
+      ``md5(id || ':seed')`` (seed-stable, order-free, and — unlike
+      xxhash64 — bit-identical in every SQL engine);
+    - each Lloyd pass: cosine assignment through the rounded Catalyst
+      fold (:func:`ivf_assign_col` over the unit/6-dp quantizer — pure
+      JVM expressions, no Python in the plan), then per-(list, pos)
+      means rounded to 6 decimals so partial-agg summation order can't
+      drift the trained centroids across cluster sizes; empty lists
+      keep their previous centroid.
+
+    Returns the unit-normalized, 6-dp-rounded quantizer matrix (k×dim —
+    the only driver-side state). For very large k×dim an Arrow-batched
+    matmul UDF would beat the k-literal Catalyst expression; at coarse-
+    quantizer sizes (k ≤ a few hundred) codegen wins and stays exact."""
     vecs = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     ).cache()
     init = (
-        vecs.withColumn("_h", F.xxhash64("_id", F.lit(seed)))
+        vecs.withColumn(
+            "_h", F.md5(F.concat(F.col("_id").cast("string"), F.lit(f":{seed}")))
+        )
         .orderBy("_h", "_id")
         .limit(n_centroids)
         .select("_v")
@@ -210,7 +215,9 @@ def train_ivf_centroids(
     )
     centroids = np.array([r["_v"] for r in init], dtype=np.float64)
     for _ in range(n_iters):
-        assigned = vecs.withColumn("_list", _assign_udf(centroids)(F.col("_v")))
+        assigned = vecs.withColumn(
+            "_list", ivf_assign_col(F.col("_v"), _unit6(centroids))
+        )
         means = (
             assigned.select("_list", F.posexplode("_v").alias("_pos", "_x"))
             .groupBy("_list", "_pos")
@@ -222,7 +229,7 @@ def train_ivf_centroids(
             new[r["_list"], r["_pos"]] = r["_m"]
         centroids = new
     vecs.unpersist()
-    return centroids
+    return _unit6(centroids)
 
 
 def fixed_ivf_centroids(dim: int, n_lists: int = 8, seed: int = 11) -> np.ndarray:
@@ -274,21 +281,22 @@ def ivf_topk_fixed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF approximate cosine top-k over the FIXED quantizer — assignment
-    and probe selection both SQL-reproducible (oracle-gated end to end)."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    sims = np.round(centroids.astype(np.float64) @ q, 9)
-    order = np.lexsort((np.arange(len(sims)), -sims))
-    probes = [int(i) for i in order[:nprobe]]
-    assigned = df.withColumn("_list", ivf_assign_col(F.col(vec_col), centroids))
-    return cosine_topk(
-        assigned.filter(F.col("_list").isin(probes)), query_vec, k, id_col, vec_col
-    )
+    """IVF approximate cosine top-k over the FIXED (data-independent)
+    quantizer. Since r5 the trained path uses the identical rounded
+    arithmetic, so this is :func:`ivf_topk` under another quantizer."""
+    return ivf_topk(df, query_vec, centroids, k, nprobe, id_col, vec_col)
 
 
 def _probe_lists(query_vec: list[float], centroids: np.ndarray, nprobe: int) -> list[int]:
-    qn = _normalize_rows(np.asarray(query_vec, dtype=np.float64)[None, :])[0]
-    sims = _normalize_rows(centroids.astype(np.float64)) @ qn
+    """Top-``nprobe`` lists by query-centroid similarity. Centroids are
+    unit vectors by construction (train_ivf_centroids / fixed_ivf_
+    centroids return unit/6-dp matrices), so the raw dot ranks lists by
+    cosine; the query's own norm scales every dot equally and never
+    reorders. Rounded to 9 decimals — the same comparison surface as the
+    SQL twin's probe CTE."""
+    sims = np.round(
+        centroids.astype(np.float64) @ np.asarray(query_vec, dtype=np.float64), 9
+    )
     # stable: sort by (-sim, list_id)
     order = np.lexsort((np.arange(len(sims)), -sims))
     return [int(i) for i in order[:nprobe]]
@@ -305,9 +313,11 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate cosine top-k: exact scoring restricted to the
     ``nprobe`` inverted lists nearest the query. ``nprobe =
-    n_centroids`` scans every list — exactly the brute-force result."""
+    n_centroids`` scans every list — exactly the brute-force result.
+    Assignment and probe selection are both SQL-reproducible (the same
+    rounded arithmetic as :func:`ivf_topk_fixed`)."""
     probes = _probe_lists(query_vec, centroids, nprobe)
-    assigned = df.withColumn("_list", _assign_udf(centroids)(F.col(vec_col)))
+    assigned = df.withColumn("_list", ivf_assign_col(F.col(vec_col), centroids))
     return cosine_topk(
         assigned.filter(F.col("_list").isin(probes)), query_vec, k, id_col, vec_col
     )
@@ -327,7 +337,7 @@ def build_ivf_index(
     need no retraining. Returns the trained centroid matrix."""
     centroids = train_ivf_centroids(df, n_centroids, n_iters, seed, id_col, vec_col)
     (
-        df.withColumn("list_id", _assign_udf(centroids)(F.col(vec_col)))
+        df.withColumn("list_id", ivf_assign_col(F.col(vec_col), centroids))
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(index_dir)

@@ -102,7 +102,7 @@ def test_ivf_recall_and_pruning(spark, emb, emb_np):
     vector is always found (it sits in its nearest list by construction);
     recall vs brute force is measured, not assumed."""
     from es_loaders_spark.similarity import (
-        _assign_udf,
+        ivf_assign_col,
         ivf_topk,
         train_ivf_centroids,
     )
@@ -119,7 +119,7 @@ def test_ivf_recall_and_pruning(spark, emb, emb_np):
     assert recall >= 0.3, f"IVF recall too low: {recall}"
     # strict subset scanned: assignment splits the data across ≥ 2 lists
     n_lists = (
-        emb.withColumn("_l", _assign_udf(cent)(F.col("embedding")))
+        emb.withColumn("_l", ivf_assign_col(F.col("embedding"), cent))
         .select("_l").distinct().count()
     )
     assert n_lists >= 2
