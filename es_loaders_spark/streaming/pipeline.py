@@ -117,6 +117,7 @@ def stream_index_updates(
     text_col: str = "text",
     available_now: bool = True,
     merge_every: int = 8,
+    dedup_store_dir: str | None = None,
 ):
     """Continuously index a document stream: each micro-batch becomes a
     new index generation via ``build.append_documents``.
@@ -146,6 +147,15 @@ def stream_index_updates(
     stream. The merge is rank-neutral and its stats.json commit is
     atomic, so a crash between append and merge just defers the merge to
     a later batch. 0 disables.
+
+    ``dedup_store_dir``: when set, each micro-batch is also near-dup
+    checked INCREMENTALLY against every previously ingested batch
+    (dedup_store.append_dedup_store — new×all signature band join, the
+    batch's text tokenized once, old text never re-read) and its
+    signatures join the store; cumulative pairs accumulate under
+    ``pairs_gen*`` (dedup_store.store_pairs). The store append is
+    idempotent per batch_tag, exactly like the index append, so a
+    replayed micro-batch cannot double-count pairs.
     """
     import json
     import os
@@ -176,6 +186,15 @@ def stream_index_updates(
             rank = F.row_number().over(Window.orderBy("url")) - 1
             batch_df = batch_df.withColumn("doc_id", F.lit(base + 1) + rank)
         batch_df = batch_df.select("doc_id", F.col(text_col).alias("text"))
+        if dedup_store_dir is not None:
+            from ..dedup_store import append_dedup_store, build_dedup_store
+
+            if not os.path.exists(os.path.join(dedup_store_dir, "meta.json")):
+                build_dedup_store(spark, batch_df, dedup_store_dir)
+            else:
+                append_dedup_store(
+                    spark, batch_df, dedup_store_dir, batch_tag=tag
+                )
         if not os.path.exists(stats_path):
             build_index(spark, batch_df, index_dir, n_shards=8, batch_tag=tag)
         else:
