@@ -122,7 +122,12 @@ def build_ann_index(
     computed ONCE at ingest and becomes a partition column, so each query
     probe is a partition-PRUNED scan (only the probed buckets' files are
     read — visible as PartitionFilters in .explain), not a full pass.
+    ``_meta.json`` records (dim, n_planes, seed) so appends and probes
+    rebuild the identical hyperplanes without re-passing parameters.
     """
+    import json
+    import os
+
     planes = _hyperplanes(dim, n_planes, seed)
     (
         df.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
@@ -130,7 +135,102 @@ def build_ann_index(
         .partitionBy("bucket")
         .parquet(index_dir)
     )
+    meta = {"dim": dim, "n_planes": n_planes, "seed": seed, "vec_col": vec_col}
+    tmp = os.path.join(index_dir, "_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "_meta.json"))
     return index_dir
+
+
+def _ann_meta(index_dir: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(index_dir, "_meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def append_ann_index(df_new: DataFrame, index_dir: str) -> int:
+    """Append new vectors into the LSH-bucketed index (VERDICT r04 #5:
+    a real pipeline re-embeds — the index must grow without a rebuild).
+
+    Each new vector is bucketed with the index's own stored hyperplanes
+    (``_meta.json``) and partition-APPENDED into its bucket directory —
+    only the touched buckets gain files; existing data is never
+    rewritten. Probes see appended vectors immediately (the partition
+    listing picks up new files). Returns the number of appended rows."""
+    meta = _ann_meta(index_dir)
+    if meta is None:
+        raise ValueError(f"no ANN index at {index_dir} (missing _meta.json)")
+    planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    vec_col = meta["vec_col"]
+    n = df_new.count()
+    (
+        df_new.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(index_dir)
+    )
+    return int(n)
+
+
+# --- ANN tombstones (shared by the LSH and IVF indexes) ---------------------
+# Same model as the text index (deletes.py): deletes mark ids in a tiny
+# side table; probes anti-join it; the data files are untouched until a
+# rebuild. Snapshot-versioned (v{N} dirs + an atomically-replaced CURRENT
+# pointer) so a crashed delete never leaves a half-written live set.
+
+
+def ann_tombstones(spark, index_dir: str) -> DataFrame | None:
+    """Committed tombstoned ids, or None if nothing was deleted."""
+    import json
+    import os
+
+    cur = os.path.join(index_dir, "_deletes", "CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        v = json.load(f)["version"]
+    return spark.read.parquet(os.path.join(index_dir, "_deletes", f"v{v}"))
+
+
+def delete_ann_ids(spark, index_dir: str, ids: DataFrame) -> int:
+    """Tombstone vector ids (idempotent — duplicates collapse). Returns
+    the total tombstone count. Visibility is atomic: the new snapshot is
+    fully written before CURRENT moves to it."""
+    import json
+    import os
+
+    ddir = os.path.join(index_dir, "_deletes")
+    os.makedirs(ddir, exist_ok=True)
+    ids = ids.select(F.col(ids.columns[0]).cast("long").alias("vec_id")).distinct()
+    existing = ann_tombstones(spark, index_dir)
+    version = 1
+    if existing is not None:
+        ids = ids.unionByName(existing.select("vec_id")).distinct()
+        with open(os.path.join(ddir, "CURRENT")) as f:
+            version = json.load(f)["version"] + 1
+    snap = os.path.join(ddir, f"v{version}")
+    ids.coalesce(1).write.mode("overwrite").parquet(snap)
+    n = spark.read.parquet(snap).count()
+    tmp = os.path.join(ddir, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "count": int(n)}, f)
+    os.replace(tmp, os.path.join(ddir, "CURRENT"))
+    return int(n)
+
+
+def _filter_ann_deleted(spark, index_dir: str, df: DataFrame, id_col: str) -> DataFrame:
+    tomb = ann_tombstones(spark, index_dir)
+    if tomb is None:
+        return df
+    return df.join(
+        tomb.withColumnRenamed("vec_id", id_col), id_col, "left_anti"
+    )
 
 
 def lsh_topk_indexed(
@@ -148,11 +248,18 @@ def lsh_topk_indexed(
 
     Identical results to :func:`lsh_topk` (same planes/probes), but the
     scan reads only the probed partitions — O(probed fraction) IO.
-    """
+    Plane parameters come from the index's ``_meta.json`` when present
+    (appends stay consistent by construction); tombstoned ids are
+    anti-joined out (the live-docs filter — a broadcast against a tiny
+    side table, never a rewrite)."""
+    meta = _ann_meta(index_dir)
+    if meta is not None:
+        n_planes, seed, vec_col = meta["n_planes"], meta["seed"], meta["vec_col"]
     planes = _hyperplanes(len(query_vec), n_planes, seed)
     probes = _probe_buckets(query_vec, planes, probe_hamming)
     bucketed = spark.read.parquet(index_dir).filter(F.col("bucket").isin(probes))
-    return cosine_topk(bucketed, query_vec, k, id_col, vec_col)
+    live = _filter_ann_deleted(spark, index_dir, bucketed, id_col)
+    return cosine_topk(live, query_vec, k, id_col, vec_col)
 
 
 # --- IVF (inverted file) coarse quantizer ----------------------------------
@@ -353,6 +460,35 @@ def build_ivf_index(
     return centroids
 
 
+def _ivf_centroid_matrix(spark, index_dir: str) -> np.ndarray:
+    cent = spark.read.parquet(f"{index_dir.rstrip('/')}/_centroids").collect()
+    return np.array(
+        [r["centroid"] for r in sorted(cent, key=lambda r: r["list_id"])],
+        dtype=np.float64,
+    )
+
+
+def append_ivf_index(
+    df_new: DataFrame, index_dir: str, vec_col: str = "embedding"
+) -> int:
+    """Append new vectors into the IVF index (VERDICT r04 #5): each is
+    assigned to its nearest list with the index's OWN persisted quantizer
+    (no retraining — exactly Faiss/Lucene-HNSW-style add-to-built-index
+    semantics) and partition-APPENDED into that list's directory. The
+    quantizer ages as the distribution drifts; rebuild via
+    :func:`build_ivf_index` when recall degrades. Returns rows added."""
+    spark = df_new.sparkSession
+    centroids = _ivf_centroid_matrix(spark, index_dir)
+    n = df_new.count()
+    (
+        df_new.withColumn("list_id", ivf_assign_col(F.col(vec_col), centroids))
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(index_dir)
+    )
+    return int(n)
+
+
 def ivf_topk_indexed(
     spark,
     index_dir: str,
@@ -364,15 +500,13 @@ def ivf_topk_indexed(
 ) -> DataFrame:
     """Approximate cosine top-k over the materialized IVF table: reads
     the persisted centroids (k rows), then a partition-pruned scan of
-    only the probed lists (PartitionFilters in .explain)."""
-    cent = spark.read.parquet(f"{index_dir.rstrip('/')}/_centroids").collect()
-    centroids = np.array(
-        [r["centroid"] for r in sorted(cent, key=lambda r: r["list_id"])],
-        dtype=np.float64,
-    )
+    only the probed lists (PartitionFilters in .explain); tombstoned ids
+    (delete_ann_ids) are anti-joined out — the live-docs filter."""
+    centroids = _ivf_centroid_matrix(spark, index_dir)
     probes = _probe_lists(query_vec, centroids, nprobe)
     lists = spark.read.parquet(index_dir).filter(F.col("list_id").isin(probes))
-    return cosine_topk(lists, query_vec, k, id_col, vec_col)
+    live = _filter_ann_deleted(spark, index_dir, lists, id_col)
+    return cosine_topk(live, query_vec, k, id_col, vec_col)
 
 
 def lsh_topk(

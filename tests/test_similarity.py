@@ -161,3 +161,85 @@ def test_ivf_indexed_matches_unindexed(spark, emb, tmp_path_factory):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_ann_index_append_delete_cycle(spark, emb, tmp_path_factory):
+    """VERDICT r04 #5 done-criterion: LSH index parity across an
+    append + delete cycle — indexed results equal the on-the-fly path
+    over (base ∪ appended) minus tombstoned, at every step."""
+    from pyspark.sql import functions as F
+
+    from es_loaders_spark.similarity import (
+        append_ann_index,
+        ann_tombstones,
+        build_ann_index,
+        delete_ann_ids,
+        lsh_topk,
+        lsh_topk_indexed,
+    )
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    dim = len(q)
+    base = emb.filter(F.col("vec_id") < 300)
+    extra = emb.filter(F.col("vec_id") >= 300)
+    d = str(tmp_path_factory.mktemp("ann_idx"))
+    build_ann_index(base, d, dim=dim, n_planes=4, seed=42)
+
+    def indexed():
+        return [(r["vec_id"], r["cosine"])
+                for r in lsh_topk_indexed(spark, d, q, k=12, probe_hamming=2).collect()]
+
+    def direct(df):
+        return [(r["vec_id"], r["cosine"])
+                for r in lsh_topk(df, q, k=12, n_planes=4, seed=42,
+                                  probe_hamming=2).collect()]
+
+    assert indexed() == direct(base)
+    # append: new vectors land in their buckets, visible immediately
+    n = append_ann_index(extra, d)
+    assert n == extra.count()
+    assert indexed() == direct(emb)
+    # delete: tombstoned ids vanish from probes without a rewrite
+    victims = [vid for vid, _ in indexed()[:3]]
+    delete_ann_ids(spark, d, spark.createDataFrame([(v,) for v in victims], "id long"))
+    live = emb.filter(~F.col("vec_id").isin(victims))
+    assert indexed() == direct(live)
+    assert not any(v in {x for x, _ in indexed()} for v in victims)
+    # idempotent delete; tombstone table holds exactly the victim set
+    delete_ann_ids(spark, d, spark.createDataFrame([(victims[0],)], "id long"))
+    assert {r["vec_id"] for r in ann_tombstones(spark, d).collect()} == set(victims)
+    assert indexed() == direct(live)
+
+
+def test_ivf_index_append_delete_cycle(spark, emb, tmp_path_factory):
+    """Same cycle for the IVF index: appended vectors are assigned with
+    the PERSISTED quantizer (no retrain), deletes are live-filtered; at
+    nprobe = n_lists the indexed result equals exact brute force over
+    the live set — the strongest parity available after an append."""
+    from pyspark.sql import functions as F
+
+    from es_loaders_spark.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        cosine_topk,
+        delete_ann_ids,
+        ivf_topk_indexed,
+    )
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    base = emb.filter(F.col("vec_id") < 300)
+    extra = emb.filter(F.col("vec_id") >= 300)
+    d = str(tmp_path_factory.mktemp("ivf_maint"))
+    build_ivf_index(base, d, n_centroids=4, n_iters=2)
+    append_ivf_index(extra, d)
+    full = [(r["vec_id"], r["cosine"])
+            for r in ivf_topk_indexed(spark, d, q, k=10, nprobe=4).collect()]
+    exact = [(r["vec_id"], r["cosine"]) for r in cosine_topk(emb, q, k=10).collect()]
+    assert full == exact
+    victims = [x for x, _ in full[:2]]
+    delete_ann_ids(spark, d, spark.createDataFrame([(v,) for v in victims], "id long"))
+    after = [(r["vec_id"], r["cosine"])
+             for r in ivf_topk_indexed(spark, d, q, k=10, nprobe=4).collect()]
+    want = [(r["vec_id"], r["cosine"])
+            for r in cosine_topk(emb.filter(~F.col("vec_id").isin(victims)), q, k=10).collect()]
+    assert after == want
