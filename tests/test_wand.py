@@ -310,3 +310,27 @@ def test_warm_index_cache_is_bounded(spark, tmp_path_factory):
         assert topk(spark, dirs[0], "alpha", k=3).count() == 3
     finally:
         _WarmIndex._MAX_WARM = old_max
+
+
+def test_sorted_segments_structure():
+    """_SortedSegments (VERDICT r04 #7): set semantics identical to one
+    sorted array; segment count stays logarithmic in inserted batches."""
+    import numpy as np
+
+    from es_loaders_spark.wand import _SortedSegments
+
+    rng = np.random.RandomState(7)
+    seen = _SortedSegments()
+    reference: set[int] = set()
+    for _ in range(200):
+        batch = np.unique(rng.randint(0, 100_000, size=rng.randint(1, 400)))
+        fresh = batch[~seen.contains(batch)]
+        assert set(fresh.tolist()) == set(batch.tolist()) - reference
+        seen.add(fresh)
+        reference |= set(fresh.tolist())
+    assert seen.size == len(reference)
+    assert len(seen.segs) <= 2 * int(np.log2(seen.size)) + 2
+    probe = np.arange(0, 100_000, 37, dtype=np.int64)
+    got = seen.contains(probe)
+    want = np.array([int(x) in reference for x in probe])
+    assert np.array_equal(got, want)
