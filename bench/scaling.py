@@ -29,7 +29,7 @@ N_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "40000"))
 N_SHARDS = int(os.environ.get("SPARK_GRAFT_SCALING_SHARDS", str(max(64, N_PAGES // 3000))))
 
 
-def run_once(cores: int) -> dict:
+def run_once(cores: int, master: str | None = None) -> dict:
     import shutil
     import tempfile
 
@@ -37,7 +37,7 @@ def run_once(cores: int) -> dict:
     from es_loaders_spark.session import get_spark
     from es_loaders_spark.wand import topk_batch
 
-    spark = get_spark(f"scaling-{cores}", cores=cores)
+    spark = get_spark(f"scaling-{cores}", cores=cores, master=master)
     spark.sparkContext.setLogLevel("ERROR")
     idx_dir = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_")
     shutil.rmtree(idx_dir, ignore_errors=True)
@@ -70,15 +70,21 @@ def run_once(cores: int) -> dict:
         "query_per_sec": round(100 / t_query, 2),
         "topk_rows": n_rows,
         "result_fingerprint": fp,
+        "master": master or f"local[{cores}]",
     }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument(
+        "--master", default=None,
+        help="master override, e.g. local-cluster[4,2,3072] for REAL "
+        "executor JVMs (serialized closures, real broadcasts)",
+    )
     args = ap.parse_args()
     if args.cores:
-        print(json.dumps(run_once(args.cores)))
+        print(json.dumps(run_once(args.cores, master=args.master)))
         return
 
     # interleave A/B/A/B and take per-level minima: the sandbox VM shows

@@ -24,13 +24,20 @@ def get_spark(
     app_name: str = "es-loaders-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or get) a SparkSession.
 
     ``cores`` pins ``local[N]`` (used by the scaling benchmark at
-    local[8] vs local[32]); default is ``local[*]``.
+    local[8] vs local[32]); default is ``local[*]``. ``master``
+    overrides entirely — e.g. ``local-cluster[4,2,3072]`` spawns REAL
+    executor JVMs (serialized task closures, real broadcasts, no
+    shared-heap shortcuts), the closest a single box gets to N separate
+    machines; ``cores`` then only sizes shuffle partitions.
     """
-    if cores is None:
+    if master is not None:
+        n = cores or (os.cpu_count() or 8)
+    elif cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{env}]" if env else "local[*]"
         n = int(env) if env else (os.cpu_count() or 8)
@@ -78,4 +85,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if master.startswith("local-cluster"):
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = (
+            builder
+            # executor JVMs spawn their own Python workers — they must
+            # find the package without the driver's sys.path mutation
+            .config("spark.executorEnv.PYTHONPATH", repo)
+            # executor heap must fit inside the worker's memory budget
+            # (the [n,cores,MEM] triple); leave headroom for overhead
+            .config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_EXECUTOR_MEM", "2g"),
+            )
+        )
     return builder.getOrCreate()
