@@ -123,6 +123,8 @@ def main() -> None:
     n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    from pyspark.sql import functions as F
+
     from es_loaders_spark.bm25 import bm25_topk
     from es_loaders_spark.build import build_index
     from es_loaders_spark.postings import corpus_stats, doc_lengths, postings_long, term_df
@@ -152,6 +154,7 @@ def main() -> None:
         "minhash_lsh_dups",        # portable md5 variant (oracle twin; r01/r02-comparable)
         "minhash_lsh_dups_fast",   # xxhash64 production path (the 100-TB number)
         "ann_bruteforce",
+        "ann_ivf",                 # TRAINED quantizer (r5: training + probe)
     ]
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -233,6 +236,29 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.time() - t0)
+
+        # --- incremental dedup: append a 10% batch against the store vs
+        # the full-recompute pipeline (minhash_lsh_dups_fast above) — the
+        # continuous-ingest shape (r5 dedup_store). Store build is timed
+        # separately (one-time cost); the append is the recurring one.
+        from es_loaders_spark.dedup_store import (
+            append_dedup_store, build_dedup_store,
+        )
+
+        sd = tempfile.mkdtemp(prefix="bench_dstore_")
+        shutil.rmtree(sd, ignore_errors=True)
+        tmp_dirs.append(sd)
+        cut = int(n_docs * 0.9)
+        t0 = time.time()
+        build_dedup_store(
+            spark, docs.filter(F.col("doc_id") < cut), sd, threshold=0.9)
+        samples["dedup_store_build"].append(time.time() - t0)
+        t0 = time.time()
+        append_dedup_store(
+            spark, docs.filter(F.col("doc_id") >= cut), sd
+        ).write.format("noop").mode("overwrite").save()
+        samples["dedup_incremental_append"].append(time.time() - t0)
+        shutil.rmtree(sd, ignore_errors=True)
 
         # keep only the latest web index for the next pass's queries;
         # release dead indexes' serving caches with their directories
