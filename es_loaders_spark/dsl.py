@@ -29,6 +29,12 @@ Supported surface (each construct cited to a reference call site):
 - ``aggs.histogram`` (interval, min_doc_count=1), NESTED histogram,
   ``aggs.terms`` (size=n) sub-agg   → floor-bucket groupBy + top-n window
                                       (mira/mira_loader.py:262-319)
+- ``aggs.range`` / ``aggs.filters`` → independent-bucket membership:
+                                      exploded tag column + one groupBy
+                                      (overlapping buckets, sub-aggs OK)
+- ``aggs.significant_terms``        → JLH-scored foreground-vs-background
+                                      doc-frequency contrast (tokens when
+                                      field == text_col, else keyword)
 - ``count(body)``                   → filtered count        (mira/elasticsearch.py:72-92)
 - ``msearch([bodies])``             → one unioned plan      (mira/elasticsearch.py:64-70)
 - ``delete_by_query(body)``         → tombstone deletes     (mira/elasticsearch.py:255-274)
@@ -287,7 +293,11 @@ def search(
     """
     if "aggs" in body:
         base = docs.filter(filter_expr(body.get("query", {}), id_col))
-        return _aggs(base, body["aggs"])
+        # background = the UNFILTERED table: significant_terms contrasts
+        # the query's foreground set against it (ES background set)
+        return _aggs(
+            base, body["aggs"], id_col=id_col, background=docs, text_col=text_col
+        )
 
     scoring, filters = _split_scoring(body.get("query"))
     size = int(body.get("size", 10))
@@ -437,10 +447,23 @@ def count(
     return docs.filter(filter_expr(q, id_col)).agg(F.count(F.lit(1)).alias("n"))
 
 
-def _aggs(base: DataFrame, aggs: dict[str, Any], group_cols: list | None = None) -> DataFrame:
+def _aggs(
+    base: DataFrame,
+    aggs: dict[str, Any],
+    group_cols: list | None = None,
+    *,
+    id_col: str = "doc_id",
+    background: DataFrame | None = None,
+    text_col: str = "text",
+) -> DataFrame:
     """Compile an aggs dict. Nested histogram▸histogram▸terms supported
     exactly as the reference composes it (mira_loader.py:262-319)."""
     group_cols = group_cols or []
+
+    def _recurse(b: DataFrame, a: dict, g: list) -> DataFrame:
+        return _aggs(
+            b, a, g, id_col=id_col, background=background, text_col=text_col
+        )
 
     metrics = {
         "avg": F.avg,
@@ -532,7 +555,7 @@ def _aggs(base: DataFrame, aggs: dict[str, Any], group_cols: list | None = None)
         sub = spec.get("aggs")
         grouped = base.withColumn(f"{name}_key", bucket)
         if sub:
-            return _aggs(grouped, sub, group_cols + [f"{name}_key"])
+            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
         return grouped.groupBy(*group_cols, f"{name}_key").agg(
             F.count(F.lit(1)).alias("doc_count")
         )
@@ -545,9 +568,120 @@ def _aggs(base: DataFrame, aggs: dict[str, Any], group_cols: list | None = None)
         sub = spec.get("aggs")
         grouped = base.withColumn(f"{name}_key", bucket)
         if sub:
-            return _aggs(grouped, sub, group_cols + [f"{name}_key"])
+            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
         return grouped.groupBy(*group_cols, f"{name}_key").agg(
             F.count(F.lit(1)).alias("doc_count")
+        )
+    if "range" in spec:
+        # ES range agg: each range is evaluated INDEPENDENTLY (from
+        # inclusive, to exclusive; overlapping ranges each count the doc),
+        # so a doc contributes one exploded row per matching range — one
+        # shuffle total, sub-aggs aggregate per bucket via group_cols.
+        # Bucket keys use explicit "key" when given, else ES's "from-to"
+        # shape with %g number formatting ("*" for an open end).
+        r = spec["range"]
+        field = r["field"]
+        fmt = lambda v: f"{float(v):g}"  # noqa: E731
+        tagged = []
+        for rg in r["ranges"]:
+            frm, to = rg.get("from"), rg.get("to")
+            key = rg.get("key") or (
+                f"{'*' if frm is None else fmt(frm)}-{'*' if to is None else fmt(to)}"
+            )
+            cond = F.lit(True)
+            if frm is not None:
+                cond = cond & (F.col(field) >= F.lit(frm))
+            if to is not None:
+                cond = cond & (F.col(field) < F.lit(to))
+            tagged.append(F.when(cond, F.lit(key)))
+        grouped = base.withColumn(
+            f"{name}_key",
+            F.explode(F.array_compact(F.array(*tagged))),
+        )
+        sub = spec.get("aggs")
+        if sub:
+            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
+        return grouped.groupBy(*group_cols, f"{name}_key").agg(
+            F.count(F.lit(1)).alias("doc_count")
+        )
+    if "filters" in spec:
+        # ES filters agg: named sub-queries, each bucket = docs matching
+        # that filter (independent, overlapping allowed). Same exploded-
+        # tag shape as range: one shuffle, group_cols-compatible sub-aggs.
+        named = spec["filters"]["filters"]
+        tagged = [
+            F.when(
+                F.coalesce(filter_expr(qd, id_col), F.lit(False)), F.lit(nm)
+            )
+            for nm, qd in sorted(named.items())
+        ]
+        grouped = base.withColumn(
+            f"{name}_key",
+            F.explode(F.array_compact(F.array(*tagged))),
+        )
+        sub = spec.get("aggs")
+        if sub:
+            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
+        return grouped.groupBy(*group_cols, f"{name}_key").agg(
+            F.count(F.lit(1)).alias("doc_count")
+        )
+    if "significant_terms" in spec:
+        # ES significant_terms: terms over-represented in the query's
+        # foreground set vs the whole-index background, scored with ES's
+        # default JLH = (fg% − bg%) · (fg% / bg%), keeping fg% > bg%.
+        # Percentages are DOC frequencies (a doc counts once per term).
+        # field == text_col contrasts analyzed tokens (the classic use);
+        # any other field contrasts raw keyword values. Plan shape: two
+        # grouped doc-frequency counts joined on term (fg ⊂ bg so the
+        # join is inner), scalar totals broadcast via a 1-row crossJoin —
+        # no per-row Python, no driver collect.
+        if group_cols:
+            raise ValueError(
+                "significant_terms under a bucketing agg is not supported"
+            )
+        if background is None:
+            raise ValueError(
+                "significant_terms needs the unfiltered table as background "
+                "(call through dsl.search)"
+            )
+        st = spec["significant_terms"]
+        field = st["field"]
+        topn = int(st.get("size", 10))
+        min_doc = int(st.get("min_doc_count", 3))  # ES default 3
+
+        def doc_terms(df: DataFrame) -> DataFrame:
+            if field == text_col:
+                from .analyze import terms_array
+
+                return df.select(
+                    F.explode(
+                        F.array_distinct(terms_array(F.col(text_col)))
+                    ).alias("term")
+                )
+            return df.select(F.col(field).alias("term")).where(
+                F.col("term").isNotNull()
+            )
+
+        fg = doc_terms(base).groupBy("term").agg(
+            F.count(F.lit(1)).alias("doc_count")
+        )
+        bg = doc_terms(background).groupBy("term").agg(
+            F.count(F.lit(1)).alias("bg_count")
+        )
+        fg_tot = base.agg(F.count(F.lit(1)).alias("_fg_tot"))
+        bg_tot = background.agg(F.count(F.lit(1)).alias("_bg_tot"))
+        fgp = F.col("doc_count") / F.col("_fg_tot")
+        bgp = F.col("bg_count") / F.col("_bg_tot")
+        return (
+            fg.join(bg, "term")
+            .crossJoin(F.broadcast(fg_tot))
+            .crossJoin(F.broadcast(bg_tot))
+            .filter(F.col("doc_count") >= F.lit(min_doc))
+            .withColumn("score", F.round((fgp - bgp) * (fgp / bgp), 6))
+            .filter(F.col("score") > 0)
+            .select("term", "doc_count", "bg_count", "score")
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(topn)
         )
     if "top_hits" in spec:
         # per-bucket example documents (ES top_hits): row_number window
@@ -600,7 +734,7 @@ def _aggs(base: DataFrame, aggs: dict[str, Any], group_cols: list | None = None)
             restricted = base.join(
                 F.broadcast(keys), [*group_cols, field], "left_semi"
             )
-            return _aggs(restricted, sub, group_cols + [field])
+            return _recurse(restricted, sub, group_cols + [field])
         return buckets
     raise ValueError(f"unsupported agg: {sorted(spec)}")
 

@@ -474,6 +474,129 @@ def dsl_fuzzy(spark, sf_dir):
 
 
 @q(
+    "dsl_range_agg",
+    """WITH buckets AS (
+         SELECT '*-20' AS vr_key, value FROM events WHERE value < 20
+         UNION ALL
+         SELECT '20-60', value FROM events WHERE value >= 20 AND value < 60
+         UNION ALL
+         SELECT '50-*', value FROM events WHERE value >= 50
+       )
+       SELECT vr_key, round(avg(value), 4) AS avg_value,
+              count(*) AS doc_count
+       FROM buckets GROUP BY vr_key""",
+)
+def dsl_range_agg(spark, sf_dir):
+    """ES ``range`` agg with a metric sub-agg (dsl.py range branch):
+    each range evaluated independently (from inclusive / to exclusive,
+    the 50-60 overlap counts docs in BOTH buckets), compiled to one
+    exploded-tag groupBy — a single shuffle for any number of ranges."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "aggs": {
+            "vr": {
+                "range": {
+                    "field": "value",
+                    "ranges": [{"to": 20}, {"from": 20, "to": 60}, {"from": 50}],
+                },
+                "aggs": {"avg_v": {"avg": {"field": "value"}}},
+            }
+        },
+    }
+    out = dsl.search(spark, _T(spark, sf_dir, "events"), body, id_col="event_id")
+    return out.select(
+        "vr_key", F.round(F.col("value"), 4).alias("avg_value"), "doc_count"
+    )
+
+
+@q(
+    "dsl_filters_agg",
+    "SELECT 'big' AS by_key, count(*) AS doc_count FROM events WHERE value >= 90 "
+    "UNION ALL "
+    "SELECT 'clicks', count(*) FROM events WHERE event_type = 'click'",
+)
+def dsl_filters_agg(spark, sf_dir):
+    """ES ``filters`` agg (dsl.py filters branch): named sub-queries as
+    independent overlapping buckets, same exploded-tag single-shuffle
+    plan as range."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "aggs": {
+            "by": {
+                "filters": {
+                    "filters": {
+                        "clicks": {"term": {"event_type": "click"}},
+                        "big": {"range": {"value": {"gte": 90}}},
+                    }
+                }
+            }
+        },
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "events"), body, id_col="event_id")
+
+
+def _significant_terms_oracle_sql(size: int = 8, min_doc: int = 3) -> str:
+    """DuckDB twin of dsl.py significant_terms: distinct tokens per doc,
+    doc-frequency contrast of the must_not-lang-en foreground vs the
+    whole table, ES-default JLH score, fg%>bg% only, same rounding and
+    (score desc, term asc) total order."""
+    from .analyze import oracle_tokens_sql
+
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, term FROM ({oracle_tokens_sql()})
+        ),
+        fg_docs AS (
+            SELECT doc_id FROM documents WHERE lang IS DISTINCT FROM 'en'
+        ),
+        fg AS (
+            SELECT term, count(*) AS doc_count
+            FROM toks JOIN fg_docs USING (doc_id) GROUP BY term
+        ),
+        bg AS (SELECT term, count(*) AS bg_count FROM toks GROUP BY term),
+        tot AS (
+            SELECT (SELECT count(*) FROM fg_docs) AS fg_tot,
+                   (SELECT count(*) FROM documents) AS bg_tot
+        ),
+        scored AS (
+            SELECT term, doc_count, bg_count,
+                   round(((doc_count * 1.0 / fg_tot) - (bg_count * 1.0 / bg_tot))
+                         * ((doc_count * 1.0 / fg_tot) / (bg_count * 1.0 / bg_tot)),
+                         6) AS score
+            FROM fg JOIN bg USING (term), tot
+            WHERE doc_count >= {min_doc}
+        )
+        SELECT term, doc_count, bg_count, score FROM scored
+        WHERE score > 0
+        ORDER BY score DESC, term ASC LIMIT {size}
+    """
+
+
+@q("dsl_significant_terms", None)
+def dsl_significant_terms(spark, sf_dir):
+    """ES ``significant_terms`` over analyzed text tokens (dsl.py
+    significant_terms branch): JLH-scored doc-frequency contrast of the
+    non-English foreground vs the whole corpus. Two grouped counts +
+    one join; totals ride broadcast 1-row crossJoins — scales as two
+    aggregations of the token table, no driver round-trip."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "query": {"bool": {"must_not": [{"term": {"lang": "en"}}]}},
+        "aggs": {"sig": {"significant_terms": {"field": "text", "size": 8}}},
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
+ORACLES["dsl_significant_terms"] = _significant_terms_oracle_sql()
+
+
+@q(
     "stats_agg",
     "SELECT round(min(l_extendedprice), 4) AS min_v, round(max(l_extendedprice), 4) AS max_v, "
     "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
@@ -509,6 +632,7 @@ def stats_agg(spark, sf_dir):
          FROM binned
        )
        SELECT binx, biny, bin_count, mode_flag FROM ranked WHERE rn = 1""",
+    extra=True,  # demoted r5: dsl_histogram_mode gates the same A8 shape
 )
 def histogram2d_mode(spark, sf_dir):
     """A8/A9 two-level histogram + per-bin mode (mira_loader.py:262-319).
@@ -779,6 +903,7 @@ def postings(spark, sf_dir):
 @q(
     "doc_lengths",
     f"SELECT doc_id, count(*) AS dl FROM ({_TOKENS_CTE}) GROUP BY doc_id",
+    extra=True,  # demoted r5: X1 gated by `postings`; dl checked in bm25 rows
 )
 def doc_lengths_q(spark, sf_dir):
     """Lucene field-length norms."""
@@ -790,6 +915,7 @@ def doc_lengths_q(spark, sf_dir):
 @q(
     "term_doc_freq",
     f"SELECT term, count(DISTINCT doc_id) AS df FROM ({_TOKENS_CTE}) GROUP BY term",
+    extra=True,  # demoted r5: X1 gated by `postings`; df checked in bm25 rows
 )
 def term_doc_freq(spark, sf_dir):
     """Document frequency per term (idf input)."""

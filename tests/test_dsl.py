@@ -729,3 +729,116 @@ def test_top_hits_under_terms(spark, events):
         want = [r["value"] for r in events.filter(F.col("event_type") == et)
                 .orderBy(F.desc("value")).limit(2).collect()]
         assert got_vals == want
+
+
+def test_range_agg_overlap_and_bounds(spark, events):
+    """ES range agg: from inclusive, to exclusive, ranges independent —
+    a doc in the 50-60 overlap lands in BOTH buckets."""
+    body = {
+        "size": 0,
+        "aggs": {
+            "vr": {
+                "range": {
+                    "field": "value",
+                    "ranges": [{"to": 20}, {"from": 20, "to": 60}, {"from": 50}],
+                }
+            }
+        },
+    }
+    got = {
+        r["vr_key"]: r["doc_count"]
+        for r in dsl.search(spark, events, body, id_col="event_id").collect()
+    }
+    lo = events.filter(F.col("value") < 20).count()
+    mid = events.filter((F.col("value") >= 20) & (F.col("value") < 60)).count()
+    hi = events.filter(F.col("value") >= 50).count()
+    assert got == {"*-20": lo, "20-60": mid, "50-*": hi}
+    # overlap really double-counts: bucket totals exceed the table size
+    assert sum(got.values()) > events.count()
+
+
+def test_range_agg_explicit_key_and_sub_agg(spark, events):
+    body = {
+        "size": 0,
+        "aggs": {
+            "vr": {
+                "range": {"field": "value", "ranges": [{"key": "small", "to": 30}]},
+                "aggs": {"m": {"max": {"field": "value"}}},
+            }
+        },
+    }
+    row, = dsl.search(spark, events, body, id_col="event_id").collect()
+    assert row["vr_key"] == "small"
+    want = events.filter(F.col("value") < 30)
+    assert row["doc_count"] == want.count()
+    assert row["value"] == want.agg(F.max("value")).first()[0]
+
+
+def test_filters_agg_with_sub_agg(spark, events):
+    """ES filters agg: named overlapping buckets + per-bucket metric."""
+    body = {
+        "size": 0,
+        "aggs": {
+            "by": {
+                "filters": {
+                    "filters": {
+                        "clicks": {"term": {"event_type": "click"}},
+                        "big": {"range": {"value": {"gte": 90}}},
+                    }
+                },
+                "aggs": {"m": {"avg": {"field": "value"}}},
+            }
+        },
+    }
+    got = {
+        r["by_key"]: (r["doc_count"], r["value"])
+        for r in dsl.search(spark, events, body, id_col="event_id").collect()
+    }
+    clicks = events.filter(F.col("event_type") == "click")
+    big = events.filter(F.col("value") >= 90)
+    assert got["clicks"][0] == clicks.count()
+    assert got["big"][0] == big.count()
+    assert got["clicks"][1] == pytest.approx(clicks.agg(F.avg("value")).first()[0])
+    assert got["big"][1] == pytest.approx(big.agg(F.avg("value")).first()[0])
+
+
+def test_significant_terms_keyword_field(spark, documents):
+    """Keyword-mode significant_terms: `source` values over-represented
+    in the short-docs foreground; every JLH invariant checked against a
+    direct computation."""
+    body = {
+        "size": 0,
+        "query": {"range": {"n_chars": {"lt": 200}}},
+        "aggs": {
+            "sig": {"significant_terms": {"field": "source", "size": 5,
+                                          "min_doc_count": 1}}
+        },
+    }
+    rows = dsl.search(spark, documents, body).collect()
+    assert rows, "foreground should surface at least one source"
+    fg_tot = documents.filter(F.col("n_chars") < 200).count()
+    bg_tot = documents.count()
+    for r in rows:
+        fgp, bgp = r["doc_count"] / fg_tot, r["bg_count"] / bg_tot
+        assert fgp > bgp  # ES keeps only over-represented terms
+        assert r["score"] == pytest.approx((fgp - bgp) * (fgp / bgp), abs=1e-6)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_significant_terms_requires_search_context(spark, documents):
+    """Direct _aggs without a background table must refuse rather than
+    silently contrast against nothing; nesting under buckets refuses."""
+    with pytest.raises(ValueError, match="background"):
+        dsl._aggs(documents, {"s": {"significant_terms": {"field": "lang"}}})
+    body = {
+        "size": 0,
+        "aggs": {
+            "h": {
+                "histogram": {"field": "n_chars", "interval": 100},
+                "aggs": {"s": {"significant_terms": {"field": "lang"}}},
+            }
+        },
+    }
+    with pytest.raises(ValueError, match="bucketing"):
+        dsl.search(spark, documents, body)
