@@ -14,6 +14,9 @@ Supported surface (each construct cited to a reference call site):
 - ``query.bool`` filter/must/should/must_not (nested)       (mira/elasticsearch.py:104-124)
 - ``query.match``                   → BM25 top-k            (ES default search semantics, SURVEY §2.6 T3)
 - ``query.match_phrase``            → positional phrase     (ES phrase queries; index-served via phrase.py)
+- ``query.match_phrase_prefix``     → phrase with last-term prefix
+                                      expansion from the index term
+                                      dictionary (max_expansions, ES 50)
 - ``size`` / ``sort`` / ``from``    → limit / orderBy / offset (mira/elasticsearch.py:45-61)
 - ``terms`` / ``exists`` / ``match_all`` / ``ids`` / ``prefix`` /
   ``wildcard``                      → standard ES leaf clauses a
@@ -192,7 +195,7 @@ def _split_scoring(query: dict | None) -> tuple[dict | None, dict]:
     if not query:
         return None, {}
     (kind, body), = query.items()
-    if kind in ("match", "match_phrase", "multi_match"):
+    if kind in ("match", "match_phrase", "match_phrase_prefix", "multi_match"):
         return query, {}
     if kind == "bool":
         scoring = None
@@ -200,7 +203,9 @@ def _split_scoring(query: dict | None) -> tuple[dict | None, dict]:
         musts = []
         for sub in _as_list(body.get("must")):
             (k, _), = sub.items()
-            if k in ("match", "match_phrase", "multi_match") and scoring is None:
+            if k in (
+                "match", "match_phrase", "match_phrase_prefix", "multi_match"
+            ) and scoring is None:
                 scoring = sub
             else:
                 musts.append(sub)
@@ -336,8 +341,29 @@ def search(
                 )
             )
         (field, text), = sub.items()
+        opts = text if isinstance(text, dict) else {}
         if isinstance(text, dict):
             text = text["query"]
+        if kind == "match_phrase_prefix":
+            if index_dir is None:
+                raise ValueError(
+                    "match_phrase_prefix needs a built index (phrase.py)"
+                )
+            if field != text_col:
+                raise ValueError(
+                    f"match_phrase_prefix matches the indexed column "
+                    f"{text_col!r}; got field {field!r} (build an index over it)"
+                )
+            from .phrase import phrase_prefix_docs
+
+            hits = phrase_prefix_docs(
+                spark, index_dir, text,
+                max_expansions=int(opts.get("max_expansions", 50)),
+            )
+            out = docs.join(hits, id_col, "left_semi").filter(
+                filter_expr(filters, id_col)
+            )
+            return page(out.orderBy(id_col).limit(offset + size))
         if kind == "match_phrase":
             if index_dir is None:
                 raise ValueError("match_phrase needs a built index (phrase.py)")

@@ -124,3 +124,106 @@ def phrase_docs(
     from .deletes import filter_deleted
 
     return filter_deleted(spark, index_dir, cur.select("doc_id"))
+
+
+def expand_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    max_expansions: int = 50,
+    table: str = "shards",
+) -> list[str]:
+    """First ``max_expansions`` index terms with the given prefix, in
+    term order (ES/Lucene match_phrase_prefix expansion; ES default 50).
+
+    The StartsWith predicate reaches the parquet scan (pushdown), so at
+    scale this reads only the prefix's row-group slice of the term
+    dictionary. The collect is query metadata (≤ max_expansions short
+    strings), same class as wand.py's query-term stats collect. ES caps
+    expansions per shard/segment; we cap GLOBALLY in term order — a
+    stricter, deterministic variant (per-shard caps make results depend
+    on physical segment layout).
+    """
+    from .build import read_generations
+
+    rows = (
+        read_generations(spark, index_dir, table)
+        .filter(F.col("term").startswith(prefix))
+        .select("term")
+        .distinct()
+        .orderBy("term")
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def phrase_prefix_docs(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    max_expansions: int = 50,
+    table: str = "shards",
+) -> DataFrame:
+    """ES ``match_phrase_prefix``: the phrase's last analyzed token is a
+    PREFIX; docs match when the head terms occur adjacently followed by
+    ANY expansion of the prefix (expansions from the index term
+    dictionary, capped at ``max_expansions`` in term order).
+
+    Same conjunctive positional plan as phrase_docs; the final step
+    joins the union of expansion-term postings, so the shuffle still
+    carries one row per (term, doc).
+    """
+    from .deletes import filter_deleted
+
+    terms = tokenize_text(phrase)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long")
+    head, last = terms[:-1], terms[-1]
+    exps = expand_prefix(spark, index_dir, last, max_expansions, table)
+    if not exps:
+        return spark.createDataFrame([], "doc_id long")
+    pp = positional_postings(
+        spark, index_dir, sorted(set(head) | set(exps)), table
+    )
+    if head or len(exps) > 1:
+        pp = pp.cache()
+    if not head:
+        return filter_deleted(
+            spark, index_dir,
+            pp.filter(F.col("term").isin(exps)).select("doc_id").distinct(),
+        )
+    cur = pp.filter(F.col("term") == head[0]).select(
+        "doc_id", F.col("positions").alias("cur")
+    )
+    for t in head[1:]:
+        nxt = pp.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias("nxt")
+        )
+        cur = (
+            cur.join(nxt, "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect(
+                    F.transform("cur", lambda p: p + 1), F.col("nxt")
+                ).alias("cur"),
+            )
+            .filter(F.size("cur") > 0)
+        )
+    tail = pp.filter(F.col("term").isin(exps)).select(
+        "doc_id", F.col("positions").alias("nxt")
+    )
+    hits = (
+        cur.join(tail, "doc_id")
+        .filter(
+            F.size(
+                F.array_intersect(
+                    F.transform("cur", lambda p: p + 1), F.col("nxt")
+                )
+            )
+            > 0
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return filter_deleted(spark, index_dir, hits)

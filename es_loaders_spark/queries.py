@@ -1042,6 +1042,45 @@ def phrase_match_indexed(spark, sf_dir):
 ORACLES["phrase_match_indexed"] = EXTRA_ORACLES["phrase_match"]
 
 
+@q(
+    "phrase_prefix_indexed",
+    f"""WITH tok AS (
+         SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(toks)),
+                                      i -> {{'term': toks[i], 'pos': i - 1}}),
+                       recursive := true)
+         FROM (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(text), '{SPLIT_RE_DUCKDB}'),
+                                  x -> x <> '') AS toks
+               FROM documents)
+       ),
+       exps AS (
+         SELECT term FROM (SELECT DISTINCT term FROM tok WHERE term LIKE 's%')
+         ORDER BY term LIMIT 50
+       )
+       SELECT DISTINCT a.doc_id
+       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'the' AND b.term IN (SELECT term FROM exps)""",
+    extra=True,  # rotation candidate; gated via the r5 final gate pass
+)
+def phrase_prefix_indexed(spark, sf_dir):
+    """ES ``match_phrase_prefix`` 'the s' (dsl.py / phrase.py
+    phrase_prefix_docs): last token expanded against the index term
+    dictionary (pushdown StartsWith scan, capped in term order), head
+    matched positionally — all from compressed postings, no text scan."""
+    from . import dsl
+
+    _ensure_index(spark, sf_dir)
+    body = {"query": {"match_phrase_prefix": {"text": "the s"}}, "size": 50000,
+            "_source": ["doc_id"]}
+    return dsl.search(
+        spark,
+        _T(spark, sf_dir, "documents"),
+        body,
+        index_dir=_WAND_CACHE[sf_dir],
+    )
+
+
 BM25_QUERY = "spark query data table"
 BM25_K = 20
 

@@ -96,3 +96,110 @@ def test_phrase_across_generations(spark, documents, tmp_path_factory):
     got = {r["doc_id"] for r in phrase_docs(spark, d, "the data").collect()}
     want = _phrase_via_tokens(documents, "the data")
     assert got == want
+
+
+def _prefix_oracle(documents, phrase: str, exps: list[str]) -> set[int]:
+    """Token-scan oracle for match_phrase_prefix given an expansion set."""
+    from es_loaders_spark.analyze import tokenize_text
+
+    terms = tokenize_text(phrase)
+    toks = tokens_df(documents)
+    if len(terms) == 1:
+        return {
+            r["doc_id"]
+            for r in toks.filter(F.col("term").isin(exps))
+            .select("doc_id").distinct().collect()
+        }
+    cur = toks.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("pos").alias("p")
+    )
+    for t in terms[1:-1]:
+        nxt = toks.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - 1).alias("p")
+        )
+        cur = cur.join(nxt, ["doc_id", "p"]).select(
+            "doc_id", (F.col("p") + 1).alias("p")
+        )
+    tail = toks.filter(F.col("term").isin(exps)).select(
+        "doc_id", (F.col("pos") - 1).alias("p")
+    )
+    return {
+        r["doc_id"]
+        for r in cur.join(tail, ["doc_id", "p"]).select("doc_id").distinct().collect()
+    }
+
+
+def test_expand_prefix_term_order_and_cap(spark, documents, pidx):
+    from es_loaders_spark.phrase import expand_prefix
+
+    all_s = expand_prefix(spark, pidx, "s")
+    want = sorted(
+        r["term"]
+        for r in tokens_df(documents)
+        .filter(F.col("term").startswith("s"))
+        .select("term").distinct().collect()
+    )
+    assert all_s == want and len(all_s) >= 2
+    assert expand_prefix(spark, pidx, "s", max_expansions=2) == want[:2]
+    assert expand_prefix(spark, pidx, "zzznope") == []
+
+
+def test_phrase_prefix_docs_match_token_scan(spark, documents, pidx):
+    from es_loaders_spark.phrase import expand_prefix, phrase_prefix_docs
+
+    exps = expand_prefix(spark, pidx, "s")
+    got = {r["doc_id"] for r in phrase_prefix_docs(spark, pidx, "the s").collect()}
+    assert got == _prefix_oracle(documents, "the s", exps)
+    assert got, "the s* should match"
+    # single-token form: prefix only, no positional head
+    got1 = {r["doc_id"] for r in phrase_prefix_docs(spark, pidx, "s").collect()}
+    assert got1 == _prefix_oracle(documents, "s", exps)
+
+
+def test_phrase_prefix_max_expansions_cap(spark, documents, pidx):
+    from es_loaders_spark.phrase import expand_prefix, phrase_prefix_docs
+
+    capped = expand_prefix(spark, pidx, "s", max_expansions=2)
+    got = {
+        r["doc_id"]
+        for r in phrase_prefix_docs(spark, pidx, "the s", max_expansions=2).collect()
+    }
+    assert got == _prefix_oracle(documents, "the s", capped)
+    # the cap must bite: full expansion set matches strictly more docs
+    full = {r["doc_id"] for r in phrase_prefix_docs(spark, pidx, "the s").collect()}
+    assert got < full
+
+
+def test_phrase_prefix_no_expansion_empty(spark, pidx):
+    from es_loaders_spark.phrase import phrase_prefix_docs
+
+    assert phrase_prefix_docs(spark, pidx, "the zzznope").count() == 0
+    assert phrase_prefix_docs(spark, pidx, "").count() == 0
+
+
+def test_dsl_match_phrase_prefix(spark, documents, pidx):
+    from es_loaders_spark import dsl
+    from es_loaders_spark.phrase import expand_prefix
+
+    body = {"query": {"match_phrase_prefix": {"text": "the s"}}, "size": 50000}
+    got = {
+        r["doc_id"]
+        for r in dsl.search(spark, documents, body, index_dir=pidx).collect()
+    }
+    assert got == _prefix_oracle(documents, "the s", expand_prefix(spark, pidx, "s"))
+    # long form carries max_expansions through
+    body2 = {
+        "query": {
+            "match_phrase_prefix": {"text": {"query": "the s", "max_expansions": 2}}
+        },
+        "size": 50000,
+    }
+    got2 = {
+        r["doc_id"]
+        for r in dsl.search(spark, documents, body2, index_dir=pidx).collect()
+    }
+    assert got2 == _prefix_oracle(
+        documents, "the s", expand_prefix(spark, pidx, "s", max_expansions=2)
+    )
+    with pytest.raises(ValueError, match="built index"):
+        dsl.search(spark, documents, body)
