@@ -238,30 +238,45 @@ def _multi_match_topk(
     from .postings import corpus_stats, doc_lengths, postings_long, term_df
 
     text = sub["query"]
-    fields = list(sub.get("fields") or [text_col])
+    raw_fields = list(sub.get("fields") or [text_col])
     mtype = sub.get("type", "best_fields")
     if mtype != "best_fields":
         raise ValueError(
             f"multi_match type {mtype!r} not supported (best_fields only)"
         )
-    if any("^" in f or "*" in f for f in fields):
-        raise ValueError("multi_match field boosts / wildcards not supported")
+    if sub.get("tie_breaker"):
+        # tie_breaker>0 mixes non-best fields into the score, which breaks
+        # the per-field depth-k containment proof below — refuse rather
+        # than return a silently inexact page
+        raise ValueError("multi_match tie_breaker is not supported")
+    if any("*" in f for f in raw_fields):
+        raise ValueError("multi_match field wildcards not supported")
+    # ES field boost syntax "title^2": the field's BM25 score is scaled
+    # by the boost before best-field combination. A positive scale keeps
+    # each field's own ordering, so the containment argument is unchanged.
+    fields: list[tuple[str, float]] = []
+    for f in raw_fields:
+        name, _, boost = f.partition("^")
+        fields.append((name, float(boost) if boost else 1.0))
     allowed = None
     if filters:
         allowed = docs.filter(filter_expr(filters, id_col)).select(
             F.col(id_col).alias("doc_id")
         )
     per_field = []
-    for fld in fields:
+    for fld, boost in fields:
         p = postings_long(docs.select(id_col, fld), text_col=fld, id_col=id_col)
         dl = doc_lengths(docs.select(id_col, fld), text_col=fld, id_col=id_col)
         cand = (
             p if allowed is None
             else p.join(allowed.hint("broadcast"), "doc_id", "left_semi")
         )
-        per_field.append(
-            bm25_topk(spark, cand, dl, term_df(p), corpus_stats(dl), text, k=k)
-        )
+        scored = bm25_topk(spark, cand, dl, term_df(p), corpus_stats(dl), text, k=k)
+        if boost != 1.0:
+            scored = scored.withColumn(
+                "score", F.round(F.col("score") * F.lit(boost), 4)
+            )
+        per_field.append(scored)
     union = per_field[0]
     for x in per_field[1:]:
         union = union.unionByName(x)
@@ -385,10 +400,19 @@ def search(
         # covers text_col, any other field takes the exact join scorer
         # (previously the clause's field name was silently ignored and
         # text_col scored — or an AnalysisException for a custom text_col)
-        if index_dir is not None and not filters and field == text_col:
+        operator = str(opts.get("operator", "or")).lower()
+        if operator not in ("or", "and"):
+            raise ValueError(f"match operator {operator!r} (use 'or' or 'and')")
+        if (
+            index_dir is not None
+            and not filters
+            and field == text_col
+            and operator == "or"
+        ):
             from .wand import topk
 
             return page(topk(spark, index_dir, text, k=offset + size))
+        from .analyze import tokenize_text
         from .bm25 import bm25_topk
         from .postings import corpus_stats, doc_lengths, postings_long, term_df
 
@@ -404,6 +428,22 @@ def search(
                 F.col(id_col).alias("doc_id")
             )
             cand = p.join(allowed.hint("broadcast"), "doc_id", "left_semi")
+        if operator == "and":
+            # ES operator=and: only docs containing EVERY query term score
+            # (scores unchanged — BM25 sums the same contributions).
+            # Conjunction from the postings themselves: count distinct
+            # query terms per doc == number of distinct query terms; a
+            # term absent from the corpus therefore yields zero hits,
+            # exactly ES's behavior.
+            qterms = sorted(set(tokenize_text(text)))
+            have_all = (
+                p.filter(F.col("term").isin(qterms))
+                .groupBy("doc_id")
+                .agg(F.count_distinct("term").alias("_nt"))
+                .filter(F.col("_nt") == F.lit(len(qterms)))
+                .select("doc_id")
+            )
+            cand = cand.join(have_all, "doc_id", "left_semi")
         return page(
             bm25_topk(
                 spark, cand, dl, term_df(p), corpus_stats(dl), text, k=offset + size

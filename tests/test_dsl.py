@@ -842,3 +842,98 @@ def test_significant_terms_requires_search_context(spark, documents):
     }
     with pytest.raises(ValueError, match="bucketing"):
         dsl.search(spark, documents, body)
+
+
+def test_multi_match_field_boost(spark):
+    """ES `title^2` boost: the field's BM25 score doubles before the
+    best-field max; ordering within a field is unchanged."""
+    rows = [
+        (0, "spark shuffle merge", "spark spark spark plan"),
+        (1, "spark plan", "shuffle merge"),
+        (2, "merge merge", "spark plan shuffle"),
+        (3, "plan", "plan"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in dsl.search(
+            spark, docs,
+            {"query": {"multi_match": {"query": "spark shuffle",
+                                       "fields": ["title", "body"]}}, "size": 4},
+        ).collect()
+    }
+    boosted = {
+        r["doc_id"]: r["score"]
+        for r in dsl.search(
+            spark, docs,
+            {"query": {"multi_match": {"query": "spark shuffle",
+                                       "fields": ["title^2", "body"]}}, "size": 4},
+        ).collect()
+    }
+    # per-doc: boosted best = max(2*title_score, body_score); compute the
+    # per-field scores directly to check
+    t = {
+        r["doc_id"]: r["score"]
+        for r in dsl.search(
+            spark, docs,
+            {"query": {"multi_match": {"query": "spark shuffle",
+                                       "fields": ["title"]}}, "size": 4},
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["score"]
+        for r in dsl.search(
+            spark, docs,
+            {"query": {"multi_match": {"query": "spark shuffle",
+                                       "fields": ["body"]}}, "size": 4},
+        ).collect()
+    }
+    for d in plain:
+        want = max(round(round(t.get(d, 0.0) * 2, 4), 4), b.get(d, 0.0))
+        assert boosted[d] == pytest.approx(want, abs=2e-4), d
+    with pytest.raises(ValueError, match="tie_breaker"):
+        dsl.search(
+            spark, docs,
+            {"query": {"multi_match": {"query": "x", "fields": ["title"],
+                                       "tie_breaker": 0.3}}},
+        )
+
+
+def test_match_operator_and(spark, documents):
+    """ES match operator=and: conjunctive candidates, identical scores."""
+    body_or = {"query": {"match": {"text": "spark stream"}}, "size": 400}
+    body_and = {
+        "query": {"match": {"text": {"query": "spark stream",
+                                     "operator": "and"}}},
+        "size": 400,
+    }
+    got_or = {r["doc_id"]: r["score"]
+              for r in dsl.search(spark, documents, body_or).collect()}
+    got_and = {r["doc_id"]: r["score"]
+               for r in dsl.search(spark, documents, body_and).collect()}
+    assert set(got_and) <= set(got_or) and got_and
+    # every and-doc contains BOTH terms
+    from es_loaders_spark.analyze import tokens_df
+
+    toks = tokens_df(documents)
+    both = {
+        r["doc_id"]
+        for r in toks.filter(F.col("term").isin(["spark", "stream"]))
+        .groupBy("doc_id").agg(F.count_distinct("term").alias("n"))
+        .filter(F.col("n") == 2).collect()
+    }
+    assert set(got_and) <= both
+    for d, s in got_and.items():
+        assert s == got_or[d]
+    # a term missing from the corpus matches nothing under AND
+    none = dsl.search(
+        spark, documents,
+        {"query": {"match": {"text": {"query": "spark zzznope",
+                                      "operator": "and"}}}, "size": 10},
+    )
+    assert none.count() == 0
+    with pytest.raises(ValueError, match="operator"):
+        dsl.search(
+            spark, documents,
+            {"query": {"match": {"text": {"query": "x", "operator": "xor"}}}},
+        )
