@@ -333,27 +333,60 @@ def search(
             )
         offset = int(body.get("from", 0))
 
-        def page(scored: DataFrame) -> DataFrame:
+        def page(
+            scored: DataFrame,
+            hl_terms: list[str] | None = None,
+            hl_phrase: bool = False,
+        ) -> DataFrame:
             out = scored.offset(offset) if offset else scored
+            hl = body.get("highlight") or {}
+            hl_fields = list((hl.get("fields") or {}).keys()) if hl_terms else []
             src = body.get("_source")
-            if isinstance(src, list) and src:
-                missing = [c for c in src if c not in scored.columns]
-                if missing:
-                    # _source asks for document fields the scorer doesn't
-                    # carry (topk returns doc_id+score): join them back,
-                    # re-establishing the relevance order the join loses
-                    out = out.join(docs, id_col)
-                    if "score" in scored.columns:
-                        out = out.orderBy(F.desc("score"), F.asc(id_col))
-                out = out.select(*src)
+            want_src = src if isinstance(src, list) and src else None
+            need = set(hl_fields) | set(want_src or [])
+            missing = [c for c in need if c not in scored.columns]
+            if missing:
+                # the scorer carries doc_id+score only: join the document
+                # fields back, re-establishing the relevance order the
+                # join loses
+                out = out.join(docs.select(id_col, *missing), id_col)
+                if "score" in scored.columns:
+                    out = out.orderBy(F.desc("score"), F.asc(id_col))
+            hl_cols = []
+            for fld in hl_fields:
+                from .highlight import highlight_expr
+
+                fspec = hl["fields"][fld] or {}
+                out = out.withColumn(
+                    f"highlight_{fld}",
+                    highlight_expr(
+                        fld,
+                        hl_terms,
+                        pre_tag=(hl.get("pre_tags") or ["<em>"])[0],
+                        post_tag=(hl.get("post_tags") or ["</em>"])[0],
+                        number_of_fragments=int(
+                            fspec.get("number_of_fragments", 0)
+                        ),
+                        fragment_size=int(fspec.get("fragment_size", 100)),
+                        phrase=hl_phrase,
+                    ),
+                )
+                hl_cols.append(f"highlight_{fld}")
+            if want_src:
+                out = out.select(*want_src, *hl_cols)
+            elif hl_cols:
+                out = out.select(*scored.columns, *hl_cols)
             return out
+
+        from .analyze import tokenize_text as _hl_tokens
 
         (kind, sub), = scoring.items()
         if kind == "multi_match":
             return page(
                 _multi_match_topk(
                     spark, docs, sub, filters, id_col, text_col, k=offset + size
-                )
+                ),
+                hl_terms=_hl_tokens(sub["query"]),
             )
         (field, text), = sub.items()
         opts = text if isinstance(text, dict) else {}
@@ -378,6 +411,13 @@ def search(
             out = docs.join(hits, id_col, "left_semi").filter(
                 filter_expr(filters, id_col)
             )
+            if body.get("highlight"):
+                # the matched span ends in an EXPANSION of the prefix, not
+                # the typed prefix itself — a literal-phrase highlight
+                # would silently miss most hits
+                raise ValueError(
+                    "highlight is not supported with match_phrase_prefix"
+                )
             return page(out.orderBy(id_col).limit(offset + size))
         if kind == "match_phrase":
             if index_dir is None:
@@ -394,7 +434,11 @@ def search(
             # deterministic paging: order by doc_id (ES orders phrase hits
             # by score; an unordered limit/offset would give overlapping /
             # skipping pages across jobs)
-            return page(out.orderBy(id_col).limit(offset + size))
+            return page(
+                out.orderBy(id_col).limit(offset + size),
+                hl_terms=_hl_tokens(text),
+                hl_phrase=True,
+            )
         # match → BM25 top-k (deep enough for the requested page).
         # ES scores the field NAMED in the clause; the compressed index
         # covers text_col, any other field takes the exact join scorer
@@ -411,7 +455,10 @@ def search(
         ):
             from .wand import topk
 
-            return page(topk(spark, index_dir, text, k=offset + size))
+            return page(
+                topk(spark, index_dir, text, k=offset + size),
+                hl_terms=_hl_tokens(text),
+            )
         from .analyze import tokenize_text
         from .bm25 import bm25_topk
         from .postings import corpus_stats, doc_lengths, postings_long, term_df
@@ -447,9 +494,19 @@ def search(
         return page(
             bm25_topk(
                 spark, cand, dl, term_df(p), corpus_stats(dl), text, k=offset + size
-            )
+            ),
+            hl_terms=_hl_tokens(text),
         )
 
+    if body.get("highlight"):
+        # ES highlights filter-context hits too, but the tags would wrap
+        # FILTER terms (exact keyword values), which is rarely what a
+        # search UI wants — require a scoring clause so the highlighted
+        # terms are the analyzed relevance terms
+        raise ValueError(
+            "highlight requires a scoring clause (match / match_phrase / "
+            "multi_match)"
+        )
     out = docs.filter(filter_expr(filters, id_col))
     sort_cols = []
     for s in _as_list(body.get("sort")):

@@ -1095,6 +1095,47 @@ def bm25_topk_q(spark, sf_dir):
     return bm25_topk(spark, p, dl, term_df(p), stats, BM25_QUERY, k=BM25_K)
 
 
+def _highlight_topk_oracle_sql(query: str, k: int) -> str:
+    """DuckDB twin of a match query with highlight (first-fragment mode):
+    the bm25 top-k joined back to documents, highlight computed by the
+    SAME regex/window recipe (highlight.oracle_highlight_sql)."""
+    from .analyze import tokenize_text
+    from .highlight import oracle_highlight_sql
+
+    hl = oracle_highlight_sql(
+        "d.text",
+        tokenize_text(query),
+        number_of_fragments=1,
+        fragment_size=80,
+    )
+    return f"""
+        SELECT h.doc_id, h.score, {hl} AS highlight_text
+        FROM ({bm25_topk_oracle_sql(query, k=k)}) h
+        JOIN documents d USING (doc_id)
+        ORDER BY h.score DESC, h.doc_id ASC
+    """
+
+
+@q("bm25_topk_highlight", _highlight_topk_oracle_sql(BM25_QUERY, BM25_K), extra=True)
+def bm25_topk_highlight(spark, sf_dir):
+    """ES highlight on a match query (highlight.py): the top-k page with
+    an 80-char first-fragment highlight of the text field. The highlight
+    is a pure Catalyst regexp expression over only the k joined rows —
+    cost is O(k), independent of corpus size."""
+    from . import dsl
+
+    body = {
+        "query": {"match": {"text": BM25_QUERY}},
+        "size": BM25_K,
+        "highlight": {
+            "fields": {
+                "text": {"number_of_fragments": 1, "fragment_size": 80}
+            }
+        },
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
 @q(
     "bm25_topk_filtered",
     bm25_topk_oracle_sql(BM25_QUERY, k=BM25_K, filter_term="w0005"),
