@@ -67,6 +67,103 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def bm25_explain(
+    spark: SparkSession,
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    tdf: DataFrame,
+    stats: CorpusStats,
+    query: str,
+    doc_id: int,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """ES ``_explain`` analogue: the per-term BM25 breakdown for ONE doc.
+
+    One row per query term PRESENT in the doc: (term, tf, df, dl, idf,
+    tf_norm, weight) with weight = idf * tf_norm — the summands of
+    bm25_topk's score (``round(sum(weight), 4)`` reproduces it). Same
+    plan shape as the scorer, restricted to one doc_id (a pushdown
+    predicate on the postings scan), so explain costs one pruned read,
+    not a re-score of the corpus.
+    """
+    terms = sorted(set(tokenize_text(query)))
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(stats.n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    norm = F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(float(stats.avgdl))
+    tf_norm = tf * F.lit(k1 + 1.0) / (tf + F.lit(k1) * norm)
+    return (
+        postings.filter(F.col("doc_id") == int(doc_id))
+        .join(F.broadcast(qterms), "term")
+        .join(F.broadcast(tdf.join(qterms, "term")), "term")
+        .join(doc_lens.filter(F.col("doc_id") == int(doc_id)), "doc_id")
+        .select(
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("dl").cast("long").alias("dl"),
+            F.round(idf, 6).alias("idf"),
+            F.round(tf_norm, 6).alias("tf_norm"),
+            F.round(idf * tf_norm, 4).alias("weight"),
+        )
+        .orderBy("term")
+    )
+
+
+def bm25_explain_oracle_sql(
+    query: str,
+    doc_id: int,
+    doc_table: str = "documents",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """DuckDB twin of bm25_explain (same components, same rounding)."""
+    terms = sorted(set(tokenize_text(query)))
+    terms_values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, t AS term
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(lower({text_col}),
+                                                      '{SPLIT_RE_DUCKDB}')) AS t
+                  FROM {doc_table})
+            WHERE t <> ''
+        ),
+        q(term) AS (VALUES {terms_values}),
+        dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls),
+        tfs AS (
+            SELECT term, count(*) AS tf FROM toks
+            WHERE doc_id = {int(doc_id)} AND term IN (SELECT term FROM q)
+            GROUP BY term
+        ),
+        dfs AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM toks
+            WHERE term IN (SELECT term FROM q) GROUP BY term
+        )
+        SELECT t.term, t.tf, d.df, l.dl,
+               round(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6) AS idf,
+               round(t.tf * ({k1} + 1.0)
+                     / (t.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl)), 6)
+                   AS tf_norm,
+               round(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * (t.tf * ({k1} + 1.0)
+                        / (t.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl))),
+                     4) AS weight
+        FROM tfs t
+        JOIN dfs d USING (term)
+        JOIN dls l ON l.doc_id = {int(doc_id)}
+        CROSS JOIN stats s
+        ORDER BY t.term
+    """
+
+
 def bm25_topk_filtered(
     spark: SparkSession,
     postings: DataFrame,

@@ -559,6 +559,39 @@ def search(
     return out
 
 
+def explain(
+    spark: SparkSession,
+    docs: DataFrame,
+    doc_id: int,
+    body: dict[str, Any],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``es.explain(index, id, body)`` analogue: the per-term BM25 score
+    breakdown for ONE document — (term, tf, df, dl, idf, tf_norm,
+    weight), one row per query term present in the doc.
+    ``round(sum(weight), 4)`` reproduces the search score. Filter
+    clauses are ignored, as in ES: filter context never changes scores.
+    """
+    scoring, _ = _split_scoring(body.get("query"))
+    if scoring is None:
+        raise ValueError("explain needs a scoring clause (match)")
+    (kind, sub), = scoring.items()
+    if kind != "match":
+        raise ValueError(f"explain supports match only, got {kind!r}")
+    (field, text), = sub.items()
+    if isinstance(text, dict):
+        text = text["query"]
+    from .bm25 import bm25_explain
+    from .postings import corpus_stats, doc_lengths, postings_long, term_df
+
+    p = postings_long(docs.select(id_col, field), text_col=field, id_col=id_col)
+    dl = doc_lengths(docs.select(id_col, field), text_col=field, id_col=id_col)
+    return bm25_explain(
+        spark, p, dl, term_df(p), corpus_stats(dl), text, doc_id
+    )
+
+
 def count(
     spark: SparkSession,
     docs: DataFrame,

@@ -1095,6 +1095,23 @@ def bm25_topk_q(spark, sf_dir):
     return bm25_topk(spark, p, dl, term_df(p), stats, BM25_QUERY, k=BM25_K)
 
 
+@q("dsl_explain_score", None, extra=True)
+def dsl_explain_score(spark, sf_dir):
+    """ES ``_explain`` (dsl.explain / bm25.bm25_explain): per-term BM25
+    breakdown for doc 42 under the headline query — the summands whose
+    rounded sum is bm25_topk's score for that doc. One pushdown-pruned
+    postings read, no corpus re-score."""
+    from . import dsl
+
+    body = {"query": {"match": {"text": BM25_QUERY}}}
+    return dsl.explain(spark, _T(spark, sf_dir, "documents"), 42, body)
+
+
+from .bm25 import bm25_explain_oracle_sql  # noqa: E402
+
+EXTRA_ORACLES["dsl_explain_score"] = bm25_explain_oracle_sql(BM25_QUERY, 42)
+
+
 def _highlight_topk_oracle_sql(query: str, k: int) -> str:
     """DuckDB twin of a match query with highlight (first-fragment mode):
     the bm25 top-k joined back to documents, highlight computed by the

@@ -937,3 +937,28 @@ def test_match_operator_and(spark, documents):
             spark, documents,
             {"query": {"match": {"text": {"query": "x", "operator": "xor"}}}},
         )
+
+
+def test_explain_reconstructs_search_score(spark, documents):
+    """round(sum(weight),4) of the explain rows == the search score; only
+    terms PRESENT in the doc appear."""
+    body = {"query": {"match": {"text": "spark query data table"}}, "size": 5}
+    top = dsl.search(spark, documents, body).collect()
+    assert top
+    d, want = top[0]["doc_id"], top[0]["score"]
+    rows = dsl.explain(spark, documents, d, body).collect()
+    assert rows
+    got = round(sum(r["weight"] for r in rows), 4)
+    assert got == pytest.approx(want, abs=2e-3)
+    from es_loaders_spark.analyze import tokens_df
+
+    present = {
+        r["term"]
+        for r in tokens_df(documents).filter(F.col("doc_id") == d)
+        .select("term").distinct().collect()
+    }
+    assert {r["term"] for r in rows} <= present
+    for r in rows:
+        assert r["weight"] == pytest.approx(r["idf"] * r["tf_norm"], abs=1e-3)
+    with pytest.raises(ValueError, match="scoring clause"):
+        dsl.explain(spark, documents, d, {"query": {"term": {"lang": "en"}}})
