@@ -203,16 +203,26 @@ def bm25_topk_oracle_sql(
     k1: float = K1,
     b: float = B,
     filter_term: str | None = None,
+    candidate_clause: str | None = None,
 ) -> str:
-    """DuckDB SQL computing the identical top-k (rank-identity oracle)."""
+    """DuckDB SQL computing the identical top-k (rank-identity oracle).
+
+    ``candidate_clause``: optional raw boolean SQL over ``p.doc_id``
+    (the ``tokens``/``postings``/``doc_lens`` CTEs are in scope) that
+    restricts the scored candidate set — the twin of a Spark-side
+    semi/anti-join restriction (simple_query_string, operator=and).
+    """
     terms = sorted(set(tokenize_text(query)))
     terms_values = ", ".join(f"('{t}')" for t in terms)
-    filter_clause = (
-        "WHERE p.doc_id IN (SELECT doc_id FROM postings WHERE term = "
-        f"'{filter_term}')"
-        if filter_term
-        else ""
-    )
+    conds = []
+    if filter_term:
+        conds.append(
+            "p.doc_id IN (SELECT doc_id FROM postings WHERE term = "
+            f"'{filter_term}')"
+        )
+    if candidate_clause:
+        conds.append(f"({candidate_clause})")
+    filter_clause = f"WHERE {' AND '.join(conds)}" if conds else ""
     return f"""
 WITH tokens AS (
     SELECT doc_id, t AS term

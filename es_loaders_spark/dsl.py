@@ -195,7 +195,10 @@ def _split_scoring(query: dict | None) -> tuple[dict | None, dict]:
     if not query:
         return None, {}
     (kind, body), = query.items()
-    if kind in ("match", "match_phrase", "match_phrase_prefix", "multi_match"):
+    if kind in (
+        "match", "match_phrase", "match_phrase_prefix", "multi_match",
+        "simple_query_string",
+    ):
         return query, {}
     if kind == "bool":
         scoring = None
@@ -204,7 +207,8 @@ def _split_scoring(query: dict | None) -> tuple[dict | None, dict]:
         for sub in _as_list(body.get("must")):
             (k, _), = sub.items()
             if k in (
-                "match", "match_phrase", "match_phrase_prefix", "multi_match"
+                "match", "match_phrase", "match_phrase_prefix", "multi_match",
+                "simple_query_string",
             ) and scoring is None:
                 scoring = sub
             else:
@@ -286,6 +290,163 @@ def _multi_match_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def _parse_sqs(q: str) -> dict[str, list]:
+    """Parse the supported simple_query_string subset.
+
+    Supported operators (ES simple_query_string):
+    ``+term`` required, ``-term`` excluded, ``"a b"`` phrase,
+    ``term*`` prefix; bare terms combine with ``default_operator``.
+    Unsupported pieces fail loudly: ``|``/``(``/``)``/``~N`` precedence
+    grammar, and negated phrases/prefixes.
+    """
+    import re as _re
+
+    from .analyze import tokenize_text
+
+    out: dict[str, list] = {
+        "plain": [], "required": [], "excluded": [], "phrases": [],
+        "prefixes": [],
+    }
+    for raw in _re.findall(r'[-+]?"[^"]*"|\S+', q):
+        tok = raw
+        sign = ""
+        if tok[:1] in "+-":
+            sign, tok = tok[0], tok[1:]
+        if any(ch in tok for ch in "|()~"):
+            raise ValueError(
+                f"simple_query_string operator in {raw!r} is not supported "
+                "(subset: + - \"phrase\" prefix*)"
+            )
+        if tok[:1] == '"' and tok[-1:] == '"' and len(tok) >= 2:
+            if sign == "-":
+                raise ValueError("negated phrases are not supported")
+            terms = tokenize_text(tok[1:-1])
+            if terms:
+                out["phrases"].append(terms)
+            continue
+        if tok.endswith("*"):
+            if sign == "-":
+                raise ValueError("negated prefixes are not supported")
+            stem = tokenize_text(tok[:-1])
+            if not stem:
+                raise ValueError(f"empty prefix in {raw!r}")
+            out["prefixes"].append(stem[-1])
+            continue
+        terms = tokenize_text(tok)
+        key = {"+": "required", "-": "excluded", "": "plain"}[sign]
+        out[key].extend(terms)
+    return out
+
+
+def _sqs_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    sub: dict[str, Any],
+    filters: dict[str, Any],
+    id_col: str,
+    text_col: str,
+    k: int,
+    index_dir: str | None,
+) -> tuple[DataFrame, list[str]]:
+    """ES ``simple_query_string`` (documented subset): returns
+    (result, scoring_terms). Scoring = BM25 over the bare + required
+    terms; phrases / prefixes / exclusions act as candidate filters
+    (documented deviation: ES also scores phrase and prefix matches).
+    With no scorable term the result is the filtered doc rows in
+    doc_id order (the phrase-query paging convention).
+
+    Candidate plan shape: every restriction is a semi/anti-join on
+    doc_id against a postings- or token-derived id set — no text
+    re-scan when an index_dir serves phrases and prefix expansion.
+    """
+    from .analyze import tokens_df
+    from .bm25 import bm25_topk
+    from .postings import corpus_stats, doc_lengths, postings_long, term_df
+
+    parsed = _parse_sqs(sub["query"])
+    fields = list(sub.get("fields") or [text_col])
+    if len(fields) != 1:
+        raise ValueError("simple_query_string supports exactly one field")
+    field = fields[0].split("^")[0]
+    default_op = str(sub.get("default_operator", "or")).lower()
+    if default_op not in ("or", "and"):
+        raise ValueError(f"default_operator {default_op!r}")
+
+    p = postings_long(docs.select(id_col, field), text_col=field, id_col=id_col)
+    dl = doc_lengths(docs.select(id_col, field), text_col=field, id_col=id_col)
+    cand = p
+    if filters:
+        allowed = docs.filter(filter_expr(filters, id_col)).select(
+            F.col(id_col).alias("doc_id")
+        )
+        cand = cand.join(allowed.hint("broadcast"), "doc_id", "left_semi")
+
+    required = sorted(
+        set(parsed["required"])
+        | (set(parsed["plain"]) if default_op == "and" else set())
+    )
+    if required:
+        have_all = (
+            p.filter(F.col("term").isin(required))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("_nt"))
+            .filter(F.col("_nt") == F.lit(len(required)))
+            .select("doc_id")
+        )
+        cand = cand.join(have_all, "doc_id", "left_semi")
+    if parsed["excluded"]:
+        bad = p.filter(F.col("term").isin(sorted(set(parsed["excluded"])))).select(
+            "doc_id"
+        )
+        cand = cand.join(bad, "doc_id", "left_anti")
+    for phrase_terms in parsed["phrases"]:
+        if index_dir is not None and field == text_col:
+            from .phrase import phrase_docs
+
+            hits = phrase_docs(spark, index_dir, " ".join(phrase_terms))
+        else:
+            # token-adjacency scan (correct everywhere; index-served when
+            # an index over the field exists)
+            toks = tokens_df(docs.select(id_col, field), text_col=field,
+                             id_col=id_col)
+            cur = toks.filter(F.col("term") == phrase_terms[0]).select(
+                "doc_id", F.col("pos").alias("p")
+            )
+            for t in phrase_terms[1:]:
+                nxt = toks.filter(F.col("term") == t).select(
+                    "doc_id", (F.col("pos") - 1).alias("p")
+                )
+                cur = cur.join(nxt, ["doc_id", "p"]).select(
+                    "doc_id", (F.col("p") + 1).alias("p")
+                )
+            hits = cur.select("doc_id").distinct()
+        cand = cand.join(hits, "doc_id", "left_semi")
+    for prefix in parsed["prefixes"]:
+        if index_dir is not None and field == text_col:
+            from .phrase import expand_prefix
+
+            exps = expand_prefix(spark, index_dir, prefix, max_expansions=50)
+            hits = p.filter(F.col("term").isin(exps)).select("doc_id")
+        else:
+            hits = p.filter(F.col("term").startswith(prefix)).select("doc_id")
+        cand = cand.join(hits.distinct(), "doc_id", "left_semi")
+
+    scoring_terms = sorted(set(parsed["plain"]) | set(parsed["required"]))
+    if scoring_terms:
+        out = bm25_topk(
+            spark, cand, dl, term_df(p), corpus_stats(dl),
+            " ".join(scoring_terms), k=k,
+        )
+        return out, scoring_terms
+    hits = cand.select("doc_id").distinct()
+    out = (
+        docs.join(hits.withColumnRenamed("doc_id", id_col), id_col, "left_semi")
+        .orderBy(id_col)
+        .limit(k)
+    )
+    return out, []
 
 
 def search(
@@ -388,6 +549,12 @@ def search(
                 ),
                 hl_terms=_hl_tokens(sub["query"]),
             )
+        if kind == "simple_query_string":
+            out, sterms = _sqs_topk(
+                spark, docs, sub, filters, id_col, text_col,
+                k=offset + size, index_dir=index_dir,
+            )
+            return page(out, hl_terms=sterms or None)
         (field, text), = sub.items()
         opts = text if isinstance(text, dict) else {}
         if isinstance(text, dict):

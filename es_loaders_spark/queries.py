@@ -1095,6 +1095,49 @@ def bm25_topk_q(spark, sf_dir):
     return bm25_topk(spark, p, dl, term_df(p), stats, BM25_QUERY, k=BM25_K)
 
 
+SQS_QUERY = 'spark +stream -merge "the data" quer*'
+
+
+def _sqs_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of dsl_simple_query_string: BM25 over the bare +
+    required terms ('spark stream'), candidates restricted exactly as
+    the engine restricts them — required term, exclusion, phrase
+    adjacency, prefix containment."""
+    phrase_in = f"""p.doc_id IN (
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(toks)),
+                                       i -> {{'term': toks[i], 'pos': i - 1}}),
+                        recursive := true)
+          FROM (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '{SPLIT_RE_DUCKDB}'),
+                                   x -> x <> '') AS toks
+                FROM documents))
+        SELECT DISTINCT a.doc_id
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'the' AND b.term = 'data')"""
+    cand = " AND ".join(
+        [
+            "p.doc_id IN (SELECT doc_id FROM postings WHERE term = 'stream')",
+            "p.doc_id NOT IN (SELECT doc_id FROM postings WHERE term = 'merge')",
+            phrase_in,
+            "p.doc_id IN (SELECT doc_id FROM postings WHERE term LIKE 'quer%')",
+        ]
+    )
+    return bm25_topk_oracle_sql("spark stream", k=k, candidate_clause=cand)
+
+
+@q("dsl_simple_query_string", _sqs_oracle_sql(), extra=True)
+def dsl_simple_query_string(spark, sf_dir):
+    """ES ``simple_query_string`` (dsl._sqs_topk): '+required' /
+    '-excluded' / '"phrase"' / 'prefix*' operators as semi/anti-join
+    candidate restrictions around the BM25 scorer."""
+    from . import dsl
+
+    body = {"query": {"simple_query_string": {"query": SQS_QUERY}}, "size": 10}
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
 @q("dsl_explain_score", None, extra=True)
 def dsl_explain_score(spark, sf_dir):
     """ES ``_explain`` (dsl.explain / bm25.bm25_explain): per-term BM25

@@ -962,3 +962,80 @@ def test_explain_reconstructs_search_score(spark, documents):
         assert r["weight"] == pytest.approx(r["idf"] * r["tf_norm"], abs=1e-3)
     with pytest.raises(ValueError, match="scoring clause"):
         dsl.explain(spark, documents, d, {"query": {"term": {"lang": "en"}}})
+
+
+def test_simple_query_string_operators(spark, documents):
+    """+required / -excluded / "phrase" / prefix* each restrict the
+    candidate set; scores equal the plain match scores for survivors."""
+    from es_loaders_spark.analyze import tokens_df
+
+    body = {
+        "query": {"simple_query_string": {"query": 'spark +stream -merge "the data"'}},
+        "size": 500,
+    }
+    got = {r["doc_id"]: r["score"]
+           for r in dsl.search(spark, documents, body).collect()}
+    assert got
+    toks = tokens_df(documents)
+    has = lambda t: {  # noqa: E731
+        r["doc_id"] for r in toks.filter(F.col("term") == t)
+        .select("doc_id").distinct().collect()
+    }
+    a = toks.filter(F.col("term") == "the").select("doc_id", F.col("pos").alias("p"))
+    b = toks.filter(F.col("term") == "data").select("doc_id", (F.col("pos") - 1).alias("p"))
+    phrase = {r["doc_id"] for r in a.join(b, ["doc_id", "p"]).select("doc_id").distinct().collect()}
+    want_ids = (has("stream") - has("merge")) & phrase
+    # candidates also need a scoring-term hit to appear (spark or stream)
+    assert set(got) == {d for d in want_ids if d in (has("spark") | has("stream"))}
+    # scores match the unrestricted match query for the same docs
+    plain = {r["doc_id"]: r["score"] for r in dsl.search(
+        spark, documents,
+        {"query": {"match": {"text": "spark stream"}}, "size": 50000},
+    ).collect()}
+    for d, s in got.items():
+        assert s == plain[d]
+
+
+def test_simple_query_string_default_operator_and(spark, documents):
+    body_and = {
+        "query": {"simple_query_string": {"query": "spark stream",
+                                          "default_operator": "and"}},
+        "size": 500,
+    }
+    body_plus = {
+        "query": {"simple_query_string": {"query": "+spark +stream"}},
+        "size": 500,
+    }
+    got_and = {r["doc_id"] for r in dsl.search(spark, documents, body_and).collect()}
+    got_plus = {r["doc_id"] for r in dsl.search(spark, documents, body_plus).collect()}
+    assert got_and == got_plus and got_and
+
+
+def test_simple_query_string_filter_only_and_errors(spark, documents):
+    rows = dsl.search(
+        spark, documents,
+        {"query": {"simple_query_string": {"query": '"the data"'}}, "size": 5},
+    ).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids == sorted(ids) and rows  # doc_id paging order
+    assert "score" not in rows[0].asDict()
+    for bad in ('-"the data"', "a | b", "(a b)", "-pre*", "term~2"):
+        with pytest.raises(ValueError):
+            dsl.search(
+                spark, documents,
+                {"query": {"simple_query_string": {"query": bad}}},
+            )
+
+
+def test_simple_query_string_prefix_uses_index(spark, documents, tmp_path_factory):
+    """With an index, prefix candidates come from expand_prefix (term
+    dictionary) — results identical to the scan path."""
+    from es_loaders_spark.build import build_index
+
+    d = str(tmp_path_factory.mktemp("sqs_idx"))
+    build_index(spark, documents, d, n_shards=2)
+    body = {"query": {"simple_query_string": {"query": "spark quer*"}}, "size": 500}
+    scan = {r["doc_id"]: r["score"] for r in dsl.search(spark, documents, body).collect()}
+    idx = {r["doc_id"]: r["score"]
+           for r in dsl.search(spark, documents, body, index_dir=d).collect()}
+    assert scan == idx and scan
