@@ -41,6 +41,50 @@ def bm25_score_expr(stats: CorpusStats, k1: float = K1, b: float = B):
     return idf * tf * F.lit(k1 + 1.0) / (tf + F.lit(k1) * norm)
 
 
+def bm25_scores(
+    spark: SparkSession,
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    tdf: DataFrame,
+    stats: CorpusStats,
+    query: str,
+    rounded: bool = True,
+) -> DataFrame:
+    """Full scored relation (doc_id, score) — every doc matching ≥1 query
+    term, NO order / NO limit. ``rounded=False`` keeps the raw float sum:
+    compound scoring transforms (function_score, dis_max, boosting,
+    rescore) must transform the RAW score and round once at the end —
+    multiplying an already-4dp-rounded score by a constant like 0.3 puts
+    every doc whose 4th decimal is 5 exactly on a decimal round-half
+    boundary, where Spark's BigDecimal HALF_UP and DuckDB's double
+    rounding systematically disagree. Raw sums keep boundary hits
+    measure-zero, the same property the plain bm25 gate relies on.
+
+    This is the building block for compound scoring queries whose final
+    order is NOT the BM25 order (function_score, boosting, collapse,
+    rescore, dis_max): truncating the base query at k before the score
+    transform would silently drop docs the transform promotes, so those
+    operators must start from the un-truncated relation. Cost equals the
+    exact join scorer's aggregation (the limit was never pushed below
+    the groupBy anyway); the block-max WAND path cannot serve these —
+    per-doc multipliers break its score upper bounds, exactly why ES
+    disables dynamic pruning for function_score too.
+    """
+    terms = sorted(set(tokenize_text(query)))
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    total = F.sum("contrib")
+    if rounded:
+        total = F.round(total, SCORE_DECIMALS)
+    return (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(tdf.join(qterms, "term")), "term")
+        .join(doc_lens, "doc_id")
+        .withColumn("contrib", bm25_score_expr(stats))
+        .groupBy("doc_id")
+        .agg(total.alias("score"))
+    )
+
+
 def bm25_topk(
     spark: SparkSession,
     postings: DataFrame,
@@ -51,16 +95,7 @@ def bm25_topk(
     k: int = 10,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a free-text query, exact join scorer."""
-    terms = sorted(set(tokenize_text(query)))
-    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
-    scored = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(tdf.join(qterms, "term")), "term")
-        .join(doc_lens, "doc_id")
-        .withColumn("contrib", bm25_score_expr(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
-    )
+    scored = bm25_scores(spark, postings, doc_lens, tdf, stats, query)
     # order by the ROUNDED score then doc_id: float sums are order-sensitive
     # at the ulp level, so ranking on raw sums is not reproducible across
     # engines/plans; rounding defines the tie surface (SURVEY §7 "What's hard")
@@ -204,6 +239,7 @@ def bm25_topk_oracle_sql(
     b: float = B,
     filter_term: str | None = None,
     candidate_clause: str | None = None,
+    raw: bool = False,
 ) -> str:
     """DuckDB SQL computing the identical top-k (rank-identity oracle).
 
@@ -211,6 +247,10 @@ def bm25_topk_oracle_sql(
     (the ``tokens``/``postings``/``doc_lens`` CTEs are in scope) that
     restricts the scored candidate set — the twin of a Spark-side
     semi/anti-join restriction (simple_query_string, operator=and).
+
+    ``raw=True`` returns the full UN-rounded, UN-ordered scored relation
+    (``k`` ignored) — the twin of ``bm25_scores(rounded=False)`` for
+    compound scoring transforms, which must round once at the end.
     """
     terms = sorted(set(tokenize_text(query)))
     terms_values = ", ".join(f"('{t}')" for t in terms)
@@ -260,8 +300,8 @@ scored AS (
     {filter_clause}
     GROUP BY p.doc_id
 )
-SELECT doc_id, round(score, {SCORE_DECIMALS}) AS score
+{"SELECT doc_id, score FROM scored" if raw else f'''SELECT doc_id, round(score, {SCORE_DECIMALS}) AS score
 FROM scored
 ORDER BY round(score, {SCORE_DECIMALS}) DESC, doc_id ASC
-LIMIT {k}
+LIMIT {k}'''}
 """

@@ -197,7 +197,8 @@ def _split_scoring(query: dict | None) -> tuple[dict | None, dict]:
     (kind, body), = query.items()
     if kind in (
         "match", "match_phrase", "match_phrase_prefix", "multi_match",
-        "simple_query_string",
+        "simple_query_string", "dis_max", "constant_score", "boosting",
+        "function_score",
     ):
         return query, {}
     if kind == "bool":
@@ -208,7 +209,8 @@ def _split_scoring(query: dict | None) -> tuple[dict | None, dict]:
             (k, _), = sub.items()
             if k in (
                 "match", "match_phrase", "match_phrase_prefix", "multi_match",
-                "simple_query_string",
+                "simple_query_string", "dis_max", "constant_score", "boosting",
+                "function_score",
             ) and scoring is None:
                 scoring = sub
             else:
@@ -449,6 +451,269 @@ def _sqs_topk(
     return out, []
 
 
+_COMPOUND_KINDS = ("dis_max", "constant_score", "boosting", "function_score")
+
+
+def _match_scores(
+    spark: SparkSession,
+    docs: DataFrame,
+    sub: dict | str,
+    filters: dict[str, Any],
+    id_col: str,
+    field: str | None = None,
+    rounded: bool = True,
+) -> DataFrame:
+    """Full (doc_id, score) relation for one ``match`` clause — every doc
+    containing ≥1 query term, UN-truncated.
+
+    Compound scoring queries (dis_max / function_score / boosting /
+    collapse / rescore) re-order by a transformed score, so the base
+    relation must not be cut at k (ES likewise abandons dynamic pruning
+    for these). Corpus stats stay unfiltered (ES filter context);
+    ``filters`` only restrict the candidate set via a broadcast semi-join.
+
+    Pass ``rounded=False`` whenever the caller TRANSFORMS the score:
+    the transform must run on raw sums and round once at the end, or
+    constant multipliers put a systematic fraction of docs on decimal
+    round-half boundaries where engines disagree (see bm25.bm25_scores).
+    """
+    from .bm25 import bm25_scores
+    from .postings import corpus_stats, doc_lengths, postings_long, term_df
+
+    if field is None:
+        (field, text), = sub.items()
+    else:
+        text = sub
+    if isinstance(text, dict):
+        text = text["query"]
+    p = postings_long(docs.select(id_col, field), text_col=field, id_col=id_col)
+    dl = doc_lengths(docs.select(id_col, field), text_col=field, id_col=id_col)
+    cand = p
+    if filters:
+        allowed = docs.filter(filter_expr(filters, id_col)).select(
+            F.col(id_col).alias("doc_id")
+        )
+        cand = p.join(allowed.hint("broadcast"), "doc_id", "left_semi")
+    return bm25_scores(
+        spark, cand, dl, term_df(p), corpus_stats(dl), text, rounded=rounded
+    )
+
+
+def _sub_scores(
+    spark: SparkSession,
+    docs: DataFrame,
+    q: dict,
+    filters: dict[str, Any],
+    id_col: str,
+) -> DataFrame:
+    """Scored relation for a dis_max / function_score / boosting subquery:
+    ``match`` → BM25 over the named field; ``constant_score`` → its
+    filter set at the fixed boost."""
+    (k, sub), = q.items()
+    if k == "match":
+        # raw scores: the caller combines/transforms, then rounds once
+        return _match_scores(spark, docs, sub, filters, id_col, rounded=False)
+    if k == "constant_score":
+        boost = float(sub.get("boost", 1.0))
+        merged = {"bool": {"filter": [sub["filter"]] + ([filters] if filters else [])}}
+        return docs.filter(filter_expr(merged, id_col)).select(
+            F.col(id_col).alias("doc_id"),
+            F.round(F.lit(boost), 4).alias("score"),
+        )
+    raise ValueError(
+        f"unsupported scoring subquery {k!r} (subset: match, constant_score)"
+    )
+
+
+def _dis_max_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    sub: dict[str, Any],
+    filters: dict[str, Any],
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """ES ``dis_max``: score = best subquery score + tie_breaker × (sum of
+    the other matching subqueries' scores) = max + t·(sum − max).
+
+    Unlike ``multi_match`` (which depth-k-truncates per field under a
+    containment proof that only holds for tie_breaker=0), every subquery
+    here is scored in FULL, so tie_breaker is supported exactly."""
+    t = float(sub.get("tie_breaker", 0.0))
+    queries = list(sub.get("queries") or [])
+    if not queries:
+        raise ValueError("dis_max needs a non-empty queries list")
+    scored = [_sub_scores(spark, docs, q, filters, id_col) for q in queries]
+    union = scored[0]
+    for x in scored[1:]:
+        union = union.unionByName(x)
+    agg = union.groupBy("doc_id").agg(
+        F.max("score").alias("_mx"), F.sum("score").alias("_sm")
+    )
+    return (
+        agg.select(
+            "doc_id",
+            F.round(
+                F.col("_mx") + F.lit(t) * (F.col("_sm") - F.col("_mx")), 4
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _function_score_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    sub: dict[str, Any],
+    filters: dict[str, Any],
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """ES ``function_score`` (documented subset): base query score
+    transformed per document.
+
+    - ``field_value_factor`` {field, factor, modifier: none|log1p|sqrt,
+      missing}: fv = modifier(factor × coalesce(field, missing)).
+    - ``functions``: [{filter, weight}] — matching functions combine via
+      ``score_mode`` (sum | multiply | max); if NO function matches, the
+      function component is neutral (1 for multiply/max, 0 for sum),
+      matching ES's behavior of leaving the query score unscaled.
+    - ``boost_mode``: multiply (default) | sum | replace.
+
+    The base query is scored in full (no k-truncation) because the
+    transform re-orders — ES also disables WAND-style pruning here."""
+    base_q = sub.get("query") or {"match_all": {}}
+    (bk, bsub), = base_q.items()
+    if bk == "match":
+        scored = _match_scores(spark, docs, bsub, filters, id_col, rounded=False)
+    elif bk == "match_all":
+        scored = docs.filter(
+            filter_expr(filters, id_col) if filters else F.lit(True)
+        ).select(F.col(id_col).alias("doc_id"), F.lit(1.0).alias("score"))
+    else:
+        raise ValueError(
+            f"function_score base query {bk!r} not supported (match, match_all)"
+        )
+    boost_mode = str(sub.get("boost_mode", "multiply")).lower()
+    if boost_mode not in ("multiply", "sum", "replace"):
+        raise ValueError(f"unsupported boost_mode {boost_mode!r}")
+
+    fvf = sub.get("field_value_factor")
+    fns = list(sub.get("functions") or [])
+    if fvf and fns:
+        raise ValueError("give field_value_factor OR functions, not both")
+    if fvf:
+        fld = fvf["field"]
+        factor = float(fvf.get("factor", 1.0))
+        missing = fvf.get("missing")
+        modifier = str(fvf.get("modifier", "none")).lower()
+        side = docs.select(F.col(id_col).alias("doc_id"), F.col(fld).alias("_fv"))
+        scored = scored.join(side, "doc_id", "left")
+        raw = F.coalesce(
+            F.col("_fv").cast("double"),
+            F.lit(float(missing)) if missing is not None else F.lit(None),
+        ) * F.lit(factor)
+        if modifier == "log1p":
+            fn_score = F.log1p(raw)
+        elif modifier == "sqrt":
+            fn_score = F.sqrt(raw)
+        elif modifier == "none":
+            fn_score = raw
+        else:
+            raise ValueError(f"unsupported modifier {modifier!r}")
+    else:
+        score_mode = str(sub.get("score_mode", "multiply")).lower()
+        if score_mode not in ("sum", "multiply", "max"):
+            raise ValueError(f"unsupported score_mode {score_mode!r}")
+        # evaluate every function's filter in-row on a joined doc side;
+        # combine matching weights with array HOFs (no per-function joins)
+        doc_side = (
+            docs.withColumnRenamed(id_col, "doc_id")
+            if id_col != "doc_id"
+            else docs
+        )
+        scored = scored.join(doc_side, "doc_id", "left")
+        weights = []
+        for i, fn in enumerate(fns):
+            w = float(fn.get("weight", 1.0))
+            cond = (
+                F.coalesce(filter_expr(fn["filter"], "doc_id"), F.lit(False))
+                if fn.get("filter")
+                else F.lit(True)
+            )
+            weights.append(F.when(cond, F.lit(w)))
+        arr = F.array_compact(F.array(*weights))
+        if score_mode == "sum":
+            fn_score = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+        elif score_mode == "max":
+            fn_score = F.array_max(arr)
+        else:
+            fn_score = F.aggregate(arr, F.lit(1.0), lambda a, x: a * x)
+        # ES: a doc matching NO function keeps its query score unchanged
+        # (a sum-mode 0 under boost_mode=multiply must not zero the doc)
+        if boost_mode == "multiply":
+            final = F.col("score") * fn_score
+        elif boost_mode == "sum":
+            final = F.col("score") + fn_score
+        else:
+            final = fn_score
+        final = F.when(F.size(arr) == 0, F.col("score")).otherwise(final)
+        return (
+            scored.select("doc_id", F.round(final, 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    if boost_mode == "multiply":
+        final = F.col("score") * fn_score
+    elif boost_mode == "sum":
+        final = F.col("score") + fn_score
+    else:
+        final = fn_score
+    return (
+        scored.select("doc_id", F.round(final, 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _boosting_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    sub: dict[str, Any],
+    filters: dict[str, Any],
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """ES ``boosting``: positive-query score, multiplied by
+    ``negative_boost`` for docs also matching the negative clause (a
+    demotion, not an exclusion — must_not excludes). Positive is scored
+    in full: demoted docs can be overtaken by any lower-ranked doc, so a
+    pre-truncation would be wrong."""
+    (pk, psub), = sub["positive"].items()
+    if pk != "match":
+        raise ValueError(f"boosting positive {pk!r} not supported (match)")
+    nb = float(sub.get("negative_boost", 0.5))
+    scored = _match_scores(spark, docs, psub, filters, id_col, rounded=False)
+    neg = docs.filter(
+        F.coalesce(filter_expr(sub["negative"], id_col), F.lit(False))
+    ).select(F.col(id_col).alias("doc_id"), F.lit(True).alias("_neg"))
+    return (
+        scored.join(F.broadcast(neg), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("score")
+                * F.when(F.col("_neg"), F.lit(nb)).otherwise(F.lit(1.0)),
+                4,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def search(
     spark: SparkSession,
     docs: DataFrame,
@@ -542,6 +807,120 @@ def search(
         from .analyze import tokenize_text as _hl_tokens
 
         (kind, sub), = scoring.items()
+        if body.get("highlight") and kind in _COMPOUND_KINDS:
+            # the highlighted terms would be ambiguous across subqueries /
+            # score transforms — require a plain scoring clause
+            raise ValueError(f"highlight is not supported with {kind}")
+        if body.get("collapse") is not None or body.get("rescore") is not None:
+            if kind != "match":
+                raise ValueError(
+                    "collapse/rescore support a plain match scoring clause"
+                )
+            (fld, txt), = sub.items()
+            if isinstance(txt, dict):
+                txt = txt["query"]
+            if body.get("collapse") is not None:
+                # no score transform — the rounded relation is the tie
+                # surface AND the output, exactly like plain match
+                scored_all = _match_scores(spark, docs, sub, filters, id_col)
+                # ES field collapsing: keep each collapse-key's single
+                # best hit (score desc, doc_id asc), then the global
+                # top-k over the survivors. One window over the full
+                # scored relation — collapsing AFTER a k-truncation
+                # would under-fill the page whenever a key repeats.
+                cfield = body["collapse"]["field"]
+                side = docs.select(
+                    F.col(id_col).alias("doc_id"), F.col(cfield).alias("_ckey")
+                )
+                w = Window.partitionBy("_ckey").orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                )
+                best = (
+                    scored_all.join(side, "doc_id")
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                )
+                return page(
+                    best.select(
+                        "doc_id", "score", F.col("_ckey").alias(cfield)
+                    )
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(offset + size),
+                    hl_terms=_hl_tokens(txt),
+                )
+            # ES rescore: re-rank only the top window_size hits of the
+            # base query with qw·base + rw·rescore_query score; hits
+            # outside the window keep their base order below. Pages are
+            # served from the re-sorted window only, so size (+from)
+            # must fit inside it — refuse rather than silently mix
+            # re-scored and un-rescored tails.
+            rs = body["rescore"]
+            window_size = int(rs.get("window_size", 10))
+            rq = rs["query"]
+            qw = float(rq.get("query_weight", 1.0))
+            rw = float(rq.get("rescore_query_weight", 1.0))
+            (rk, rsub), = rq["rescore_query"].items()
+            if rk != "match":
+                raise ValueError(
+                    f"rescore_query {rk!r} not supported (match)"
+                )
+            if offset + size > window_size:
+                raise ValueError(
+                    f"from+size ({offset + size}) exceeds rescore "
+                    f"window_size ({window_size})"
+                )
+            # window membership is decided on the ROUNDED tie surface
+            # (cross-engine-stable), but the combined score is computed
+            # from the RAW base/rescore sums and rounded once
+            raw_all = _match_scores(
+                spark, docs, sub, filters, id_col, rounded=False
+            )
+            window = (
+                raw_all.orderBy(
+                    F.desc(F.round(F.col("score"), 4)), F.asc("doc_id")
+                )
+                .limit(window_size)
+                .withColumnRenamed("score", "_base")
+            )
+            resc = _match_scores(
+                spark, docs, rsub, filters, id_col, rounded=False
+            )
+            combined = window.join(
+                resc.withColumnRenamed("score", "_resc"), "doc_id", "left"
+            ).select(
+                "doc_id",
+                F.round(
+                    F.lit(qw) * F.col("_base")
+                    + F.lit(rw) * F.coalesce(F.col("_resc"), F.lit(0.0)),
+                    4,
+                ).alias("score"),
+            )
+            return page(
+                combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(
+                    offset + size
+                ),
+                hl_terms=_hl_tokens(txt),
+            )
+        if kind == "dis_max":
+            return page(
+                _dis_max_topk(spark, docs, sub, filters, id_col, k=offset + size)
+            )
+        if kind == "constant_score":
+            return page(
+                _sub_scores(spark, docs, {kind: sub}, filters, id_col)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(offset + size)
+            )
+        if kind == "boosting":
+            return page(
+                _boosting_topk(spark, docs, sub, filters, id_col, k=offset + size)
+            )
+        if kind == "function_score":
+            return page(
+                _function_score_topk(
+                    spark, docs, sub, filters, id_col, k=offset + size
+                )
+            )
         if kind == "multi_match":
             return page(
                 _multi_match_topk(

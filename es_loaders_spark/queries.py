@@ -1196,6 +1196,267 @@ def bm25_topk_highlight(spark, sf_dir):
     return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
 
 
+# ---------------------------------------------------------------------------
+# §2.9 X4+ compound scoring queries (dsl.py _COMPOUND_KINDS): dis_max /
+# constant_score / boosting / function_score, plus collapse & rescore.
+# All start from the UN-truncated BM25 relation (bm25.bm25_scores) because
+# their transforms re-order — the SQL twins mirror that by wrapping the
+# bm25 CTE with an effectively-unbounded LIMIT.
+# ---------------------------------------------------------------------------
+
+_ALL_ROWS = 1_000_000_000  # "no limit" for the bm25 CTE twin
+
+
+def _bm25_all_sql(query: str) -> str:
+    """Rounded full relation — for compounds that DON'T transform the
+    score (collapse)."""
+    return f"SELECT * FROM ({bm25_topk_oracle_sql(query, k=_ALL_ROWS)})"
+
+
+def _bm25_raw_sql(query: str) -> str:
+    """Raw full relation — compounds that transform the score must start
+    from raw sums and round once (bm25.bm25_scores rounded=False)."""
+    return f"SELECT * FROM ({bm25_topk_oracle_sql(query, raw=True)})"
+
+
+_RESCORE_QUERY = "distributed query engine"
+
+
+@q(
+    "dsl_dis_max",
+    f"""
+WITH qa AS ({_bm25_raw_sql(BM25_QUERY)}),
+qb AS (SELECT doc_id, 2.0::DOUBLE AS score FROM documents WHERE lang = 'en'),
+u AS (SELECT * FROM qa UNION ALL SELECT * FROM qb),
+agg AS (SELECT doc_id, max(score) AS mx, sum(score) AS sm FROM u GROUP BY doc_id)
+SELECT doc_id, round(mx + 0.3 * (sm - mx), 4) AS score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 15
+""",
+    extra=True,
+)
+def dsl_dis_max(spark, sf_dir):
+    """ES ``dis_max`` (dsl.py:_dis_max_topk): best-subquery score +
+    tie_breaker × (sum of the others). Subqueries here mix a scored
+    ``match`` with a ``constant_score`` filter. Every subquery is scored
+    in FULL (no per-branch k-truncation), so tie_breaker is exact —
+    unlike multi_match, whose containment proof needs tie_breaker=0."""
+    from . import dsl
+
+    body = {
+        "query": {
+            "dis_max": {
+                "queries": [
+                    {"match": {"text": BM25_QUERY}},
+                    {
+                        "constant_score": {
+                            "filter": {"term": {"lang": "en"}},
+                            "boost": 2.0,
+                        }
+                    },
+                ],
+                "tie_breaker": 0.3,
+            }
+        },
+        "size": 15,
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
+@q(
+    "dsl_constant_score",
+    "SELECT doc_id, 1.5::DOUBLE AS score FROM documents WHERE lang = 'fr' "
+    "ORDER BY score DESC, doc_id ASC LIMIT 12",
+    extra=True,
+)
+def dsl_constant_score(spark, sf_dir):
+    """ES ``constant_score``: the filter's matches at a fixed boost —
+    the degenerate scoring query that turns any filter into a scored
+    hit list (dsl.py:_sub_scores). Deterministic page via the engine-wide
+    (score desc, doc_id asc) tiebreak."""
+    from . import dsl
+
+    body = {
+        "query": {
+            "constant_score": {"filter": {"term": {"lang": "fr"}}, "boost": 1.5}
+        },
+        "size": 12,
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
+@q(
+    "dsl_boosting",
+    f"""
+WITH pos AS ({_bm25_raw_sql(BM25_QUERY)}),
+neg AS (SELECT doc_id, TRUE AS is_neg FROM documents WHERE lang = 'en')
+SELECT p.doc_id,
+       round(p.score * (CASE WHEN n.is_neg THEN 0.4 ELSE 1.0 END), 4) AS score
+FROM pos p LEFT JOIN neg n USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 15
+""",
+    extra=True,
+)
+def dsl_boosting(spark, sf_dir):
+    """ES ``boosting`` query (dsl.py:_boosting_topk): positive BM25 score,
+    demoted (×negative_boost) — not excluded — for docs matching the
+    negative clause. Positive is scored in full: demoted docs can be
+    overtaken by ANY lower-ranked doc, so pre-truncation would be wrong."""
+    from . import dsl
+
+    body = {
+        "query": {
+            "boosting": {
+                "positive": {"match": {"text": BM25_QUERY}},
+                "negative": {"term": {"lang": "en"}},
+                "negative_boost": 0.4,
+            }
+        },
+        "size": 15,
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
+@q(
+    "dsl_function_score",
+    f"""
+WITH base AS ({_bm25_raw_sql(BM25_QUERY)})
+SELECT b.doc_id,
+       round(b.score * ln(1 + 0.01 * d.n_chars), 4) AS score
+FROM base b JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 15
+""",
+    extra=True,
+)
+def dsl_function_score(spark, sf_dir):
+    """ES ``function_score`` + ``field_value_factor`` (dsl.py:
+    _function_score_topk): BM25 × log1p(0.01·n_chars) — the classic
+    popularity/length boost. The base match is scored un-truncated
+    (the multiplier re-orders; ES likewise disables WAND pruning here)."""
+    from . import dsl
+
+    body = {
+        "query": {
+            "function_score": {
+                "query": {"match": {"text": BM25_QUERY}},
+                "field_value_factor": {
+                    "field": "n_chars",
+                    "factor": 0.01,
+                    "modifier": "log1p",
+                    "missing": 1,
+                },
+            }
+        },
+        "size": 15,
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
+@q(
+    "dsl_function_score_weights",
+    f"""
+WITH base AS ({_bm25_raw_sql(BM25_QUERY)})
+SELECT b.doc_id,
+       CASE WHEN d.lang <> 'en' AND d.n_chars < 300 THEN round(b.score, 4)
+            ELSE round(
+              b.score * ((CASE WHEN d.lang = 'en' THEN 3.0 ELSE 0.0 END)
+                       + (CASE WHEN d.n_chars >= 300 THEN 1.5 ELSE 0.0 END)), 4)
+       END AS score
+FROM base b JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 15
+""",
+    extra=True,
+)
+def dsl_function_score_weights(spark, sf_dir):
+    """ES ``function_score`` with filtered weight functions: matching
+    functions combine via score_mode=sum, then boost_mode=multiply; a
+    doc matching NO function keeps its query score unchanged (ES
+    neutral-element semantics, pinned in dsl.py:_function_score_topk)."""
+    from . import dsl
+
+    body = {
+        "query": {
+            "function_score": {
+                "query": {"match": {"text": BM25_QUERY}},
+                "functions": [
+                    {"filter": {"term": {"lang": "en"}}, "weight": 3.0},
+                    {"filter": {"range": {"n_chars": {"gte": 300}}}, "weight": 1.5},
+                ],
+                "score_mode": "sum",
+                "boost_mode": "multiply",
+            }
+        },
+        "size": 15,
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
+@q(
+    "dsl_collapse",
+    f"""
+WITH base AS ({_bm25_all_sql(BM25_QUERY)}),
+ranked AS (
+    SELECT b.doc_id, b.score, d.lang,
+           row_number() OVER (PARTITION BY d.lang
+                              ORDER BY b.score DESC, b.doc_id ASC) AS rn
+    FROM base b JOIN documents d USING (doc_id)
+)
+SELECT doc_id, score, lang FROM ranked WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT 5
+""",
+    extra=True,
+)
+def dsl_collapse(spark, sf_dir):
+    """ES field collapsing (``collapse``): one best hit per collapse-key
+    (score desc, doc_id asc within key), then the global top-k over the
+    survivors — one window over the full scored relation (dsl.py search
+    collapse branch). Collapsing after a k-truncation would under-fill
+    the page whenever a key repeats; this never does."""
+    from . import dsl
+
+    body = {
+        "query": {"match": {"text": BM25_QUERY}},
+        "collapse": {"field": "lang"},
+        "size": 5,
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
+@q(
+    "dsl_rescore",
+    f"""
+WITH base AS ({_bm25_raw_sql(BM25_QUERY)}),
+win AS (SELECT * FROM base ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 30),
+resc AS ({_bm25_raw_sql(_RESCORE_QUERY)})
+SELECT w.doc_id,
+       round(0.7 * w.score + 1.2 * coalesce(r.score, 0), 4) AS score
+FROM win w LEFT JOIN resc r USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+    extra=True,
+)
+def dsl_rescore(spark, sf_dir):
+    """ES ``rescore``: re-rank only the top window_size base-query hits
+    with query_weight·base + rescore_query_weight·rescore score (dsl.py
+    search rescore branch). The page must fit inside the window (loud
+    refusal otherwise — mixing re-scored and un-rescored tails would be
+    silently wrong)."""
+    from . import dsl
+
+    body = {
+        "query": {"match": {"text": BM25_QUERY}},
+        "rescore": {
+            "window_size": 30,
+            "query": {
+                "rescore_query": {"match": {"text": _RESCORE_QUERY}},
+                "query_weight": 0.7,
+                "rescore_query_weight": 1.2,
+            },
+        },
+        "size": 10,
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
 @q(
     "bm25_topk_filtered",
     bm25_topk_oracle_sql(BM25_QUERY, k=BM25_K, filter_term="w0005"),

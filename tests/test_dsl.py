@@ -1039,3 +1039,267 @@ def test_simple_query_string_prefix_uses_index(spark, documents, tmp_path_factor
     idx = {r["doc_id"]: r["score"]
            for r in dsl.search(spark, documents, body, index_dir=d).collect()}
     assert scan == idx and scan
+
+
+# ---------------------------------------------------------------------------
+# Compound scoring queries: dis_max / constant_score / boosting /
+# function_score, plus collapse & rescore (r5 second wave). Value-level
+# rank identity is gated by the DuckDB twins (test_queries_oracle /
+# driver gate); these pin the ES semantics and the loud-refusal edges.
+# ---------------------------------------------------------------------------
+
+_Q = "spark data table"
+
+
+def test_dis_max_tie_breaker_zero_is_best_field(spark, documents):
+    """tie_breaker=0 ⇒ pure best-subquery score: a single-subquery dis_max
+    must reproduce the plain match ranking exactly."""
+    plain = dsl.search(
+        spark, documents, {"query": {"match": {"text": _Q}}, "size": 10}
+    ).collect()
+    dm = dsl.search(
+        spark,
+        documents,
+        {
+            "query": {"dis_max": {"queries": [{"match": {"text": _Q}}]}},
+            "size": 10,
+        },
+    ).collect()
+    assert [(r.doc_id, r.score) for r in dm] == [
+        (r.doc_id, r.score) for r in plain
+    ]
+
+
+def test_dis_max_rejects_empty_and_unknown_subquery(spark, documents):
+    with pytest.raises(ValueError, match="non-empty"):
+        dsl.search(
+            spark, documents, {"query": {"dis_max": {"queries": []}}}
+        )
+    with pytest.raises(ValueError, match="unsupported scoring subquery"):
+        dsl.search(
+            spark,
+            documents,
+            {"query": {"dis_max": {"queries": [{"terms": {"lang": ["en"]}}]}}},
+        )
+
+
+def test_constant_score_fixed_boost_and_filter(spark, documents):
+    out = dsl.search(
+        spark,
+        documents,
+        {
+            "query": {
+                "constant_score": {
+                    "filter": {"term": {"lang": "de"}},
+                    "boost": 2.5,
+                }
+            },
+            "size": 5,
+        },
+    ).collect()
+    assert out and all(r.score == 2.5 for r in out)
+    ids = {r.doc_id for r in out}
+    langs = {
+        r.lang
+        for r in documents.filter(F.col("doc_id").isin(list(ids))).collect()
+    }
+    assert langs == {"de"}
+
+
+def test_boosting_demotes_but_keeps_negative_matches(spark, documents):
+    """ES boosting is a DEMOTION (×negative_boost), not an exclusion:
+    negative-matching docs stay in the results with scaled scores."""
+    base = {
+        r.doc_id: r.score
+        for r in dsl.search(
+            spark, documents, {"query": {"match": {"text": _Q}}, "size": 10000}
+        ).collect()
+    }
+    out = dsl.search(
+        spark,
+        documents,
+        {
+            "query": {
+                "boosting": {
+                    "positive": {"match": {"text": _Q}},
+                    "negative": {"term": {"lang": "en"}},
+                    "negative_boost": 0.5,
+                }
+            },
+            "size": 10000,
+        },
+    ).collect()
+    assert len(out) == len(base)  # nothing excluded
+    en_ids = {
+        r.doc_id for r in documents.filter(F.col("lang") == "en").collect()
+    }
+    for r in out:
+        if r.doc_id in en_ids:
+            assert r.score == pytest.approx(base[r.doc_id] * 0.5, abs=2e-4)
+        else:
+            assert r.score == pytest.approx(base[r.doc_id], abs=1e-4)
+
+
+def test_function_score_no_matching_function_keeps_query_score(
+    spark, documents
+):
+    """A doc matching NO function keeps its query score unchanged (ES
+    neutral-element semantics) — even under score_mode=sum +
+    boost_mode=multiply, where a naive 0-sum would zero the doc."""
+    base = {
+        r.doc_id: r.score
+        for r in dsl.search(
+            spark, documents, {"query": {"match": {"text": _Q}}, "size": 10000}
+        ).collect()
+    }
+    out = dsl.search(
+        spark,
+        documents,
+        {
+            "query": {
+                "function_score": {
+                    "query": {"match": {"text": _Q}},
+                    "functions": [
+                        {"filter": {"term": {"lang": "zz-nope"}}, "weight": 9.0}
+                    ],
+                    "score_mode": "sum",
+                    "boost_mode": "multiply",
+                }
+            },
+            "size": 10000,
+        },
+    ).collect()
+    got = {r.doc_id: r.score for r in out}
+    assert got == base
+
+
+def test_function_score_refusals(spark, documents):
+    body = {
+        "query": {
+            "function_score": {
+                "query": {"match": {"text": _Q}},
+                "field_value_factor": {"field": "n_chars"},
+                "functions": [{"weight": 2.0}],
+            }
+        }
+    }
+    with pytest.raises(ValueError, match="not both"):
+        dsl.search(spark, documents, body)
+    with pytest.raises(ValueError, match="unsupported modifier"):
+        dsl.search(
+            spark,
+            documents,
+            {
+                "query": {
+                    "function_score": {
+                        "query": {"match": {"text": _Q}},
+                        "field_value_factor": {
+                            "field": "n_chars",
+                            "modifier": "log2p",
+                        },
+                    }
+                }
+            },
+        )
+    with pytest.raises(ValueError, match="boost_mode"):
+        dsl.search(
+            spark,
+            documents,
+            {
+                "query": {
+                    "function_score": {
+                        "query": {"match": {"text": _Q}},
+                        "field_value_factor": {"field": "n_chars"},
+                        "boost_mode": "avg",
+                    }
+                }
+            },
+        )
+
+
+def test_collapse_one_hit_per_key(spark, documents):
+    out = dsl.search(
+        spark,
+        documents,
+        {
+            "query": {"match": {"text": _Q}},
+            "collapse": {"field": "lang"},
+            "size": 10,
+        },
+    ).collect()
+    langs = [r.lang for r in out]
+    assert len(langs) == len(set(langs))  # one best hit per collapse key
+    # each returned hit is its language's best (score desc, doc_id asc)
+    full = dsl.search(
+        spark, documents, {"query": {"match": {"text": _Q}}, "size": 100000}
+    )
+    joined = full.join(documents.select("doc_id", "lang"), "doc_id").collect()
+    best = {}
+    for r in sorted(joined, key=lambda r: (-r.score, r.doc_id)):
+        best.setdefault(r.lang, r.doc_id)
+    for r in out:
+        assert best[r.lang] == r.doc_id
+
+
+def test_rescore_reorders_only_the_window(spark, documents):
+    out = dsl.search(
+        spark,
+        documents,
+        {
+            "query": {"match": {"text": _Q}},
+            "rescore": {
+                "window_size": 25,
+                "query": {
+                    "rescore_query": {"match": {"text": "query engine"}},
+                    "query_weight": 1.0,
+                    "rescore_query_weight": 2.0,
+                },
+            },
+            "size": 10,
+        },
+    ).collect()
+    window_ids = {
+        r.doc_id
+        for r in dsl.search(
+            spark, documents, {"query": {"match": {"text": _Q}}, "size": 25}
+        ).collect()
+    }
+    assert out and {r.doc_id for r in out} <= window_ids
+    with pytest.raises(ValueError, match="window_size"):
+        dsl.search(
+            spark,
+            documents,
+            {
+                "query": {"match": {"text": _Q}},
+                "rescore": {
+                    "window_size": 5,
+                    "query": {"rescore_query": {"match": {"text": "x"}}},
+                },
+                "size": 10,
+            },
+        )
+
+
+def test_compound_refuses_highlight_and_nonmatch_collapse(spark, documents):
+    with pytest.raises(ValueError, match="highlight"):
+        dsl.search(
+            spark,
+            documents,
+            {
+                "query": {
+                    "dis_max": {"queries": [{"match": {"text": _Q}}]}
+                },
+                "highlight": {"fields": {"text": {}}},
+            },
+        )
+    with pytest.raises(ValueError, match="plain match"):
+        dsl.search(
+            spark,
+            documents,
+            {
+                "query": {
+                    "dis_max": {"queries": [{"match": {"text": _Q}}]}
+                },
+                "collapse": {"field": "lang"},
+            },
+        )
