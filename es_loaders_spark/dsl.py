@@ -1327,6 +1327,102 @@ def _aggs(
         return grouped.groupBy(*group_cols, f"{name}_key").agg(
             F.count(F.lit(1)).alias("doc_count")
         )
+    if "composite" in spec:
+        # ES composite agg: a FLAT multi-source bucket stream, paginated
+        # by after-key — the scale path for high-cardinality bucket sets
+        # (terms aggs keep global top-n state; composite streams buckets
+        # in key order, so each page is one groupBy + keyset predicate,
+        # same pushdown shape as search_after).
+        if group_cols:
+            raise ValueError("composite under a bucketing agg is not supported")
+        comp = spec["composite"]
+        size = int(comp.get("size", 10))
+        after = comp.get("after")
+        key_cols = []
+        b = base
+        for src in comp["sources"]:
+            (sname, sspec), = src.items()
+            (skind, sdef), = sspec.items()
+            if skind == "terms":
+                expr = F.col(sdef["field"])
+            elif skind == "histogram":
+                iv = float(sdef["interval"])
+                expr = F.floor(F.col(sdef["field"]) / F.lit(iv)) * F.lit(iv)
+            elif skind == "date_histogram":
+                ivs = sdef.get("calendar_interval") or sdef.get(
+                    "fixed_interval"
+                ) or sdef["interval"]
+                unit = {"1d": "day", "day": "day", "1h": "hour",
+                        "hour": "hour", "month": "month",
+                        "week": "week", "year": "year"}.get(ivs)
+                if unit is None:
+                    raise ValueError(f"composite date interval {ivs!r}")
+                expr = F.date_trunc(unit, F.col(sdef["field"]))
+            else:
+                raise ValueError(f"composite source kind {skind!r}")
+            b = b.withColumn(sname, expr)
+            key_cols.append(sname)
+        out = b.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("doc_count"))
+        if after is not None:
+            # strictly-after in the composite key order (lexicographic
+            # over the sources) — the keyset predicate pushes down
+            missing_keys = [c for c in key_cols if c not in after]
+            if missing_keys:
+                raise ValueError(f"after is missing keys {missing_keys}")
+            pred = F.lit(False)
+            for i, c in enumerate(key_cols):
+                eq = F.lit(True)
+                for prev in key_cols[:i]:
+                    eq = eq & (F.col(prev) == F.lit(after[prev]))
+                pred = pred | (eq & (F.col(c) > F.lit(after[c])))
+            out = out.filter(pred)
+        return out.orderBy(*[F.asc(c) for c in key_cols]).limit(size)
+    if "adjacency_matrix" in spec:
+        # ES adjacency_matrix: doc counts for each named filter and each
+        # pairwise intersection ("a&b", ES's key format). The key set is
+        # static at query-build time, so this compiles to ONE conditional
+        # aggregation pass (count_if per key/pair — no explode, no
+        # shuffle beyond the single reduce) followed by an unpivot of
+        # the 1-row result; empty buckets are omitted like ES.
+        if group_cols:
+            raise ValueError(
+                "adjacency_matrix under a bucketing agg is not supported"
+            )
+        named = spec["adjacency_matrix"]["filters"]
+        keys = sorted(named)
+        conds = {
+            nm: F.coalesce(filter_expr(named[nm], id_col), F.lit(False))
+            for nm in keys
+        }
+        cells: list[tuple[str, Column]] = [(nm, conds[nm]) for nm in keys]
+        for i, a in enumerate(keys):
+            for bnm in keys[i + 1:]:
+                cells.append((f"{a}&{bnm}", conds[a] & conds[bnm]))
+        agg_row = base.agg(
+            *[F.count_if(c).alias(f"_c{i}") for i, (_, c) in enumerate(cells)]
+        )
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(nm).alias("key"),
+                    F.col(f"_c{i}").alias("doc_count"),
+                )
+                for i, (nm, _) in enumerate(cells)
+            ]
+        )
+        return (
+            agg_row.select(F.explode(pairs).alias("b"))
+            .select("b.key", "b.doc_count")
+            .filter(F.col("doc_count") > 0)
+        )
+    if "missing" in spec:
+        # ES missing agg: docs lacking a value for the field
+        field = spec["missing"]["field"]
+        return base.filter(F.col(field).isNull()).groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("doc_count")
+        ) if group_cols else base.agg(
+            F.count_if(F.col(field).isNull()).alias("doc_count")
+        )
     if "significant_terms" in spec:
         # ES significant_terms: terms over-represented in the query's
         # foreground set vs the whole-index background, scored with ES's
@@ -1508,3 +1604,153 @@ def msearch(
     issued through a single melted groupBy — msearch keeps per-body
     results for API parity, each body an independent lazy plan."""
     return [search(spark, docs, b) for b in bodies]
+
+
+def suggest(
+    spark: SparkSession,
+    docs: DataFrame,
+    body: dict[str, Any],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES term suggester (``POST /_search`` with a ``suggest`` section):
+    spelling corrections for each input token from the corpus's own term
+    dictionary.
+
+    Supported per-suggester options (ES names/defaults):
+    - ``size`` (5): suggestions per input token
+    - ``max_edits`` (2): Levenshtein distance cap (ES allows 1-2)
+    - ``prefix_length`` (1): leading chars that must match exactly — the
+      scale lever: the dictionary scan prunes to the token's prefix
+      bucket (predicate-pushdown-able) instead of edit-distancing the
+      whole vocabulary, mirroring Lucene's prefix-locked FST walk
+    - ``min_doc_freq`` (0): minimum doc frequency for a suggestion
+    - ``suggest_mode`` ("missing"): missing = only suggest for tokens
+      absent from the index; always = suggest for every token
+
+    Returns (suggester, token, option, distance, freq) ordered by ES's
+    sort — distance asc (closer is better), freq desc, option asc —
+    limited to ``size`` per token. The term dictionary is derived from
+    ``docs`` (vocabulary ≪ corpus; one groupBy, then a broadcast join
+    against the handful of input tokens)."""
+    from .analyze import tokenize_text
+    from .postings import postings_long
+
+    sug = body.get("suggest") or body
+    out = None
+    p = postings_long(docs.select(id_col, text_col), text_col=text_col, id_col=id_col)
+    tdf = p.groupBy("term").agg(F.count_distinct("doc_id").alias("freq"))
+    for name, spec in sorted(sug.items()):
+        if "term" not in spec:
+            raise ValueError(f"suggester {name!r}: only the term suggester is supported")
+        t = spec["term"]
+        size = int(t.get("size", 5))
+        max_edits = int(t.get("max_edits", 2))
+        if max_edits not in (1, 2):
+            raise ValueError("max_edits must be 1 or 2 (ES limit)")
+        prefix_length = int(t.get("prefix_length", 1))
+        min_doc_freq = int(t.get("min_doc_freq", 0))
+        mode = str(t.get("suggest_mode", "missing")).lower()
+        if mode not in ("missing", "always"):
+            raise ValueError(f"suggest_mode {mode!r} not supported (missing/always)")
+        tokens = sorted(set(tokenize_text(spec["text"])))
+        tok_df = spark.createDataFrame([(tk,) for tk in tokens], "token string")
+        cand = tdf.join(
+            F.broadcast(tok_df),
+            (
+                (F.substring("term", 1, prefix_length) == F.substring("token", 1, prefix_length))
+                if prefix_length > 0
+                else F.lit(True)
+            )
+            & (F.col("term") != F.col("token"))
+            & (F.levenshtein("term", "token") <= F.lit(max_edits)),
+        ).withColumn("distance", F.levenshtein("term", "token"))
+        if min_doc_freq > 0:
+            cand = cand.filter(F.col("freq") >= min_doc_freq)
+        if mode == "missing":
+            known = tdf.select(F.col("term").alias("token"))
+            cand = cand.join(F.broadcast(known), "token", "left_anti")
+        w = Window.partitionBy("token").orderBy(
+            F.asc("distance"), F.desc("freq"), F.asc("term")
+        )
+        ranked = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= size)
+            .select(
+                F.lit(name).alias("suggester"),
+                "token",
+                F.col("term").alias("option"),
+                "distance",
+                "freq",
+            )
+        )
+        out = ranked if out is None else out.unionByName(ranked)
+    return out.orderBy("suggester", "token", "distance", F.desc("freq"), "option")
+
+
+def more_like_this(
+    spark: SparkSession,
+    docs: DataFrame,
+    body: dict[str, Any],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``more_like_this`` query: find documents similar to a seed doc.
+
+    Lucene's MLT pipeline, re-expressed as one Catalyst plan with ZERO
+    driver-side term materialization:
+    1. interesting terms = the seed doc's terms ranked by tf·idf
+       (idf = ln(1 + (N − df + 0.5)/(df + 0.5)), the engine's BM25 idf),
+       filtered by min_term_freq / min_doc_freq, top ``max_query_terms``
+       (ties: term asc);
+    2. docs are scored with the standard BM25 sum over those terms —
+       the selected-term relation joins the postings directly (a
+       broadcast of ≤ max_query_terms rows), so nothing is collected.
+
+    Supported options: ``like`` ({"doc_id": id}), ``max_query_terms``
+    (25), ``min_term_freq`` (2), ``min_doc_freq`` (5), ``include``
+    (false — ES excludes the seed doc itself), ``size``."""
+    from .bm25 import SCORE_DECIMALS, bm25_score_expr
+    from .postings import corpus_stats, doc_lengths, postings_long, term_df
+
+    mlt = body["query"]["more_like_this"] if "query" in body else body
+    like = mlt["like"]
+    if not (isinstance(like, dict) and "doc_id" in like):
+        raise ValueError('more_like_this like must be {"doc_id": <id>}')
+    seed_id = like["doc_id"]
+    max_terms = int(mlt.get("max_query_terms", 25))
+    min_tf = int(mlt.get("min_term_freq", 2))
+    min_df = int(mlt.get("min_doc_freq", 5))
+    include = bool(mlt.get("include", False))
+    size = int(body.get("size", 10))
+
+    p = postings_long(docs.select(id_col, text_col), text_col=text_col, id_col=id_col)
+    dl = doc_lengths(docs.select(id_col, text_col), text_col=text_col, id_col=id_col)
+    stats = corpus_stats(dl)
+    tdf = term_df(p)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(stats.n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    seed_terms = (
+        p.filter(F.col("doc_id") == F.lit(seed_id))
+        .filter(F.col("tf") >= min_tf)
+        .join(tdf, "term")
+        .filter(F.col("df") >= min_df)
+        .withColumn("_tfidf", F.col("tf") * idf)
+        .orderBy(F.desc("_tfidf"), F.asc("term"))
+        .limit(max_terms)
+        .select("term")
+    )
+    cand = p.join(F.broadcast(seed_terms), "term")
+    if not include:
+        cand = cand.filter(F.col("doc_id") != F.lit(seed_id))
+    scored = (
+        cand.join(F.broadcast(tdf.join(F.broadcast(seed_terms), "term")), "term")
+        .join(dl, "doc_id")
+        .withColumn("contrib", bm25_score_expr(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(size)

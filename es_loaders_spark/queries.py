@@ -2192,3 +2192,221 @@ def embedding_near_dups(spark, sf_dir):
 
 
 ORACLES["embedding_near_dups"] = _near_dups_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# §2.9/2.10 second r5 wave: term suggester, more_like_this, composite /
+# adjacency_matrix / missing aggs (dsl.py)
+# ---------------------------------------------------------------------------
+
+from .analyze import oracle_tokens_sql as _tok_sql  # noqa: E402
+
+
+@q(
+    "dsl_suggest",
+    f"""
+WITH tokens AS ({_tok_sql()}),
+tdf AS (SELECT term, count(DISTINCT doc_id) AS freq FROM tokens GROUP BY term),
+inp(token) AS (VALUES ('dataa'), ('sparkk'), ('tabel')),
+cand AS (
+    SELECT i.token, t.term AS option,
+           levenshtein(t.term, i.token) AS distance, t.freq
+    FROM tdf t JOIN inp i
+      ON substr(t.term, 1, 1) = substr(i.token, 1, 1)
+     AND t.term <> i.token
+     AND levenshtein(t.term, i.token) <= 2
+    WHERE i.token NOT IN (SELECT term FROM tdf)
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY token ORDER BY distance, freq DESC, option) AS rn
+    FROM cand
+)
+SELECT 'fix' AS suggester, token, option, distance, freq
+FROM ranked WHERE rn <= 3
+ORDER BY suggester, token, distance, freq DESC, option
+""",
+    extra=True,
+)
+def dsl_suggest(spark, sf_dir):
+    """ES term suggester (dsl.suggest): spelling corrections from the
+    corpus's own term dictionary — Levenshtein ≤ max_edits, ES sort
+    (distance asc, doc-freq desc, term asc), suggest_mode=missing. The
+    prefix_length=1 exact-prefix requirement is the scale lever: the
+    vocabulary scan prunes to the token's prefix bucket (Lucene's
+    prefix-locked FST walk, re-expressed as a pushdown predicate)."""
+    from . import dsl
+
+    body = {
+        "suggest": {
+            "fix": {
+                "text": "sparkk dataa tabel",
+                "term": {"field": "text", "size": 3},
+            }
+        }
+    }
+    return dsl.suggest(spark, _T(spark, sf_dir, "documents"), body)
+
+
+@q(
+    "dsl_more_like_this",
+    f"""
+WITH tokens AS ({_tok_sql()}),
+postings AS (
+    SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tokens GROUP BY 1, 2
+),
+doc_lens AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doc_lens),
+tdf AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+seed AS (
+    SELECT p.term
+    FROM postings p JOIN tdf f USING (term) CROSS JOIN stats s
+    WHERE p.doc_id = 7 AND p.tf >= 1 AND f.df >= 2
+    ORDER BY p.tf * ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) DESC, p.term ASC
+    LIMIT 25
+),
+scored AS (
+    SELECT p.doc_id,
+           sum(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+               * p.tf * 2.2
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS score
+    FROM postings p
+    JOIN seed q USING (term)
+    JOIN tdf f USING (term)
+    JOIN doc_lens d USING (doc_id)
+    CROSS JOIN stats s
+    WHERE p.doc_id <> 7
+    GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
+""",
+    extra=True,
+)
+def dsl_more_like_this(spark, sf_dir):
+    """ES ``more_like_this`` (dsl.more_like_this): Lucene's MLT pipeline
+    as ONE Catalyst plan — seed doc's terms ranked by tf·idf (BM25 idf),
+    top max_query_terms selected, then a standard BM25 sum over the
+    selected-term relation (a ≤25-row broadcast join; zero driver-side
+    term materialization). The oracle replays BOTH stages in SQL."""
+    from . import dsl
+
+    body = {
+        "query": {
+            "more_like_this": {
+                "like": {"doc_id": 7},
+                "min_term_freq": 1,
+                "min_doc_freq": 2,
+                "max_query_terms": 25,
+            }
+        },
+        "size": 10,
+    }
+    return dsl.more_like_this(spark, _T(spark, sf_dir, "documents"), body)
+
+
+@q(
+    "dsl_composite",
+    """
+SELECT * FROM (
+    SELECT event_type AS etype,
+           floor(value / 50.0) * 50.0 AS vbin,
+           count(*) AS doc_count
+    FROM events GROUP BY 1, 2
+)
+WHERE (etype > 'click') OR (etype = 'click' AND vbin > 150.0)
+ORDER BY etype ASC, vbin ASC LIMIT 8
+""",
+    extra=True,
+)
+def dsl_composite(spark, sf_dir):
+    """ES ``composite`` agg (dsl.py composite branch): a flat
+    multi-source bucket stream paginated by after-key — the scale path
+    for high-cardinality bucket sets (terms aggs hold global top-n
+    state; composite pages are one groupBy + a pushdown-able keyset
+    predicate, the same shape as search_after)."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "aggs": {
+            "comp": {
+                "composite": {
+                    "size": 8,
+                    "sources": [
+                        {"etype": {"terms": {"field": "event_type"}}},
+                        {"vbin": {"histogram": {"field": "value", "interval": 50.0}}},
+                    ],
+                    "after": {"etype": "click", "vbin": 150.0},
+                }
+            }
+        },
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "events"), body)
+
+
+@q(
+    "dsl_adjacency_matrix",
+    """
+WITH c AS (
+    SELECT count(*) FILTER (WHERE lang = 'en') AS c_en,
+           count(*) FILTER (WHERE n_chars >= 300) AS c_long,
+           count(*) FILTER (WHERE lang = 'zh') AS c_zh,
+           count(*) FILTER (WHERE lang = 'en' AND n_chars >= 300) AS c_en_long,
+           count(*) FILTER (WHERE lang = 'en' AND lang = 'zh') AS c_en_zh,
+           count(*) FILTER (WHERE n_chars >= 300 AND lang = 'zh') AS c_long_zh
+    FROM documents
+)
+SELECT * FROM (
+    SELECT 'en' AS key, c_en AS doc_count FROM c
+    UNION ALL SELECT 'long', c_long FROM c
+    UNION ALL SELECT 'zh', c_zh FROM c
+    UNION ALL SELECT 'en&long', c_en_long FROM c
+    UNION ALL SELECT 'en&zh', c_en_zh FROM c
+    UNION ALL SELECT 'long&zh', c_long_zh FROM c
+) WHERE doc_count > 0
+""",
+    extra=True,
+)
+def dsl_adjacency_matrix(spark, sf_dir):
+    """ES ``adjacency_matrix`` agg (dsl.py): doc counts for each named
+    filter and each pairwise intersection. The key set is static at
+    query-build time, so it compiles to ONE conditional-aggregation pass
+    (no explode, a single reduce) + an unpivot of the 1-row result;
+    empty buckets omitted like ES."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "aggs": {
+            "adj": {
+                "adjacency_matrix": {
+                    "filters": {
+                        "en": {"term": {"lang": "en"}},
+                        "long": {"range": {"n_chars": {"gte": 300}}},
+                        "zh": {"term": {"lang": "zh"}},
+                    }
+                }
+            }
+        },
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
+@q(
+    "dsl_missing_agg",
+    "SELECT count(*) FILTER (WHERE n_chars < 150) AS doc_count FROM documents",
+    extra=True,
+)
+def dsl_missing_agg(spark, sf_dir):
+    """ES ``missing`` agg (dsl.py): bucket of docs lacking a field value.
+    The null-able column is derived in-plan (short docs get NULL) so the
+    bucket is non-trivial on this data."""
+    from . import dsl
+
+    docs = _T(spark, sf_dir, "documents").withColumn(
+        "maybe",
+        F.when(F.col("n_chars") < 150, F.lit(None)).otherwise(F.col("lang")),
+    )
+    body = {"size": 0, "aggs": {"m": {"missing": {"field": "maybe"}}}}
+    return dsl.search(spark, docs, body)

@@ -1303,3 +1303,159 @@ def test_compound_refuses_highlight_and_nonmatch_collapse(spark, documents):
                 "collapse": {"field": "lang"},
             },
         )
+
+
+# ---------------------------------------------------------------------------
+# Term suggester / more_like_this / composite / adjacency_matrix / missing
+# (r5 third wave). Value identity is DuckDB-gated; these pin semantics.
+# ---------------------------------------------------------------------------
+
+
+def test_suggest_missing_mode_skips_known_tokens(spark, documents):
+    """suggest_mode=missing (ES default): a token already in the index
+    gets NO suggestions; a misspelled one does."""
+    body = {
+        "suggest": {
+            "s": {"text": "spark sparkk", "term": {"field": "text", "size": 2}}
+        }
+    }
+    rows = dsl.suggest(spark, documents, body).collect()
+    toks = {r.token for r in rows}
+    assert "spark" not in toks and "sparkk" in toks
+    assert all(r.option == "spark" for r in rows if r.distance == 1)
+    # always-mode also CONSIDERS in-vocabulary tokens (options only if a
+    # near neighbor exists in the dictionary) and keeps the missing ones
+    body["suggest"]["s"]["term"]["suggest_mode"] = "always"
+    rows2 = dsl.suggest(spark, documents, body).collect()
+    assert "sparkk" in {r.token for r in rows2}
+    assert len(rows2) >= len(rows)
+
+
+def test_suggest_refusals(spark, documents):
+    with pytest.raises(ValueError, match="term suggester"):
+        dsl.suggest(spark, documents, {"suggest": {"s": {"phrase": {}}}})
+    with pytest.raises(ValueError, match="max_edits"):
+        dsl.suggest(
+            spark,
+            documents,
+            {
+                "suggest": {
+                    "s": {"text": "xyz", "term": {"field": "text", "max_edits": 3}}
+                }
+            },
+        )
+
+
+def test_more_like_this_excludes_seed_unless_include(spark, documents):
+    base = {
+        "query": {
+            "more_like_this": {
+                "like": {"doc_id": 3},
+                "min_term_freq": 1,
+                "min_doc_freq": 2,
+            }
+        },
+        "size": 5,
+    }
+    out = dsl.more_like_this(spark, documents, base).collect()
+    assert out and all(r.doc_id != 3 for r in out)
+    base["query"]["more_like_this"]["include"] = True
+    base["size"] = 100000
+    out = dsl.more_like_this(spark, documents, base).collect()
+    # include=true puts the seed back into the candidate set (its exact
+    # rank depends on length normalization, not guaranteed first)
+    assert any(r.doc_id == 3 for r in out)
+
+
+def test_composite_pages_tile_exactly(spark, documents):
+    """Composite after-key pagination must tile the full bucket stream
+    with no gaps or overlaps (the search_after property, agg-side)."""
+    events = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    )
+    body = {
+        "size": 0,
+        "aggs": {
+            "c": {
+                "composite": {
+                    "size": 1000,
+                    "sources": [
+                        {"etype": {"terms": {"field": "event_type"}}},
+                        {
+                            "vbin": {
+                                "histogram": {"field": "value", "interval": 100.0}
+                            }
+                        },
+                    ],
+                }
+            }
+        },
+    }
+    full = [
+        (r.etype, r.vbin, r.doc_count)
+        for r in dsl.search(spark, events, body).collect()
+    ]
+    assert len(full) > 4
+    paged, after = [], None
+    for _ in range(100):
+        b = {
+            "size": 0,
+            "aggs": {
+                "c": {
+                    "composite": {
+                        "size": 3,
+                        "sources": body["aggs"]["c"]["composite"]["sources"],
+                        **({"after": after} if after else {}),
+                    }
+                }
+            },
+        }
+        rows = dsl.search(spark, events, b).collect()
+        if not rows:
+            break
+        paged += [(r.etype, r.vbin, r.doc_count) for r in rows]
+        after = {"etype": rows[-1].etype, "vbin": rows[-1].vbin}
+    assert paged == full
+
+
+def test_composite_after_requires_all_keys(spark, documents):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    with pytest.raises(ValueError, match="missing keys"):
+        dsl.search(
+            spark,
+            events,
+            {
+                "size": 0,
+                "aggs": {
+                    "c": {
+                        "composite": {
+                            "sources": [
+                                {"etype": {"terms": {"field": "event_type"}}}
+                            ],
+                            "after": {},
+                        }
+                    }
+                },
+            },
+        )
+
+
+def test_adjacency_matrix_intersections(spark, documents):
+    body = {
+        "size": 0,
+        "aggs": {
+            "adj": {
+                "adjacency_matrix": {
+                    "filters": {
+                        "en": {"term": {"lang": "en"}},
+                        "de": {"term": {"lang": "de"}},
+                    }
+                }
+            }
+        },
+    }
+    rows = {r.key: r.doc_count for r in dsl.search(spark, documents, body).collect()}
+    n_en = documents.filter(F.col("lang") == "en").count()
+    n_de = documents.filter(F.col("lang") == "de").count()
+    assert rows["en"] == n_en and rows["de"] == n_de
+    assert "en&de" not in rows  # disjoint filters: empty bucket omitted
