@@ -1200,6 +1200,47 @@ def _aggs(
             fn = F.approx_count_distinct if c.get("approx") else F.count_distinct
             alias = f"{name}_value" if multi else "value"
             return [fn(c["field"]).alias(alias)]
+        if "extended_stats" in spec:
+            # ES extended_stats: stats + sum_of_squares, variance (and
+            # population std — ES reports population, not sample)
+            f = spec["extended_stats"]["field"]
+            p = f"{name}_" if multi else ""
+            return [
+                F.count(f).alias(f"{p}count"),
+                F.min(f).alias(f"{p}min"),
+                F.max(f).alias(f"{p}max"),
+                F.avg(f).alias(f"{p}avg"),
+                F.sum(f).alias(f"{p}sum"),
+                F.sum(F.col(f) * F.col(f)).alias(f"{p}sum_of_squares"),
+                F.var_pop(f).alias(f"{p}variance"),
+                F.stddev_pop(f).alias(f"{p}std_deviation"),
+            ]
+        if "weighted_avg" in spec:
+            wa = spec["weighted_avg"]
+            v, w = wa["value"]["field"], wa["weight"]["field"]
+            alias = f"{name}_value" if multi else "value"
+            return [
+                (
+                    F.sum(F.col(v) * F.col(w)) / F.sum(F.col(w))
+                ).alias(alias)
+            ]
+        if "percentile_ranks" in spec:
+            # ES percentile_ranks: for each given value, the % of docs
+            # with field ≤ value — an exact count ratio (ES interpolates
+            # from a t-digest; exact here so the result is
+            # oracle-checkable, same policy as percentiles/cardinality)
+            pr = spec["percentile_ranks"]
+            f = pr["field"]
+            p = f"{name}_" if multi else ""
+            total = F.count(f)
+            return [
+                (
+                    F.count_if(F.col(f) <= F.lit(float(v)))
+                    / total
+                    * F.lit(100.0)
+                ).alias(f"{p}rank_{f'{float(v):g}'.replace('.', '_').replace('-', 'm')}")
+                for v in pr["values"]
+            ]
         if "percentiles" in spec:
             # ES percentiles is t-digest-approximate; exact (sort-based,
             # linear interpolation — numpy/ES 'linear') by default so the

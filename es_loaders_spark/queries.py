@@ -1127,7 +1127,8 @@ def _sqs_oracle_sql(k: int = 10) -> str:
     return bm25_topk_oracle_sql("spark stream", k=k, candidate_clause=cand)
 
 
-@q("dsl_simple_query_string", _sqs_oracle_sql(), extra=True)
+@q("dsl_simple_query_string", _sqs_oracle_sql(),
+)
 def dsl_simple_query_string(spark, sf_dir):
     """ES ``simple_query_string`` (dsl._sqs_topk): '+required' /
     '-excluded' / '"phrase"' / 'prefix*' operators as semi/anti-join
@@ -1232,7 +1233,6 @@ agg AS (SELECT doc_id, max(score) AS mx, sum(score) AS sm FROM u GROUP BY doc_id
 SELECT doc_id, round(mx + 0.3 * (sm - mx), 4) AS score
 FROM agg ORDER BY score DESC, doc_id ASC LIMIT 15
 """,
-    extra=True,
 )
 def dsl_dis_max(spark, sf_dir):
     """ES ``dis_max`` (dsl.py:_dis_max_topk): best-subquery score +
@@ -1294,7 +1294,6 @@ SELECT p.doc_id,
 FROM pos p LEFT JOIN neg n USING (doc_id)
 ORDER BY score DESC, doc_id ASC LIMIT 15
 """,
-    extra=True,
 )
 def dsl_boosting(spark, sf_dir):
     """ES ``boosting`` query (dsl.py:_boosting_topk): positive BM25 score,
@@ -1325,7 +1324,6 @@ SELECT b.doc_id,
 FROM base b JOIN documents d USING (doc_id)
 ORDER BY score DESC, doc_id ASC LIMIT 15
 """,
-    extra=True,
 )
 def dsl_function_score(spark, sf_dir):
     """ES ``function_score`` + ``field_value_factor`` (dsl.py:
@@ -1403,7 +1401,6 @@ ranked AS (
 SELECT doc_id, score, lang FROM ranked WHERE rn = 1
 ORDER BY score DESC, doc_id ASC LIMIT 5
 """,
-    extra=True,
 )
 def dsl_collapse(spark, sf_dir):
     """ES field collapsing (``collapse``): one best hit per collapse-key
@@ -1432,7 +1429,6 @@ SELECT w.doc_id,
 FROM win w LEFT JOIN resc r USING (doc_id)
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
-    extra=True,
 )
 def dsl_rescore(spark, sf_dir):
     """ES ``rescore``: re-rank only the top window_size base-query hits
@@ -2226,7 +2222,6 @@ SELECT 'fix' AS suggester, token, option, distance, freq
 FROM ranked WHERE rn <= 3
 ORDER BY suggester, token, distance, freq DESC, option
 """,
-    extra=True,
 )
 def dsl_suggest(spark, sf_dir):
     """ES term suggester (dsl.suggest): spelling corrections from the
@@ -2281,7 +2276,6 @@ scored AS (
 SELECT doc_id, round(score, 4) AS score
 FROM scored ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10
 """,
-    extra=True,
 )
 def dsl_more_like_this(spark, sf_dir):
     """ES ``more_like_this`` (dsl.more_like_this): Lucene's MLT pipeline
@@ -2317,7 +2311,6 @@ SELECT * FROM (
 WHERE (etype > 'click') OR (etype = 'click' AND vbin > 150.0)
 ORDER BY etype ASC, vbin ASC LIMIT 8
 """,
-    extra=True,
 )
 def dsl_composite(spark, sf_dir):
     """ES ``composite`` agg (dsl.py composite branch): a flat
@@ -2366,7 +2359,6 @@ SELECT * FROM (
     UNION ALL SELECT 'long&zh', c_long_zh FROM c
 ) WHERE doc_count > 0
 """,
-    extra=True,
 )
 def dsl_adjacency_matrix(spark, sf_dir):
     """ES ``adjacency_matrix`` agg (dsl.py): doc counts for each named
@@ -2410,3 +2402,97 @@ def dsl_missing_agg(spark, sf_dir):
     )
     body = {"size": 0, "aggs": {"m": {"missing": {"field": "maybe"}}}}
     return dsl.search(spark, docs, body)
+
+
+@q(
+    "dsl_extended_stats",
+    "SELECT count(value) AS count, round(min(value), 4) AS min, "
+    "round(max(value), 4) AS max, round(avg(value), 4) AS avg, "
+    "round(sum(value), 4) AS sum, "
+    "round(sum(value * value), 4) AS sum_of_squares, "
+    "round(var_pop(value), 4) AS variance, "
+    "round(stddev_pop(value), 4) AS std_deviation FROM events",
+)
+def dsl_extended_stats(spark, sf_dir):
+    """ES ``extended_stats`` agg (dsl.py leaf): stats + sum_of_squares +
+    population variance/std (ES reports population moments), one pass."""
+    from . import dsl
+
+    body = {"size": 0, "aggs": {"es": {"extended_stats": {"field": "value"}}}}
+    out = dsl.search(spark, _T(spark, sf_dir, "events"), body)
+    return out.select(
+        "count", *[F.round(c, 4).alias(c) for c in out.columns if c != "count"]
+    )
+
+
+@q(
+    "dsl_weighted_avg",
+    "SELECT round(sum(value * user_id) / sum(user_id), 4) AS value FROM events",
+    extra=True,
+)
+def dsl_weighted_avg(spark, sf_dir):
+    """ES ``weighted_avg`` agg (dsl.py leaf): Σ(v·w)/Σw in one pass."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "aggs": {
+            "w": {
+                "weighted_avg": {
+                    "value": {"field": "value"},
+                    "weight": {"field": "user_id"},
+                }
+            }
+        },
+    }
+    out = dsl.search(spark, _T(spark, sf_dir, "events"), body)
+    return out.select(F.round("value", 4).alias("value"))
+
+
+@q(
+    "dsl_percentile_ranks",
+    "SELECT round(count_if(value <= 50) * 100.0 / count(value), 4) AS rank_50, "
+    "round(count_if(value <= 200) * 100.0 / count(value), 4) AS rank_200 "
+    "FROM events",
+    extra=True,
+)
+def dsl_percentile_ranks(spark, sf_dir):
+    """ES ``percentile_ranks`` agg (dsl.py leaf): % of docs with field ≤
+    each given value — exact count ratio (ES interpolates a t-digest;
+    exact here, same oracle-checkable policy as percentiles)."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "aggs": {
+            "pr": {"percentile_ranks": {"field": "value", "values": [50, 200]}}
+        },
+    }
+    out = dsl.search(spark, _T(spark, sf_dir, "events"), body)
+    return out.select(*[F.round(c, 4).alias(c) for c in out.columns])
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate rotation (r5): the driver caps at 50 rows, so redundant twins
+# retire to the local-gate EXTRA registry — each keeps its DuckDB oracle in
+# tests/test_queries_oracle.py, and every §2 operator they covered has a
+# green CORRECTNESS_r04 row. The freed rows gate this round's new surface
+# (compound scoring, suggester, MLT, composite/adjacency aggs, sqs).
+# ---------------------------------------------------------------------------
+_RETIRED_R5 = [
+    "scan_project",            # S1/P1 twin: filter_numeric keeps scans gated
+    "dedup_rows",              # P8 twin of dedup_exact_groups
+    "sort_limit",              # T1 twin: topk_per_group keeps sort+limit gated
+    "distinct_count",          # A5 twin of groupby_count
+    "term_filter",             # X2 scan-served twin of term_count_indexed
+    "minhash_lsh_dups_fast",   # shared-relation twin of minhash_lsh_dups
+    "ann_bruteforce",          # baseline twin of ann_lsh / ann_ivf
+    "dsl_bool_term_range_count",  # twin of bool_filter (+ filtered_count)
+    "stats_agg",               # strict subset of dsl_extended_stats
+    "semi_join_filter",        # J3: two other join rows stay gated
+    "nested_collect",          # A2/F15: etl tests + dsl_top_hits cover shape
+]
+for _n in _RETIRED_R5:
+    EXTRA_QUERIES[_n] = QUERIES.pop(_n)
+    if _n in ORACLES:
+        EXTRA_ORACLES[_n] = ORACLES.pop(_n)

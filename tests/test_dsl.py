@@ -1459,3 +1459,41 @@ def test_adjacency_matrix_intersections(spark, documents):
     n_de = documents.filter(F.col("lang") == "de").count()
     assert rows["en"] == n_en and rows["de"] == n_de
     assert "en&de" not in rows  # disjoint filters: empty bucket omitted
+
+
+def test_extended_stats_under_bucket_and_siblings(spark, documents):
+    """extended_stats is a metric leaf: works as a sibling agg and under
+    a bucketing agg (per-bucket doc_count included, ADVICE r03 #4)."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    body = {
+        "size": 0,
+        "aggs": {
+            "per_day": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {"v": {"extended_stats": {"field": "value"}}},
+            }
+        },
+    }
+    rows = dsl.search(spark, events, body).collect()
+    assert rows and "doc_count" in rows[0].asDict()
+    r = rows[0]
+    assert r["variance"] == pytest.approx(
+        r["sum_of_squares"] / r["count"] - (r["sum"] / r["count"]) ** 2,
+        rel=1e-6,
+    )
+    # sibling metric leaves in one pass
+    body2 = {
+        "size": 0,
+        "aggs": {
+            "w": {
+                "weighted_avg": {
+                    "value": {"field": "value"},
+                    "weight": {"field": "user_id"},
+                }
+            },
+            "pr": {"percentile_ranks": {"field": "value", "values": [100]}},
+        },
+    }
+    row = dsl.search(spark, events, body2).first()
+    d = row.asDict()
+    assert "w_value" in d and any(k.startswith("pr_rank_") for k in d)

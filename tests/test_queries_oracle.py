@@ -93,10 +93,16 @@ def test_registry_fits_driver_cap():
     twins live in EXTRA_QUERIES (local gate only)."""
     qs = entrymod.queries()
     assert len(qs) <= 50, f"{len(qs)} queries() entries exceed the driver's 50-row cap"
-    for must in ("ann_ivf", "embedding_near_dups", "minhash_lsh_dups_fast",
+    for must in ("ann_ivf", "embedding_near_dups", "minhash_lsh_dups",
                  "pivot_wide", "dsl_multi_match", "dsl_percentiles",
                  "dsl_top_hits", "dsl_date_histogram", "dsl_regexp",
-                 "dsl_fuzzy"):
+                 "dsl_fuzzy",
+                 # r5 rotation: newest surface driver-gated
+                 "dsl_dis_max", "dsl_boosting", "dsl_function_score",
+                 "dsl_collapse", "dsl_rescore", "dsl_suggest",
+                 "dsl_more_like_this", "dsl_composite",
+                 "dsl_adjacency_matrix", "dsl_simple_query_string",
+                 "dsl_extended_stats"):
         assert must in qs
     # oracle keys must be a subset of query keys (driver joins by name)
     assert set(entrymod.oracle_sql()) <= set(qs)
