@@ -1709,8 +1709,15 @@ def suggest(
         if min_doc_freq > 0:
             cand = cand.filter(F.col("freq") >= min_doc_freq)
         if mode == "missing":
-            known = tdf.select(F.col("term").alias("token"))
-            cand = cand.join(F.broadcast(known), "token", "left_anti")
+            # which input tokens exist in the dictionary? Reduce the
+            # vocabulary to the ≤|tokens| present ones FIRST (broadcast
+            # semi-join against the tiny token list), then anti-join the
+            # candidates against that — broadcasting the full vocabulary
+            # would not survive a web-scale term dictionary
+            present = tdf.join(
+                F.broadcast(tok_df), F.col("term") == F.col("token"), "left_semi"
+            ).select(F.col("term").alias("token"))
+            cand = cand.join(F.broadcast(present), "token", "left_anti")
         w = Window.partitionBy("token").orderBy(
             F.asc("distance"), F.desc("freq"), F.asc("term")
         )
