@@ -48,6 +48,7 @@ zero Python to the executed plan.
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -1149,6 +1150,225 @@ def count(
     return docs.filter(filter_expr(q, id_col)).agg(F.count(F.lit(1)).alias("n"))
 
 
+# ES pipeline aggregations. Parent pipelines live INSIDE a bucketing
+# agg's sub-aggs and derive per-bucket columns from sibling metrics
+# (window functions over the bucket rows — buckets ≪ docs, so the
+# window is over the already-reduced relation, never the corpus).
+# Sibling pipelines sit NEXT TO a bucketing agg and reduce its bucket
+# stream to one row.
+_PARENT_PIPELINES = (
+    "derivative", "cumulative_sum", "serial_diff", "moving_fn",
+    "bucket_script", "bucket_selector", "bucket_sort",
+)
+_SIBLING_PIPELINES = (
+    "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
+)
+
+
+def _pipeline_kind(spec: dict) -> str | None:
+    for k in _PARENT_PIPELINES + _SIBLING_PIPELINES:
+        if k in spec:
+            return k
+    return None
+
+
+_SCRIPT_TOKEN = re.compile(
+    r"\s*(params\.\w+|\d+\.\d+|\d+|&&|\|\||[<>=!]=|[<>()+\-*/]|\w+)"
+)
+
+
+def _compile_script(script: str, params: dict[str, Column]) -> Column:
+    """Compile an ES bucket_script/bucket_selector expression to a Column.
+
+    The subset ES users actually write in these pipelines (the painless
+    surface the docs demonstrate): ``params.x`` references, numeric
+    literals, ``+ - * /``, parentheses, unary minus, comparisons
+    (``> < >= <= == !=``) and ``&& ||``. No eval, no function calls —
+    a recursive-descent parse straight into Catalyst expressions.
+    """
+    tokens: list[str] = []
+    pos = 0
+    while pos < len(script):
+        m = _SCRIPT_TOKEN.match(script, pos)
+        if m is None:
+            if script[pos:].strip():
+                raise ValueError(f"bucket script: bad token at {script[pos:]!r}")
+            break
+        tokens.append(m.group(1))
+        pos = m.end()
+    i = 0
+
+    def peek() -> str | None:
+        return tokens[i] if i < len(tokens) else None
+
+    def take(tok: str | None = None) -> str:
+        nonlocal i
+        if i >= len(tokens):
+            raise ValueError(f"bucket script: unexpected end of {script!r}")
+        t = tokens[i]
+        if tok is not None and t != tok:
+            raise ValueError(f"bucket script: expected {tok!r}, got {t!r}")
+        i += 1
+        return t
+
+    def atom() -> Column:
+        t = take()
+        if t == "(":
+            e = or_()
+            take(")")
+            return e
+        if t == "-":
+            return -atom()
+        if t.replace(".", "", 1).isdigit():
+            return F.lit(float(t) if "." in t else int(t))
+        name = t[len("params."):] if t.startswith("params.") else t
+        if name not in params:
+            raise ValueError(
+                f"bucket script references {t!r} but buckets_path defines "
+                f"only {sorted(params)}"
+            )
+        return params[name]
+
+    def mul() -> Column:
+        e = atom()
+        while peek() in ("*", "/"):
+            e = e * atom() if take() == "*" else e / atom()
+        return e
+
+    def add() -> Column:
+        e = mul()
+        while peek() in ("+", "-"):
+            e = e + mul() if take() == "+" else e - mul()
+        return e
+
+    def cmp() -> Column:
+        e = add()
+        if peek() in (">", "<", ">=", "<=", "==", "!="):
+            op = take()
+            rhs = add()
+            e = {
+                ">": e.__gt__, "<": e.__lt__, ">=": e.__ge__,
+                "<=": e.__le__, "==": e.__eq__, "!=": e.__ne__,
+            }[op](rhs)
+        return e
+
+    def and_() -> Column:
+        e = cmp()
+        while peek() == "&&":
+            take()
+            e = e & cmp()
+        return e
+
+    def or_() -> Column:
+        e = and_()
+        while peek() == "||":
+            take()
+            e = e | and_()
+        return e
+
+    out = or_()
+    if i != len(tokens):
+        raise ValueError(f"bucket script: trailing tokens {tokens[i:]!r}")
+    return out
+
+
+# ES moving_fn scripts the docs demonstrate → one window aggregate each
+_MOVING_FNS = {
+    "MovingFunctions.unweightedAvg(values)": F.avg,
+    "MovingFunctions.min(values)": F.min,
+    "MovingFunctions.max(values)": F.max,
+    "MovingFunctions.sum(values)": F.sum,
+    "MovingFunctions.stdDev(values)": F.stddev_pop,
+}
+
+
+def _apply_pipelines(
+    b: DataFrame,
+    pipes: dict[str, dict],
+    resolve,
+    partition_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Apply parent pipeline aggs over an already-reduced bucket frame.
+
+    Windows partition by the enclosing bucket keys and order by this
+    level's bucket key ascending (ES pipeline order — histogram /
+    date_histogram buckets are key-ordered). Pipelines are applied in
+    declaration order, so later ones can reference earlier outputs
+    (e.g. cumulative_sum over a derivative), exactly as ES chains
+    buckets_path references.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(F.asc(order_col))
+    for name, spec in pipes.items():
+        kind = _pipeline_kind(spec)
+        p = spec[kind]
+        if kind == "derivative":
+            col = resolve(p["buckets_path"], b)
+            b = b.withColumn(name, col - F.lag(col).over(w))
+        elif kind == "serial_diff":
+            col = resolve(p["buckets_path"], b)
+            b = b.withColumn(name, col - F.lag(col, int(p.get("lag", 1))).over(w))
+        elif kind == "cumulative_sum":
+            col = resolve(p["buckets_path"], b)
+            b = b.withColumn(
+                name,
+                F.sum(col).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+        elif kind == "moving_fn":
+            col = resolve(p["buckets_path"], b)
+            window = int(p["window"])
+            shift = int(p.get("shift", 0))
+            fn = _MOVING_FNS.get(str(p.get("script", "")).strip())
+            if fn is None:
+                raise ValueError(
+                    f"moving_fn script {p.get('script')!r} not supported "
+                    f"(use one of {sorted(_MOVING_FNS)})"
+                )
+            # ES window semantics: [i-window+shift, i+shift) — shift=0
+            # EXCLUDES the current bucket (first bucket → null, like ES)
+            b = b.withColumn(
+                name, fn(col).over(w.rowsBetween(shift - window, shift - 1))
+            )
+        elif kind == "bucket_script":
+            cols = {nm: resolve(path, b) for nm, path in p["buckets_path"].items()}
+            b = b.withColumn(name, _compile_script(p["script"], cols))
+        elif kind == "bucket_selector":
+            cols = {nm: resolve(path, b) for nm, path in p["buckets_path"].items()}
+            b = b.filter(
+                F.coalesce(_compile_script(p["script"], cols), F.lit(False))
+            )
+        elif kind == "bucket_sort":
+            sort = _as_list(p.get("sort"))
+            if not sort:
+                # ES allows size-only truncation in bucket order; without
+                # an explicit key that order is nondeterministic here
+                raise ValueError("bucket_sort requires an explicit sort")
+            sort_cols = []
+            for s in sort:
+                (path, sp), = s.items() if isinstance(s, dict) else ((s, "asc"),)
+                order = sp["order"] if isinstance(sp, dict) else sp
+                col = resolve(path, b)
+                sort_cols.append(col.desc() if order == "desc" else col.asc())
+            offset = int(p.get("from", 0))
+            size = p.get("size")
+            if partition_cols:
+                sw = Window.partitionBy(*partition_cols).orderBy(*sort_cols)
+                b = b.withColumn("_bs_rn", F.row_number().over(sw))
+                cond = F.col("_bs_rn") > offset
+                if size is not None:
+                    cond = cond & (F.col("_bs_rn") <= offset + int(size))
+                b = b.filter(cond).drop("_bs_rn")
+            else:
+                b = b.orderBy(*sort_cols)
+                if offset:
+                    b = b.offset(offset)
+                if size is not None:
+                    b = b.limit(int(size))
+        else:  # pragma: no cover - guarded by caller
+            raise ValueError(f"unsupported pipeline agg {kind!r}")
+    return b
+
+
 def _aggs(
     base: DataFrame,
     aggs: dict[str, Any],
@@ -1259,6 +1479,111 @@ def _aggs(
                 for q in percents
             ]
         return None
+
+    # parent pipeline aggs (derivative/cumulative_sum/…): siblings of the
+    # metric leaves INSIDE a bucketing agg's sub-aggs. The metric pass
+    # reduces docs → buckets first; pipelines are then window functions
+    # over the bucket rows only (ordered by this level's bucket key).
+    pipes = {n: s for n, s in aggs.items() if _pipeline_kind(s) in _PARENT_PIPELINES}
+    if pipes:
+        if not group_cols:
+            raise ValueError(
+                f"pipeline aggs {sorted(pipes)} must be nested under a "
+                "bucketing agg (histogram / date_histogram / terms)"
+            )
+        plain = {n: s for n, s in aggs.items() if n not in pipes}
+        multi = len(plain) > 1
+        per = {n: leaf_exprs(n, s, multi) for n, s in plain.items()}
+        if not all(v is not None for v in per.values()):
+            raise ValueError(
+                "pipeline aggs compose with stats/metric sibling leaves "
+                f"only; got {sorted(plain)}"
+            )
+        flat = [e for v in per.values() for e in v]
+        buckets = base.groupBy(*group_cols).agg(
+            *flat, F.count(F.lit(1)).alias("doc_count")
+        )
+
+        def resolve(path: str, b: DataFrame) -> Column:
+            # buckets_path at this level: "_count", a sibling metric name
+            # ("sales" / "sales.avg" for multi-value leaves), or the name
+            # of an earlier pipeline in the chain
+            leaf = path.split(">")[-1]
+            if leaf == "_count":
+                return F.col("doc_count")
+            nm, _, metric = leaf.partition(".")
+            cands = (
+                [f"{nm}_{metric}", metric] if metric
+                else [f"{nm}_value", nm, "value"]
+            )
+            for c in cands:
+                if c in b.columns:
+                    return F.col(c)
+            raise ValueError(
+                f"buckets_path {path!r} resolves to none of {cands} "
+                f"(bucket columns: {b.columns})"
+            )
+
+        return _apply_pipelines(
+            buckets,
+            {n: s for n, s in aggs.items() if n in pipes},  # declaration order
+            resolve,
+            group_cols[:-1],
+            group_cols[-1],
+        )
+
+    # sibling pipeline aggs (avg_bucket/stats_bucket/…): NEXT TO one
+    # bucketing agg, reducing its bucket stream to a single row
+    sib = {n: s for n, s in aggs.items() if _pipeline_kind(s) in _SIBLING_PIPELINES}
+    if sib:
+        others = {n: s for n, s in aggs.items() if n not in sib}
+        if len(others) != 1:
+            raise ValueError(
+                f"sibling pipeline aggs {sorted(sib)} need exactly one "
+                f"bucketing sibling; got {sorted(others)}"
+            )
+        bdf = _recurse(base, others, group_cols)
+
+        def resolve_sib(path: str) -> Column:
+            seg = path.split(">")
+            (bname,), leaf = others.keys(), seg[-1]
+            if len(seg) < 2 or seg[0] != bname:
+                raise ValueError(
+                    f"buckets_path {path!r} must start with the sibling "
+                    f"bucket agg {bname!r} (e.g. '{bname}>metric')"
+                )
+            if leaf == "_count":
+                return F.col("doc_count")
+            nm, _, metric = leaf.partition(".")
+            cands = (
+                [f"{nm}_{metric}", metric] if metric
+                else [f"{nm}_value", nm, "value"]
+            )
+            for c in cands:
+                if c in bdf.columns:
+                    return F.col(c)
+            raise ValueError(
+                f"buckets_path {path!r} resolves to none of {cands} "
+                f"(bucket columns: {bdf.columns})"
+            )
+
+        exprs: list[Column] = []
+        for n, s in sib.items():
+            kind = _pipeline_kind(s)
+            col = resolve_sib(s[kind]["buckets_path"])
+            if kind == "stats_bucket":
+                exprs += [
+                    F.min(col).alias(f"{n}_min"), F.max(col).alias(f"{n}_max"),
+                    F.avg(col).alias(f"{n}_avg"), F.sum(col).alias(f"{n}_sum"),
+                    F.count(col).alias(f"{n}_count"),
+                ]
+            else:
+                fn = {
+                    "avg_bucket": F.avg, "sum_bucket": F.sum,
+                    "min_bucket": F.min, "max_bucket": F.max,
+                }[kind]
+                exprs.append(fn(col).alias(n if len(sib) > 1 else "value"))
+        return bdf.agg(*exprs)
 
     # any number of sibling stats/metric/cardinality aggs → ONE pass
     # (the reference's get_bin_sizes parallel-stats shape, generalized);

@@ -441,6 +441,162 @@ def dsl_date_histogram(spark, sf_dir):
 
 
 @q(
+    "dsl_pipeline_aggs",
+    """WITH b AS (
+         SELECT CAST(date_trunc('day', ts) AS DATE) AS per_day_key,
+                sum(value) AS value, count(*) AS doc_count
+         FROM events GROUP BY 1
+       )
+       SELECT per_day_key, round(value, 4) AS value, doc_count,
+              round(value - lag(value) OVER w, 4) AS deriv,
+              round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW), 4) AS cum,
+              round(avg(value) OVER (w ROWS BETWEEN 3 PRECEDING
+                                     AND 1 PRECEDING), 4) AS mov
+       FROM b WINDOW w AS (ORDER BY per_day_key)""",
+)
+def dsl_pipeline_aggs(spark, sf_dir):
+    """ES parent pipeline aggs (dsl.py _apply_pipelines): derivative,
+    cumulative_sum and moving_fn riding one date_histogram▸sum pass —
+    window functions over the REDUCED bucket frame (buckets ≪ docs),
+    ordered by the bucket key exactly as ES orders histogram buckets.
+    moving_fn's default shift=0 window is [i-window, i) — the current
+    bucket is excluded, so bucket 0 is null like ES."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "aggs": {
+            "per_day": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {
+                    "sales": {"sum": {"field": "value"}},
+                    "deriv": {"derivative": {"buckets_path": "sales"}},
+                    "cum": {"cumulative_sum": {"buckets_path": "sales"}},
+                    "mov": {
+                        "moving_fn": {
+                            "buckets_path": "sales",
+                            "window": 3,
+                            "script": "MovingFunctions.unweightedAvg(values)",
+                        }
+                    },
+                },
+            }
+        },
+    }
+    out = dsl.search(spark, _T(spark, sf_dir, "events"), body)
+    return out.select(
+        F.col("per_day_key").cast("date").alias("per_day_key"),
+        F.round("value", 4).alias("value"),
+        "doc_count",
+        F.round("deriv", 4).alias("deriv"),
+        F.round("cum", 4).alias("cum"),
+        F.round("mov", 4).alias("mov"),
+    )
+
+
+@q(
+    "dsl_bucket_script_sort",
+    """WITH b AS (
+         SELECT event_type, sum(value) AS value, count(*) AS doc_count
+         FROM events GROUP BY 1
+       ), scripted AS (
+         SELECT event_type, value, doc_count, value / doc_count AS per_doc
+         FROM b WHERE value / doc_count > 0
+       )
+       SELECT event_type, round(value, 4) AS value, doc_count,
+              round(per_doc, 4) AS per_doc
+       FROM scripted ORDER BY per_doc DESC LIMIT 3""",
+)
+def dsl_bucket_script_sort(spark, sf_dir):
+    """ES bucket_script + bucket_selector + bucket_sort (dsl.py
+    _compile_script / _apply_pipelines): a safe recursive-descent parse
+    of the painless arithmetic the ES docs demonstrate — params.x
+    references, + - * /, comparisons — straight into Catalyst
+    expressions (no eval), then selector-filter and sort-truncate over
+    the bucket frame."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "aggs": {
+            "by_type": {
+                "terms": {"field": "event_type", "size": 10},
+                "aggs": {
+                    "total": {"sum": {"field": "value"}},
+                    "per_doc": {
+                        "bucket_script": {
+                            "buckets_path": {"t": "total", "n": "_count"},
+                            "script": "params.t / params.n",
+                        }
+                    },
+                    "keep": {
+                        "bucket_selector": {
+                            "buckets_path": {"p": "per_doc"},
+                            "script": "params.p > 0",
+                        }
+                    },
+                    "srt": {
+                        "bucket_sort": {
+                            "sort": [{"per_doc": {"order": "desc"}}],
+                            "size": 3,
+                        }
+                    },
+                },
+            }
+        },
+    }
+    out = dsl.search(spark, _T(spark, sf_dir, "events"), body)
+    return out.select(
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "doc_count",
+        F.round("per_doc", 4).alias("per_doc"),
+    )
+
+
+@q(
+    "dsl_stats_bucket",
+    """WITH b AS (
+         SELECT date_trunc('day', ts) AS k, sum(value) AS s,
+                count(*) AS c
+         FROM events GROUP BY 1
+       )
+       SELECT round(min(s), 4) AS st_min, round(max(s), 4) AS st_max,
+              round(avg(s), 4) AS st_avg, round(sum(s), 4) AS st_sum,
+              count(s) AS st_count, round(avg(c), 4) AS avg_docs
+       FROM b""",
+)
+def dsl_stats_bucket(spark, sf_dir):
+    """ES sibling pipeline aggs (stats_bucket + avg_bucket): reduce a
+    date_histogram▸sum bucket stream to one summary row — a second
+    tiny aggregate over the already-reduced frame, zero extra passes
+    over the corpus."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "aggs": {
+            "per_day": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {"s": {"sum": {"field": "value"}}},
+            },
+            "st": {"stats_bucket": {"buckets_path": "per_day>s"}},
+            "avg_docs": {"avg_bucket": {"buckets_path": "per_day>_count"}},
+        },
+    }
+    out = dsl.search(spark, _T(spark, sf_dir, "events"), body)
+    return out.select(
+        F.round("st_min", 4).alias("st_min"),
+        F.round("st_max", 4).alias("st_max"),
+        F.round("st_avg", 4).alias("st_avg"),
+        F.round("st_sum", 4).alias("st_sum"),
+        "st_count",
+        F.round("avg_docs", 4).alias("avg_docs"),
+    )
+
+
+@q(
     "dsl_regexp",
     "SELECT doc_id, source FROM documents "
     "WHERE regexp_full_match(source, 'src1[0-9]') ORDER BY doc_id LIMIT 500",
@@ -733,6 +889,7 @@ def sort_limit(spark, sf_dir):
                 row_number() OVER (PARTITION BY user_id
                                    ORDER BY value DESC, event_id ASC) AS rn
          FROM events) WHERE rn = 1""",
+    extra=True,  # demoted r5: dsl_top_hits gates the same windowed top-n shape
 )
 def topk_per_group(spark, sf_dir):
     """terms(size=1) per group ≙ windowed top-1 (SURVEY A8)."""
@@ -807,6 +964,7 @@ def when_encode(spark, sf_dir):
          SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
          UNION ALL
          SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)""",
+    extra=True,  # demoted r5: F12 green r04; pivot_wide keeps F13 gated
 )
 def unpivot_melt(spark, sf_dir):
     """F12 wide→long unpivot (alhena_loader.py:66-77 gc_bias stack)."""
@@ -870,6 +1028,7 @@ def date_range_filter(spark, sf_dir):
 @q(
     "json_extract",
     "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+    extra=True,  # demoted r5: F16 green r04; redundant twin, driver cap at 50
 )
 def json_extract(spark, sf_dir):
     """F16 JSON de/serialization (mira_data.py:194-209)."""

@@ -1497,3 +1497,172 @@ def test_extended_stats_under_bucket_and_siblings(spark, documents):
     row = dsl.search(spark, events, body2).first()
     d = row.asDict()
     assert "w_value" in d and any(k.startswith("pr_rank_") for k in d)
+
+
+def test_pipeline_derivative_cumsum_moving_fn(spark, events):
+    """Parent pipeline aggs: window functions over the reduced bucket
+    frame, never the corpus. derivative[0] is null (ES omits it);
+    cumulative_sum includes the current bucket; moving_fn's default
+    shift=0 window EXCLUDES the current bucket (ES [i-window, i))."""
+    body = {
+        "size": 0,
+        "aggs": {
+            "per_day": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {
+                    "sales": {"sum": {"field": "value"}},
+                    "deriv": {"derivative": {"buckets_path": "sales"}},
+                    "cum": {"cumulative_sum": {"buckets_path": "sales"}},
+                    "mov": {
+                        "moving_fn": {
+                            "buckets_path": "sales",
+                            "window": 3,
+                            "script": "MovingFunctions.unweightedAvg(values)",
+                        }
+                    },
+                },
+            }
+        },
+    }
+    rows = dsl.search(spark, events, body).orderBy("per_day_key").collect()
+    assert len(rows) > 3
+    assert rows[0]["deriv"] is None and rows[0]["mov"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["deriv"] == pytest.approx(cur["value"] - prev["value"])
+    run = 0.0
+    for r in rows:
+        run += r["value"]
+        assert r["cum"] == pytest.approx(run)
+    # moving_fn window [i-3, i): bucket 2 averages buckets 0..1
+    assert rows[2]["mov"] == pytest.approx(
+        (rows[0]["value"] + rows[1]["value"]) / 2
+    )
+    assert rows[4]["mov"] == pytest.approx(
+        (rows[1]["value"] + rows[2]["value"] + rows[3]["value"]) / 3
+    )
+
+
+def test_pipeline_bucket_script_selector_sort(spark, events):
+    """bucket_script computes per-bucket expressions from buckets_path
+    params; bucket_selector filters buckets; bucket_sort orders and
+    truncates the bucket list — all over the reduced frame."""
+    body = {
+        "size": 0,
+        "aggs": {
+            "by_type": {
+                "terms": {"field": "event_type", "size": 10},
+                "aggs": {
+                    "total": {"sum": {"field": "value"}},
+                    "per_doc": {
+                        "bucket_script": {
+                            "buckets_path": {"t": "total", "n": "_count"},
+                            "script": "params.t / params.n",
+                        }
+                    },
+                    "keep": {
+                        "bucket_selector": {
+                            "buckets_path": {"p": "per_doc"},
+                            "script": "params.p > 0",
+                        }
+                    },
+                    "srt": {
+                        "bucket_sort": {
+                            "sort": [{"per_doc": {"order": "desc"}}],
+                            "size": 3,
+                        }
+                    },
+                },
+            }
+        },
+    }
+    rows = dsl.search(spark, events, body).collect()
+    assert 0 < len(rows) <= 3
+    for r in rows:
+        assert r["per_doc"] == pytest.approx(r["value"] / r["doc_count"])
+    vals = [r["per_doc"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    # selector drops buckets: an impossible threshold keeps none
+    body["aggs"]["by_type"]["aggs"]["keep"]["bucket_selector"]["script"] = (
+        "params.p > 1000000"
+    )
+    assert dsl.search(spark, events, body).count() == 0
+
+
+def test_pipeline_sibling_stats_bucket(spark, events):
+    """Sibling *_bucket pipelines reduce a bucketing sibling's stream to
+    one row; stats_bucket emits min/max/avg/sum/count of the metric."""
+    body = {
+        "size": 0,
+        "aggs": {
+            "per_day": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {"s": {"sum": {"field": "value"}}},
+            },
+            "st": {"stats_bucket": {"buckets_path": "per_day>s"}},
+            "avg_docs": {"avg_bucket": {"buckets_path": "per_day>_count"}},
+        },
+    }
+    row = dsl.search(spark, events, body).first().asDict()
+    inner = dsl.search(
+        spark, events,
+        {"size": 0, "aggs": {"per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"s": {"sum": {"field": "value"}}}}}},
+    ).collect()
+    sums = [r["value"] for r in inner]
+    counts = [r["doc_count"] for r in inner]
+    assert row["st_min"] == pytest.approx(min(sums))
+    assert row["st_max"] == pytest.approx(max(sums))
+    assert row["st_sum"] == pytest.approx(sum(sums))
+    assert row["st_count"] == len(sums)
+    assert row["avg_docs"] == pytest.approx(sum(counts) / len(counts))
+
+
+def test_pipeline_refusals_and_script_safety(spark, events):
+    """Pipelines outside a bucketing agg refuse; the script parser
+    rejects unknown params and arbitrary code (no eval surface)."""
+    with pytest.raises(ValueError, match="nested under a bucketing"):
+        dsl.search(
+            spark, events,
+            {"size": 0, "aggs": {"d": {"derivative": {"buckets_path": "x"}}}},
+        )
+    bad = {
+        "size": 0,
+        "aggs": {
+            "by_type": {
+                "terms": {"field": "event_type", "size": 3},
+                "aggs": {
+                    "b": {
+                        "bucket_script": {
+                            "buckets_path": {"x": "_count"},
+                            "script": "params.y + 1",
+                        }
+                    }
+                },
+            }
+        },
+    }
+    with pytest.raises(ValueError, match="buckets_path defines only"):
+        dsl.search(spark, events, bad).collect()
+    bad["aggs"]["by_type"]["aggs"]["b"]["bucket_script"]["script"] = (
+        "__import__('os')"
+    )
+    with pytest.raises(ValueError):
+        dsl.search(spark, events, bad).collect()
+    # chained pipelines: later ones see earlier outputs
+    chain = {
+        "size": 0,
+        "aggs": {
+            "per_day": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {
+                    "s": {"sum": {"field": "value"}},
+                    "d": {"derivative": {"buckets_path": "s"}},
+                    "cd": {"cumulative_sum": {"buckets_path": "d"}},
+                },
+            }
+        },
+    }
+    rows = dsl.search(spark, events, chain).orderBy("per_day_key").collect()
+    # telescoping: cumulative derivative == value - first value
+    assert rows[-1]["cd"] == pytest.approx(rows[-1]["value"] - rows[0]["value"])
