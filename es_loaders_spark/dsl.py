@@ -198,8 +198,8 @@ def _split_scoring(query: dict | None) -> tuple[dict | None, dict]:
     (kind, body), = query.items()
     if kind in (
         "match", "match_phrase", "match_phrase_prefix", "multi_match",
-        "simple_query_string", "dis_max", "constant_score", "boosting",
-        "function_score",
+        "simple_query_string", "query_string", "dis_max", "constant_score",
+        "boosting", "function_score",
     ):
         return query, {}
     if kind == "bool":
@@ -210,8 +210,8 @@ def _split_scoring(query: dict | None) -> tuple[dict | None, dict]:
             (k, _), = sub.items()
             if k in (
                 "match", "match_phrase", "match_phrase_prefix", "multi_match",
-                "simple_query_string", "dis_max", "constant_score", "boosting",
-                "function_score",
+                "simple_query_string", "query_string", "dis_max",
+                "constant_score", "boosting", "function_score",
             ) and scoring is None:
                 scoring = sub
             else:
@@ -928,6 +928,19 @@ def search(
                     spark, docs, sub, filters, id_col, text_col, k=offset + size
                 ),
                 hl_terms=_hl_tokens(sub["query"]),
+            )
+        if kind == "query_string":
+            from .querystring import query_string_topk
+
+            if body.get("highlight"):
+                # the matched terms depend on which boolean branches each
+                # doc satisfied — per-doc highlight terms are ambiguous
+                raise ValueError("highlight is not supported with query_string")
+            return page(
+                query_string_topk(
+                    spark, docs, sub, filters, id_col, text_col,
+                    k=offset + size,
+                )
             )
         if kind == "simple_query_string":
             out, sterms = _sqs_topk(

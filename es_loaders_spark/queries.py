@@ -619,6 +619,8 @@ def dsl_regexp(spark, sf_dir):
 @q(
     "dsl_fuzzy",
     "SELECT count(*) AS n FROM events WHERE levenshtein(event_type, 'clck') <= 1",
+    extra=True,  # demoted r5: dsl_regexp keeps the vocabulary-predicate
+    # leaf shape driver-gated; dsl_query_string takes the slot
 )
 def dsl_fuzzy(spark, sf_dir):
     """ES ``fuzzy`` leaf with AUTO fuzziness (dsl.py:124): edit distance
@@ -1295,6 +1297,29 @@ def dsl_simple_query_string(spark, sf_dir):
     from . import dsl
 
     body = {"query": {"simple_query_string": {"query": SQS_QUERY}}, "size": 10}
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
+QS_QUERY = (
+    '(spark OR "key order")^2 AND batch* -lang:zh '
+    'source:src3^1.5 n_chars:[120 TO 400]'
+)
+
+from .querystring import query_string_oracle_sql  # noqa: E402
+
+
+@q("dsl_query_string", query_string_oracle_sql(QS_QUERY, k=15))
+def dsl_query_string(spark, sf_dir):
+    """ES ``query_string`` — the classic Lucene parser (querystring.py):
+    AND/OR/NOT occur-flag booleans, a BM25 phrase leaf (tf = positional
+    occurrence count), a constant-score prefix leaf, an idf-scored
+    keyword term, a range leaf and clause boosts, compiled into ONE
+    whole-stage-codegen expression over joined leaf columns. The oracle
+    replays the identical compilation from the same parse tree in
+    DuckDB SQL."""
+    from . import dsl
+
+    body = {"query": {"query_string": {"query": QS_QUERY}}, "size": 15}
     return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
 
 

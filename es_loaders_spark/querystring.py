@@ -1,0 +1,624 @@
+"""ES ``query_string`` — the classic Lucene query-parser syntax.
+
+The reference never issues ``query_string`` bodies itself, but it is the
+last major scoring clause of the ES search surface its indices answer
+(reference analogue: the implicit capability of every index
+``utils/elasticsearch.py`` creates — same tier as ``match`` /
+``simple_query_string``, SURVEY §2.9 X4). Supported subset (the
+documented classic-parser grammar):
+
+- boolean operators ``AND`` / ``&&``, ``OR`` / ``||``, ``NOT`` / ``!``,
+  parenthesized groups, ``+``/``-`` clause modifiers, with Lucene's
+  ``addClause`` occur-flag assignment reproduced faithfully (an ``AND``
+  upgrades the previous clause to MUST; under ``default_operator=and``
+  an ``OR`` downgrades it back to SHOULD);
+- ``field:value`` — on the analyzed text column this is a BM25-scored
+  term; on ANY other column it is an exact keyword term scored
+  ``idf(df)`` (Lucene's BM25 on a keyword field: tf=1, dl=avgdl=1 ⇒
+  tf_norm=1, so the score IS the idf — computed, not approximated);
+- ``"quoted phrases"`` — positional match, BM25-scored with tf = the
+  phrase occurrence count and df = docs containing the phrase
+  (Lucene PhraseQuery semantics);
+- ``prefix*`` — constant score 1.0 when any vocabulary term expands
+  (Lucene's default constant-score multi-term rewrite);
+- ``field:[lo TO hi]`` / ``{lo TO hi}`` ranges with ``*`` endpoints —
+  constant score 1.0 (same rewrite);
+- ``^boost`` on any clause.
+
+Unsupported pieces raise loudly: fuzzy ``~`` (use the ``fuzzy`` leaf
+clause), embedded ``?``/``*`` wildcards (use ``wildcard``), regex
+``/…/``, per-field groups ``field:(a b)``. A bare term whose analysis
+yields multiple tokens raises too — quote it as a phrase.
+
+Scoring: Lucene BooleanQuery — a document matches every MUST, no
+MUST_NOT, and (when no MUST exists) at least one SHOULD; its score is
+the sum of matching non-prohibited clause scores × their boosts. A
+pure-negative group gets ES's ``fixNegativeQueryIfNeeded`` treatment
+(an implicit match_all), so ``NOT foo`` returns the complement. Scores
+are combined RAW and rounded once at the end (see bm25.bm25_scores on
+round-half boundaries); ties break by doc_id ascending.
+
+Plan shape (all Catalyst): ONE postings pass scores every text-term
+leaf (conditional aggregation — no per-term jobs); each phrase leaf is
+a positional self-join; prefix leaves are vocabulary-pushdown semi-join
+sets; keyword/range leaves are in-row predicates with idfs from ONE
+metadata aggregate over the corpus. The boolean tree compiles into a
+single whole-stage-codegen expression over the joined leaf columns —
+zero Python in the executed plan. ``query_string_oracle_sql`` replays
+the identical compilation into DuckDB SQL from the same parse tree.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analyze import SPLIT_RE_DUCKDB, tokenize_text
+
+MUST, SHOULD, MUST_NOT = "MUST", "SHOULD", "MUST_NOT"
+MAX_LEAVES = 32  # joined leaf columns; beyond this the query is degenerate
+
+
+@dataclass
+class Leaf:
+    kind: str  # term | kwterm | phrase | prefix | range
+    field: str
+    value: Any
+    id: int = -1
+
+
+@dataclass
+class Clause:
+    occur: str
+    node: Any  # Leaf | Group
+    boost: float = 1.0
+
+
+@dataclass
+class Group:
+    clauses: list = dc_field(default_factory=list)
+
+
+_LEX = re.compile(
+    r"""\s+
+      | (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<phrase>"[^"]*")
+      | (?P<range>[\[\{][^\]\}]*[\]\}])
+      | (?P<and>AND\b|&&)
+      | (?P<or>OR\b|\|\|)
+      | (?P<not>NOT\b|!)
+      | (?P<plus>\+)
+      | (?P<minus>-)
+      | (?P<boost>\^\d+(?:\.\d+)?)
+      | (?P<term>[^\s()"^\[\]{}]+)
+    """,
+    re.X,
+)
+
+
+def _lex(q: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(q):
+        m = _LEX.match(q, pos)
+        if m is None:
+            raise ValueError(f"query_string: cannot lex at {q[pos:]!r}")
+        pos = m.end()
+        if m.lastgroup is not None:
+            out.append((m.lastgroup, m.group(m.lastgroup)))
+    return out
+
+
+def _parse_range(field: str, tok: str) -> Leaf:
+    incl_lo, incl_hi = tok[0] == "[", tok[-1] == "]"
+    body = tok[1:-1].strip()
+    m = re.match(r"^(\S+)\s+TO\s+(\S+)$", body)
+    if m is None:
+        raise ValueError(f"query_string: malformed range {tok!r} (use [a TO b])")
+
+    def val(s: str):
+        if s == "*":
+            return None
+        try:
+            return int(s)
+        except ValueError:
+            try:
+                return float(s)
+            except ValueError:
+                return s
+    return Leaf("range", field, (val(m.group(1)), val(m.group(2)), incl_lo, incl_hi))
+
+
+def parse_query_string(
+    q: str, default_field: str, default_operator: str = "or",
+    text_field: str = "text",
+) -> Group:
+    """Parse into a Group tree with Lucene occur-flag assignment."""
+    if default_operator not in ("or", "and"):
+        raise ValueError(f"default_operator {default_operator!r}")
+    toks = _lex(q)
+    i = 0
+
+    def peek() -> tuple[str, str] | None:
+        return toks[i] if i < len(toks) else None
+
+    def group() -> Group:
+        nonlocal i
+        g = Group()
+        while True:
+            t = peek()
+            if t is None or t[0] == "rparen":
+                break
+            conj = None
+            if t[0] in ("and", "or"):
+                conj = t[0]
+                i += 1
+                t = peek()
+                if t is None or t[0] == "rparen":
+                    raise ValueError("query_string: trailing boolean operator")
+            mod = None
+            if t[0] in ("plus", "minus", "not"):
+                mod = "-" if t[0] in ("minus", "not") else "+"
+                i += 1
+                t = peek()
+                if t is None or t[0] == "rparen":
+                    raise ValueError(f"query_string: dangling modifier in {q!r}")
+            node = clause_body()
+            boost = 1.0
+            t = peek()
+            if t is not None and t[0] == "boost":
+                boost = float(t[1][1:])
+                i += 1
+            # Lucene QueryParserBase#addClause, faithfully:
+            if g.clauses and conj == "and" and g.clauses[-1].occur != MUST_NOT:
+                g.clauses[-1].occur = MUST
+            if (
+                g.clauses and default_operator == "and" and conj == "or"
+                and g.clauses[-1].occur != MUST_NOT
+            ):
+                g.clauses[-1].occur = SHOULD
+            if mod == "-":
+                occur = MUST_NOT
+            elif default_operator == "or":
+                occur = MUST if (mod == "+" or conj == "and") else SHOULD
+            else:
+                occur = SHOULD if conj == "or" and mod != "+" else MUST
+            g.clauses.append(Clause(occur, node, boost))
+        if not g.clauses:
+            raise ValueError(f"query_string: empty group in {q!r}")
+        return g
+
+    def clause_body():
+        nonlocal i
+        kind, tok = toks[i]
+        if kind == "lparen":
+            i += 1
+            g = group()
+            t = peek()
+            if t is None or t[0] != "rparen":
+                raise ValueError(f"query_string: unbalanced parentheses in {q!r}")
+            i += 1
+            return g
+        # optional field: prefix — a term ending in ':', possibly fused
+        # with its value ('field:value' lexes as one term token)
+        fld = default_field
+        if kind == "term" and ":" in tok:
+            fld, _, rest = tok.partition(":")
+            if not fld:
+                raise ValueError(f"query_string: empty field in {tok!r}")
+            i += 1
+            if rest:
+                return leaf(fld, "term", rest)
+            t = peek()
+            if t is None or t[0] not in ("term", "phrase", "range"):
+                raise ValueError(
+                    f"query_string: field {fld!r} must be followed by a "
+                    "term, phrase or range (field-scoped groups are not "
+                    "supported)"
+                )
+            i += 1
+            return leaf(fld, t[0], t[1])
+        if kind in ("term", "phrase", "range"):
+            i += 1
+            return leaf(fld, kind, tok)
+        raise ValueError(f"query_string: unexpected {tok!r}")
+
+    def leaf(fld: str, kind: str, tok: str):
+        if kind == "range":
+            return _parse_range(fld, tok)
+        if kind == "phrase":
+            words = tokenize_text(tok[1:-1])
+            if not words:
+                raise ValueError(f"query_string: empty phrase {tok!r}")
+            if fld != text_field:
+                raise ValueError(
+                    f"query_string: phrases match the analyzed column "
+                    f"{text_field!r}; got field {fld!r}"
+                )
+            return Leaf("phrase", fld, words)
+        if "~" in tok:
+            raise ValueError(
+                f"query_string: fuzzy {tok!r} is not supported — use the "
+                "fuzzy leaf clause"
+            )
+        if tok.endswith("*") and len(tok) > 1 and "*" not in tok[:-1] \
+                and "?" not in tok:
+            stems = tokenize_text(tok[:-1])
+            if len(stems) != 1:
+                raise ValueError(f"query_string: bad prefix {tok!r}")
+            if fld != text_field:
+                raise ValueError(
+                    f"query_string: prefix {tok!r} expands the analyzed "
+                    f"column {text_field!r}; got field {fld!r}"
+                )
+            return Leaf("prefix", fld, stems[0])
+        if "*" in tok or "?" in tok:
+            raise ValueError(
+                f"query_string: embedded wildcard {tok!r} is not supported "
+                "— use the wildcard leaf clause"
+            )
+        if fld == text_field:
+            words = tokenize_text(tok)
+            if len(words) != 1:
+                raise ValueError(
+                    f"query_string: term {tok!r} analyzes to {len(words)} "
+                    "tokens — quote it as a phrase"
+                )
+            return Leaf("term", fld, words[0])
+        # keyword field: exact raw value (int-typed when it looks numeric,
+        # matching the reference's keyword mapping of non-text columns)
+        try:
+            v: Any = int(tok)
+        except ValueError:
+            v = tok
+        return Leaf("kwterm", fld, v)
+
+    g = group()
+    if peek() is not None:
+        raise ValueError(f"query_string: unbalanced parentheses in {q!r}")
+    return g
+
+
+def _collect_leaves(node, out: list[Leaf]) -> None:
+    if isinstance(node, Leaf):
+        # share one column across identical leaves (a AND a)
+        for l in out:
+            if (l.kind, l.field, repr(l.value)) == (node.kind, node.field,
+                                                    repr(node.value)):
+                node.id = l.id
+                return
+        node.id = len(out)
+        out.append(node)
+        return
+    for c in node.clauses:
+        _collect_leaves(c.node, out)
+
+
+def _compile_columns(node) -> tuple[Column, Column]:
+    """(matched, raw score) Catalyst expressions over ``_qs{i}`` columns."""
+    if isinstance(node, Leaf):
+        c = F.col(f"_qs{node.id}")
+        return c.isNotNull(), F.coalesce(c, F.lit(0.0))
+    musts, shoulds, nots = [], [], []
+    for cl in node.clauses:
+        m, s = _compile_columns(cl.node)
+        s = s * F.lit(cl.boost) if cl.boost != 1.0 else s
+        {MUST: musts, SHOULD: shoulds, MUST_NOT: nots}[cl.occur].append((m, s))
+    matched = F.lit(True)
+    for m, _ in musts:
+        matched = matched & m
+    if not musts and shoulds:
+        any_should = F.lit(False)
+        for m, _ in shoulds:
+            any_should = any_should | m
+        matched = matched & any_should
+    # pure-negative group: ES fixNegativeQueryIfNeeded (implicit match_all)
+    for m, _ in nots:
+        matched = matched & ~F.coalesce(m, F.lit(False))
+    score = F.lit(0.0)
+    for m, s in musts + shoulds:
+        score = score + F.when(m, s).otherwise(F.lit(0.0))
+    return matched, F.when(matched, score).otherwise(F.lit(0.0))
+
+
+def _compile_sql(node) -> tuple[str, str]:
+    """The SAME compilation, emitted as DuckDB SQL text."""
+    if isinstance(node, Leaf):
+        c = f"_qs{node.id}"
+        return f"({c} IS NOT NULL)", f"coalesce({c}, 0.0)"
+    musts, shoulds, nots = [], [], []
+    for cl in node.clauses:
+        m, s = _compile_sql(cl.node)
+        if cl.boost != 1.0:
+            s = f"({s} * {cl.boost!r})"
+        {MUST: musts, SHOULD: shoulds, MUST_NOT: nots}[cl.occur].append((m, s))
+    conds = [m for m, _ in musts]
+    if not musts and shoulds:
+        conds.append("(" + " OR ".join(m for m, _ in shoulds) + ")")
+    conds += [f"(NOT coalesce({m}, FALSE))" for m, _ in nots]
+    matched = "(" + " AND ".join(conds) + ")" if conds else "TRUE"
+    terms = [f"(CASE WHEN {m} THEN {s} ELSE 0.0 END)" for m, s in musts + shoulds]
+    total = "(" + " + ".join(terms) + ")" if terms else "0.0"
+    return matched, f"(CASE WHEN {matched} THEN {total} ELSE 0.0 END)"
+
+
+def query_string_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    sub: dict[str, Any] | str,
+    filters: dict[str, Any] | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k (doc_id, score) for an ES ``query_string`` clause."""
+    from .dsl import filter_expr
+    from .postings import corpus_stats, doc_lengths, postings_long, term_df
+
+    if isinstance(sub, str):
+        sub = {"query": sub}
+    default_field = sub.get("default_field") or text_col
+    tree = parse_query_string(
+        sub["query"], default_field,
+        str(sub.get("default_operator", "or")).lower(), text_field=text_col,
+    )
+    leaves: list[Leaf] = []
+    _collect_leaves(tree, leaves)
+    if len(leaves) > MAX_LEAVES:
+        raise ValueError(f"query_string: {len(leaves)} leaves > {MAX_LEAVES}")
+
+    text_leaves = [l for l in leaves if l.kind in ("term", "phrase", "prefix")]
+    need_text = bool(text_leaves)
+    if need_text:
+        text_side = docs.select(id_col, text_col)
+        p = postings_long(text_side, text_col=text_col, id_col=id_col)
+        dl = doc_lengths(text_side, text_col=text_col, id_col=id_col)
+        stats = corpus_stats(dl)
+        tdf = term_df(p)
+
+    base = docs
+    if filters:
+        # ES filter context: restricts candidates only — corpus stats,
+        # dfs and keyword idfs above come from the UNFILTERED corpus
+        base = base.filter(filter_expr(filters, id_col))
+    if id_col != "doc_id":
+        base = base.withColumnRenamed(id_col, "doc_id")
+    sel = base
+
+    term_vals = sorted({l.value for l in leaves if l.kind == "term"})
+    if term_vals:
+        from .bm25 import bm25_score_expr
+
+        qterms = spark.createDataFrame([(t,) for t in term_vals], "term string")
+        contrib = (
+            p.join(F.broadcast(qterms), "term")
+            .join(F.broadcast(tdf.join(qterms, "term")), "term")
+            .join(dl, "doc_id")
+            .withColumn("_c", bm25_score_expr(stats))
+        )
+        aggs = [
+            F.max(F.when(F.col("term") == l.value, F.col("_c"))).alias(f"_qs{l.id}")
+            for l in leaves if l.kind == "term"
+        ]
+        sel = sel.join(contrib.groupBy("doc_id").agg(*aggs), "doc_id", "left")
+
+    from .analyze import tokens_df
+
+    toks = None
+    for l in leaves:
+        if l.kind == "phrase":
+            if toks is None:
+                toks = tokens_df(docs.select(id_col, text_col),
+                                 text_col=text_col, id_col=id_col)
+            cur = toks.filter(F.col("term") == l.value[0]).select(
+                "doc_id", F.col("pos").alias("p"))
+            for j, w in enumerate(l.value[1:], start=1):
+                nxt = toks.filter(F.col("term") == w).select(
+                    "doc_id", (F.col("pos") - j).alias("p"))
+                cur = cur.join(nxt, ["doc_id", "p"])
+            tf_rel = cur.groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("double").alias("tf"))
+            # phrase df is a METADATA scalar (one tiny job per phrase —
+            # phrases per query are few), like corpus_stats' collect
+            df_ph = tf_rel.count()
+            from .postings import B, K1
+
+            idf = math.log(1.0 + (stats.n_docs - df_ph + 0.5) / (df_ph + 0.5))
+            ph = tf_rel.join(dl, "doc_id").select(
+                "doc_id",
+                (
+                    F.lit(idf) * F.col("tf") * F.lit(K1 + 1.0)
+                    / (F.col("tf") + F.lit(K1) * (
+                        F.lit(1.0 - B)
+                        + F.lit(B) * F.col("dl") / F.lit(float(stats.avgdl))
+                    ))
+                ).alias(f"_qs{l.id}"),
+            )
+            sel = sel.join(ph, "doc_id", "left")
+        elif l.kind == "prefix":
+            hits = (
+                p.filter(F.col("term").startswith(l.value))
+                .select("doc_id").distinct()
+                .withColumn(f"_qs{l.id}", F.lit(1.0))
+            )
+            sel = sel.join(hits, "doc_id", "left")
+
+    kw_leaves = [l for l in leaves if l.kind == "kwterm"]
+    if kw_leaves:
+        # ONE metadata aggregate computes every keyword df + the row count
+        cnt_exprs = [F.count(F.lit(1)).alias("_n")] + [
+            F.sum(
+                F.when(F.col(l.field) == F.lit(l.value), 1).otherwise(0)
+            ).alias(f"_d{l.id}")
+            for l in kw_leaves
+        ]
+        row = docs.agg(*cnt_exprs).first()
+        n_total = float(row["_n"])
+        for l in kw_leaves:
+            df_kw = float(row[f"_d{l.id}"])
+            idf = math.log(1.0 + (n_total - df_kw + 0.5) / (df_kw + 0.5))
+            sel = sel.withColumn(
+                f"_qs{l.id}",
+                F.when(F.col(l.field) == F.lit(l.value), F.lit(idf)),
+            )
+    for l in leaves:
+        if l.kind == "range":
+            lo, hi, ilo, ihi = l.value
+            cond = F.lit(True)
+            c = F.col(l.field)
+            if lo is not None:
+                cond = cond & (c >= F.lit(lo) if ilo else c > F.lit(lo))
+            if hi is not None:
+                cond = cond & (c <= F.lit(hi) if ihi else c < F.lit(hi))
+            sel = sel.withColumn(f"_qs{l.id}", F.when(cond, F.lit(1.0)))
+
+    matched, score = _compile_columns(tree)
+    return (
+        sel.withColumn("_m", matched).withColumn("_s", score)
+        .filter(F.col("_m"))
+        .select("doc_id", F.round(F.col("_s"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _sql_quote(v: Any) -> str:
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def query_string_oracle_sql(
+    query: str,
+    k: int = 10,
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    default_field: str | None = None,
+    default_operator: str = "or",
+) -> str:
+    """DuckDB twin: replays the identical compilation from the same parse
+    tree — BM25 term contributions, positional phrase tf/df, prefix
+    expansion, keyword idfs and the boolean occur-flag algebra are all
+    RECOMPUTED in SQL, nothing is copied from the Spark run."""
+    from .postings import B, K1
+
+    tree = parse_query_string(
+        query, default_field or text_col, default_operator, text_field=text_col
+    )
+    leaves: list[Leaf] = []
+    _collect_leaves(tree, leaves)
+
+    ctes: list[str] = []
+    need_text = any(l.kind in ("term", "phrase", "prefix") for l in leaves)
+    if need_text:
+        ctes.append(f"""tokens AS (
+    SELECT {id_col} AS doc_id, t AS term
+    FROM (SELECT {id_col},
+                 unnest(regexp_split_to_array(lower({text_col}),
+                                              '{SPLIT_RE_DUCKDB}')) AS t
+          FROM {doc_table}) WHERE t <> '')""")
+        ctes.append("postings AS (SELECT term, doc_id, count(*)::DOUBLE AS tf "
+                    "FROM tokens GROUP BY term, doc_id)")
+        ctes.append("doc_lens AS (SELECT doc_id, count(*)::DOUBLE AS dl "
+                    "FROM tokens GROUP BY doc_id)")
+        ctes.append("stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl "
+                    "FROM doc_lens)")
+        ctes.append("tdf AS (SELECT term, count(*)::DOUBLE AS df "
+                    "FROM postings GROUP BY term)")
+
+    joins: list[str] = []
+    cols: list[str] = [f"d.{id_col} AS doc_id"]
+    term_leaves = [l for l in leaves if l.kind == "term"]
+    if term_leaves:
+        in_list = ", ".join(_sql_quote(l.value) for l in term_leaves)
+        cases = ", ".join(
+            f"max(CASE WHEN p.term = {_sql_quote(l.value)} THEN "
+            f"ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) * p.tf * ({K1} + 1) "
+            f"/ (p.tf + {K1} * (1 - {B} + {B} * dlen.dl / s.avgdl)) END) "
+            f"AS _qs{l.id}"
+            for l in term_leaves
+        )
+        ctes.append(f"""termcols AS (
+    SELECT p.doc_id, {cases}
+    FROM postings p JOIN tdf f USING (term)
+    JOIN doc_lens dlen USING (doc_id) CROSS JOIN stats s
+    WHERE p.term IN ({in_list}) GROUP BY p.doc_id)""")
+        joins.append(f"LEFT JOIN termcols tc ON tc.doc_id = d.{id_col}")
+        cols += [f"tc._qs{l.id}" for l in term_leaves]
+
+    if any(l.kind == "phrase" for l in leaves):
+        ctes.append(f"""pos AS (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+                          i -> {{'term': toks[i], 'pos': i - 1}}),
+                          recursive := true)
+    FROM (SELECT {id_col} AS doc_id,
+                 list_filter(regexp_split_to_array(lower({text_col}),
+                                                   '{SPLIT_RE_DUCKDB}'),
+                             x -> x <> '') AS toks
+          FROM {doc_table}))""")
+    for l in leaves:
+        if l.kind == "phrase":
+            conds = [f"a0.term = {_sql_quote(l.value[0])}"]
+            frm = "pos a0"
+            for j, w in enumerate(l.value[1:], start=1):
+                frm += (f" JOIN pos a{j} ON a{j}.doc_id = a0.doc_id "
+                        f"AND a{j}.pos = a0.pos + {j}")
+                conds.append(f"a{j}.term = {_sql_quote(w)}")
+            ctes.append(
+                f"ph{l.id}_tf AS (SELECT a0.doc_id, count(*)::DOUBLE AS tf "
+                f"FROM {frm} WHERE {' AND '.join(conds)} GROUP BY a0.doc_id)"
+            )
+            dfq = f"(SELECT count(*)::DOUBLE FROM ph{l.id}_tf)"
+            ctes.append(f"""ph{l.id} AS (
+    SELECT t.doc_id,
+           ln(1 + (s.n - {dfq} + 0.5) / ({dfq} + 0.5)) * t.tf * ({K1} + 1)
+           / (t.tf + {K1} * (1 - {B} + {B} * dlen.dl / s.avgdl)) AS c
+    FROM ph{l.id}_tf t JOIN doc_lens dlen USING (doc_id) CROSS JOIN stats s)""")
+            joins.append(f"LEFT JOIN ph{l.id} ON ph{l.id}.doc_id = d.{id_col}")
+            cols.append(f"ph{l.id}.c AS _qs{l.id}")
+        elif l.kind == "prefix":
+            esc = l.value.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+            ctes.append(
+                f"pre{l.id} AS (SELECT DISTINCT doc_id FROM postings "
+                f"WHERE term LIKE '{esc}%' ESCAPE '\\')"
+            )
+            joins.append(f"LEFT JOIN pre{l.id} ON pre{l.id}.doc_id = d.{id_col}")
+            cols.append(
+                f"(CASE WHEN pre{l.id}.doc_id IS NOT NULL THEN 1.0 END) "
+                f"AS _qs{l.id}"
+            )
+        elif l.kind == "kwterm":
+            dfq = (f"(SELECT count(*)::DOUBLE FROM {doc_table} "
+                   f"WHERE {l.field} = {_sql_quote(l.value)})")
+            nq = f"(SELECT count(*)::DOUBLE FROM {doc_table})"
+            cols.append(
+                f"(CASE WHEN d.{l.field} = {_sql_quote(l.value)} THEN "
+                f"ln(1 + ({nq} - {dfq} + 0.5) / ({dfq} + 0.5)) END) AS _qs{l.id}"
+            )
+        elif l.kind == "range":
+            lo, hi, ilo, ihi = l.value
+            conds = []
+            if lo is not None:
+                conds.append(f"d.{l.field} {'>=' if ilo else '>'} {_sql_quote(lo)}")
+            if hi is not None:
+                conds.append(f"d.{l.field} {'<=' if ihi else '<'} {_sql_quote(hi)}")
+            cond = " AND ".join(conds) or "TRUE"
+            cols.append(f"(CASE WHEN {cond} THEN 1.0 END) AS _qs{l.id}")
+
+    ctes.append(
+        "base AS (SELECT " + ", ".join(cols)
+        + f" FROM {doc_table} d " + " ".join(joins) + ")"
+    )
+    matched, score = _compile_sql(tree)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, round({score}, 4) AS score FROM base"
+        + f"\nWHERE {matched}"
+        + f"\nORDER BY round({score}, 4) DESC, doc_id ASC LIMIT {int(k)}"
+    )

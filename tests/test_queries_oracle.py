@@ -96,7 +96,7 @@ def test_registry_fits_driver_cap():
     for must in ("ann_ivf", "embedding_near_dups", "minhash_lsh_dups",
                  "pivot_wide", "dsl_multi_match", "dsl_percentiles",
                  "dsl_top_hits", "dsl_date_histogram", "dsl_regexp",
-                 "dsl_fuzzy",
+                 "dsl_query_string",  # dsl_fuzzy demoted to EXTRA for it
                  # r5 rotation: newest surface driver-gated
                  "dsl_dis_max", "dsl_boosting", "dsl_function_score",
                  "dsl_collapse", "dsl_rescore", "dsl_suggest",
