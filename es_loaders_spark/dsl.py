@@ -198,8 +198,10 @@ def _split_scoring(query: dict | None) -> tuple[dict | None, dict]:
     (kind, body), = query.items()
     if kind in (
         "match", "match_phrase", "match_phrase_prefix", "multi_match",
-        "simple_query_string", "query_string", "dis_max", "constant_score",
-        "boosting", "function_score",
+        "match_bool_prefix", "simple_query_string", "query_string",
+        "dis_max", "constant_score", "boosting", "function_score",
+        "script_score", "rank_feature", "terms_set", "span_near",
+        "intervals",
     ):
         return query, {}
     if kind == "bool":
@@ -209,9 +211,11 @@ def _split_scoring(query: dict | None) -> tuple[dict | None, dict]:
         for sub in _as_list(body.get("must")):
             (k, _), = sub.items()
             if k in (
-                "match", "match_phrase", "match_phrase_prefix", "multi_match",
-                "simple_query_string", "query_string", "dis_max",
-                "constant_score", "boosting", "function_score",
+                "match", "match_phrase", "match_phrase_prefix",
+                "multi_match", "match_bool_prefix", "simple_query_string",
+                "query_string", "dis_max", "constant_score", "boosting",
+                "function_score", "script_score", "rank_feature",
+                "terms_set", "span_near", "intervals",
             ) and scoring is None:
                 scoring = sub
             else:
@@ -715,6 +719,254 @@ def _boosting_topk(
     )
 
 
+def _script_score_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    sub: dict[str, Any],
+    filters: dict[str, Any],
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """ES ``script_score``: the base query's score replaced by a script
+    over ``_score``, ``doc['field'].value`` and ``params.*`` references —
+    compiled by the same no-eval recursive-descent parser as
+    bucket_script (``Math.*`` calls in ``_SCRIPT_FUNCS`` supported). The
+    base query is scored RAW and in full (the transform re-orders; ES
+    likewise disables dynamic pruning), rounded once at the end. ES
+    rejects scripts that produce negative scores at runtime; that
+    contract is the caller's (documented, not checked per-row).
+    """
+    base_q = sub.get("query") or {"match_all": {}}
+    (bk, bsub), = base_q.items()
+    if bk == "match":
+        scored = _match_scores(spark, docs, bsub, filters, id_col, rounded=False)
+    elif bk == "match_all":
+        scored = docs.filter(
+            filter_expr(filters, id_col) if filters else F.lit(True)
+        ).select(F.col(id_col).alias("doc_id"), F.lit(1.0).alias("score"))
+    else:
+        raise ValueError(
+            f"script_score base query {bk!r} not supported (match, match_all)"
+        )
+    script = sub["script"]
+    source = script["source"] if isinstance(script, dict) else str(script)
+    # doc['field'].value → a joinable column reference; Math.fn → fn
+    fields = sorted(set(re.findall(r"doc\['(\w+)'\]\.value", source)))
+    src = re.sub(r"doc\['(\w+)'\]\.value", r"f_\1", source)
+    src = src.replace("Math.", "")
+    params: dict[str, Column] = {"_score": F.col("score")}
+    if isinstance(script, dict):
+        for p, v in (script.get("params") or {}).items():
+            params[p] = F.lit(float(v))
+    if fields:
+        side = docs.select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(f).cast("double").alias(f"f_{f}") for f in fields],
+        )
+        scored = scored.join(side, "doc_id", "left")
+        for f in fields:
+            params[f"f_{f}"] = F.col(f"f_{f}")
+    expr = _compile_script(src, params)
+    return (
+        scored.select("doc_id", F.round(expr, 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _rank_feature_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    sub: dict[str, Any],
+    filters: dict[str, Any],
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """ES ``rank_feature``: score a positive numeric feature column.
+
+    - ``saturation``: x / (x + pivot); an omitted pivot defaults to the
+      feature's geometric mean over positive values (ES computes the
+      same "approximate geometric mean" from index stats) — ONE
+      metadata aggregate here.
+    - ``log``: ln(scaling_factor + x).
+    - ``sigmoid``: x^exp / (x^exp + pivot^exp), both parameters required.
+
+    Matches only docs where the feature is present and > 0 (rank
+    features are positive by contract); score × boost, rounded once.
+    """
+    field = sub["field"]
+    boost = float(sub.get("boost", 1.0))
+    x = F.col(field).cast("double")
+    kinds = [kk for kk in ("saturation", "log", "sigmoid") if kk in sub]
+    kind = kinds[0] if kinds else "saturation"
+    if len(kinds) > 1:
+        raise ValueError(f"rank_feature: give one of {kinds}, not all")
+    if kind == "saturation":
+        spec = sub.get("saturation") or {}
+        pivot = spec.get("pivot")
+        if pivot is None:
+            row = docs.filter(x > 0).agg(F.avg(F.log(x)).alias("m")).first()
+            if row["m"] is None:
+                raise ValueError(
+                    f"rank_feature: no positive values in {field!r} to "
+                    "derive a default pivot from — pass saturation.pivot"
+                )
+            import math as _math
+
+            pivot = _math.exp(row["m"])
+        fn = x / (x + F.lit(float(pivot)))
+    elif kind == "log":
+        fn = F.log(F.lit(float(sub["log"]["scaling_factor"])) + x)
+    else:
+        s = sub["sigmoid"]
+        pv, ex = float(s["pivot"]), float(s["exponent"])
+        fn = F.pow(x, ex) / (F.pow(x, ex) + F.lit(pv ** ex))
+    base = docs.filter(filter_expr(filters, id_col)) if filters else docs
+    return (
+        base.filter(x.isNotNull() & (x > 0))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.round(F.lit(boost) * fn, 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _terms_set_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    sub: dict[str, Any],
+    filters: dict[str, Any],
+    id_col: str,
+    text_col: str,
+    k: int,
+) -> DataFrame:
+    """ES ``terms_set`` over the analyzed text column: docs containing at
+    least N of the given terms, BM25-scored over the matching terms
+    (ES scores it as a bool of term queries with minimum_should_match).
+
+    N comes from ``minimum_should_match_field`` (a per-DOC numeric
+    column — the ES-native shape) or ``minimum_should_match_script``
+    (compiled by the shared no-eval parser; ``params.num_terms`` bound).
+    Keyword-array fields aren't in this data model — only the analyzed
+    column is supported, loudly.
+    """
+    from .bm25 import bm25_score_expr
+    from .postings import corpus_stats, doc_lengths, postings_long, term_df
+
+    (field, spec), = sub.items()
+    if field != text_col:
+        raise ValueError(
+            f"terms_set matches the analyzed column {text_col!r}; got "
+            f"field {field!r} (keyword-array fields are not in this data "
+            "model)"
+        )
+    terms = sorted(set(spec["terms"]))
+    msm_field = spec.get("minimum_should_match_field")
+    msm_script = spec.get("minimum_should_match_script")
+    if (msm_field is None) == (msm_script is None):
+        raise ValueError(
+            "terms_set needs exactly one of minimum_should_match_field / "
+            "minimum_should_match_script"
+        )
+    p = postings_long(docs.select(id_col, field), text_col=field, id_col=id_col)
+    dl = doc_lengths(docs.select(id_col, field), text_col=field, id_col=id_col)
+    stats, tdf = corpus_stats(dl), term_df(p)
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    cand = p
+    if filters:
+        allowed = docs.filter(filter_expr(filters, id_col)).select(
+            F.col(id_col).alias("doc_id")
+        )
+        cand = cand.join(allowed.hint("broadcast"), "doc_id", "left_semi")
+    scored = (
+        cand.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(tdf.join(qterms, "term")), "term")
+        .join(dl, "doc_id")
+        .withColumn("_c", bm25_score_expr(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_c").alias("_raw"),
+            F.count_distinct("term").alias("_nmatched"),
+        )
+    )
+    if msm_script is not None:
+        source = (
+            msm_script["source"] if isinstance(msm_script, dict)
+            else str(msm_script)
+        ).replace("Math.", "")
+        need = _compile_script(
+            source, {"num_terms": F.lit(len(terms))}
+        )
+    else:
+        side = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(msm_field).cast("long").alias("_msm"),
+        )
+        scored = scored.join(side, "doc_id", "left")
+        need = F.col("_msm")
+    return (
+        scored.filter(F.col("_nmatched") >= need)
+        .select("doc_id", F.round(F.col("_raw"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _proximity_docs(
+    spark: SparkSession,
+    docs: DataFrame,
+    terms: list[str],
+    slop: int,
+    in_order: bool,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Doc-ids where the (distinct) terms co-occur within a window —
+    the shared engine for ``span_near`` and ``intervals.match``.
+
+    in_order: positions strictly increasing with total gaps ≤ slop
+    (p_last − p_first − (n−1) ≤ slop); unordered: the minimal window
+    containing all terms has gaps ≤ slop (max − min − (n−1) ≤ slop).
+    An n-way positional self-join — the positional-index analogue of
+    Lucene's SpanNearQuery; each join leg is a term-pushdown position
+    set, never a text re-scan of non-matching docs.
+    """
+    from .analyze import tokens_df
+
+    if len(set(terms)) != len(terms):
+        raise ValueError(
+            "span_near/intervals with repeated terms is not supported "
+            f"(got {terms})"
+        )
+    if len(terms) < 2:
+        raise ValueError("span_near/intervals needs at least two terms")
+    toks = tokens_df(docs.select(id_col, text_col), text_col=text_col,
+                     id_col=id_col)
+    legs = [
+        toks.filter(F.col("term") == t).select(
+            "doc_id", F.col("pos").alias(f"p{i}")
+        )
+        for i, t in enumerate(terms)
+    ]
+    joined = legs[0]
+    for leg in legs[1:]:
+        joined = joined.join(leg, "doc_id")
+    n = len(terms)
+    ps = [F.col(f"p{i}") for i in range(n)]
+    if in_order:
+        cond = F.lit(True)
+        for a, b in zip(ps, ps[1:]):
+            cond = cond & (a < b)
+        cond = cond & (ps[-1] - ps[0] - F.lit(n - 1) <= F.lit(int(slop)))
+    else:
+        cond = (
+            F.greatest(*ps) - F.least(*ps) - F.lit(n - 1) <= F.lit(int(slop))
+        )
+    return joined.filter(cond).select("doc_id").distinct()
+
+
 def search(
     spark: SparkSession,
     docs: DataFrame,
@@ -928,6 +1180,113 @@ def search(
                     spark, docs, sub, filters, id_col, text_col, k=offset + size
                 ),
                 hl_terms=_hl_tokens(sub["query"]),
+            )
+        if kind == "script_score":
+            if body.get("highlight"):
+                raise ValueError("highlight is not supported with script_score")
+            return page(
+                _script_score_topk(spark, docs, sub, filters, id_col,
+                                   k=offset + size)
+            )
+        if kind == "rank_feature":
+            return page(
+                _rank_feature_topk(spark, docs, sub, filters, id_col,
+                                   k=offset + size)
+            )
+        if kind == "terms_set":
+            return page(
+                _terms_set_topk(spark, docs, sub, filters, id_col, text_col,
+                                k=offset + size)
+            )
+        if kind in ("span_near", "intervals"):
+            # filter-shaped proximity clauses: matching docs paged in
+            # doc_id order (the match_phrase paging convention — Lucene's
+            # span/interval scores are proximity-weighted and are not
+            # reproduced here)
+            if kind == "span_near":
+                terms = []
+                for cl in sub.get("clauses") or []:
+                    (ck, cs), = cl.items()
+                    if ck != "span_term":
+                        raise ValueError(
+                            f"span_near clause {ck!r} not supported (span_term)"
+                        )
+                    (fld, val), = cs.items()
+                    if fld != text_col:
+                        raise ValueError(
+                            f"span_term matches the analyzed column "
+                            f"{text_col!r}; got {fld!r}"
+                        )
+                    terms.append(val if isinstance(val, str) else val["value"])
+                slop = int(sub.get("slop", 0))
+                in_order = bool(sub.get("in_order", True))
+            else:
+                (fld, ispec), = sub.items()
+                if fld != text_col:
+                    raise ValueError(
+                        f"intervals matches the analyzed column {text_col!r};"
+                        f" got {fld!r}"
+                    )
+                rule_kinds = [kk for kk in ("match",) if kk in ispec]
+                if not rule_kinds:
+                    raise ValueError(
+                        "intervals subset: the 'match' rule (all_of/any_of/"
+                        "prefix rules are not supported)"
+                    )
+                m = ispec["match"]
+                from .analyze import tokenize_text as _tt
+
+                terms = _tt(m["query"])
+                slop = int(m.get("max_gaps", -1))
+                if slop < 0:
+                    # ES default max_gaps=-1 = unlimited; that is a bag-of-
+                    # words AND, which `match operator=and` already serves
+                    raise ValueError(
+                        "intervals.match needs max_gaps >= 0 (unlimited-gap "
+                        "matching is just match operator=and)"
+                    )
+                in_order = bool(m.get("ordered", False))
+            hits = _proximity_docs(
+                spark, docs, terms, slop, in_order, id_col, text_col
+            )
+            out = docs.join(
+                hits.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+            ).filter(filter_expr(filters, id_col))
+            return page(out.orderBy(id_col).limit(offset + size))
+        if kind == "match_bool_prefix":
+            from .querystring import MUST, SHOULD, Clause, Group, Leaf
+            from .querystring import execute_tree
+
+            if body.get("highlight"):
+                raise ValueError(
+                    "highlight is not supported with match_bool_prefix "
+                    "(the last term matches via prefix expansion)"
+                )
+            (fld, spec), = sub.items()
+            opts = spec if isinstance(spec, dict) else {}
+            qtext = spec["query"] if isinstance(spec, dict) else spec
+            if fld != text_col:
+                raise ValueError(
+                    f"match_bool_prefix matches the analyzed column "
+                    f"{text_col!r}; got field {fld!r}"
+                )
+            from .analyze import tokenize_text as _tt
+
+            words = _tt(qtext)
+            if not words:
+                raise ValueError("match_bool_prefix: empty query")
+            operator = str(opts.get("operator", "or")).lower()
+            occur = MUST if operator == "and" else SHOULD
+            clauses = [Clause(occur, Leaf("term", fld, w)) for w in words[:-1]]
+            clauses.append(Clause(occur, Leaf("prefix", fld, words[-1])))
+            # ES match_bool_prefix IS a bool query of term clauses + one
+            # prefix clause on the final (possibly mid-type) term —
+            # executed on the shared boolean-tree engine (querystring.py)
+            return page(
+                execute_tree(
+                    spark, docs, Group(clauses), filters, id_col, text_col,
+                    k=offset + size,
+                )
             )
         if kind == "query_string":
             from .querystring import query_string_topk
@@ -1186,17 +1545,34 @@ def _pipeline_kind(spec: dict) -> str | None:
 
 
 _SCRIPT_TOKEN = re.compile(
-    r"\s*(params\.\w+|\d+\.\d+|\d+|&&|\|\||[<>=!]=|[<>()+\-*/]|\w+)"
+    r"\s*(params\.\w+|\d+\.\d+|\d+|&&|\|\||[<>=!]=|[<>()+\-*/,]|\w+)"
 )
+
+# the Math.* calls the ES script_score docs demonstrate → Catalyst
+_SCRIPT_FUNCS = {
+    "log": F.log,          # painless Math.log = natural log
+    "log10": F.log10,
+    "log1p": F.log1p,
+    "sqrt": F.sqrt,
+    "abs": F.abs,
+    "exp": F.exp,
+    "floor": F.floor,
+    "ceil": F.ceil,
+    "pow": F.pow,
+    "min": F.least,
+    "max": F.greatest,
+}
 
 
 def _compile_script(script: str, params: dict[str, Column]) -> Column:
-    """Compile an ES bucket_script/bucket_selector expression to a Column.
+    """Compile an ES bucket_script/bucket_selector/script_score expression
+    to a Column.
 
-    The subset ES users actually write in these pipelines (the painless
+    The subset ES users actually write in these scripts (the painless
     surface the docs demonstrate): ``params.x`` references, numeric
     literals, ``+ - * /``, parentheses, unary minus, comparisons
-    (``> < >= <= == !=``) and ``&& ||``. No eval, no function calls —
+    (``> < >= <= == !=``), ``&& ||`` and the ``Math.*`` calls in
+    ``_SCRIPT_FUNCS`` (callers strip the ``Math.`` prefix). No eval —
     a recursive-descent parse straight into Catalyst expressions.
     """
     tokens: list[str] = []
@@ -1235,9 +1611,17 @@ def _compile_script(script: str, params: dict[str, Column]) -> Column:
         if t.replace(".", "", 1).isdigit():
             return F.lit(float(t) if "." in t else int(t))
         name = t[len("params."):] if t.startswith("params.") else t
+        if name in _SCRIPT_FUNCS and peek() == "(":
+            take("(")
+            args = [or_()]
+            while peek() == ",":
+                take(",")
+                args.append(or_())
+            take(")")
+            return _SCRIPT_FUNCS[name](*args)
         if name not in params:
             raise ValueError(
-                f"bucket script references {t!r} but buckets_path defines "
+                f"script references {t!r} but the defined names are "
                 f"only {sorted(params)}"
             )
         return params[name]

@@ -122,6 +122,7 @@ def join_broadcast_dim(spark, sf_dir):
     "left_join_integrity",
     "SELECT o.o_orderkey, o.o_custkey, c.c_name "
     "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey",
+    extra=True,  # demoted r5: join family keeps join_broadcast_dim + semi_join_filter gated
 )
 def left_join_integrity(spark, sf_dir):
     """J2 left join preserving row count (mira_loader.py:121-134)."""
@@ -674,6 +675,7 @@ def dsl_range_agg(spark, sf_dir):
     "SELECT 'big' AS by_key, count(*) AS doc_count FROM events WHERE value >= 90 "
     "UNION ALL "
     "SELECT 'clicks', count(*) FROM events WHERE event_type = 'click'",
+    extra=True,  # demoted r5: dsl_range_agg keeps the conditional-bucket shape gated
 )
 def dsl_filters_agg(spark, sf_dir):
     """ES ``filters`` agg (dsl.py filters branch): named sub-queries as
@@ -1323,6 +1325,174 @@ def dsl_query_string(spark, sf_dir):
     return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
 
 
+_SS_RAW = bm25_topk_oracle_sql("spark merge", raw=True)
+
+
+@q(
+    "dsl_script_score",
+    f"""SELECT sc.doc_id,
+              round(sc.score * ln(1 + d.n_chars) / 2, 4) AS score
+       FROM ({_SS_RAW}) sc JOIN documents d USING (doc_id)
+       ORDER BY round(sc.score * ln(1 + d.n_chars) / 2, 4) DESC, sc.doc_id
+       LIMIT 12""",
+)
+def dsl_script_score(spark, sf_dir):
+    """ES ``script_score`` (dsl._script_score_topk): the base match
+    query's RAW score transformed by a painless-subset script over
+    ``_score`` / ``doc['field'].value`` / ``params.*`` — compiled by the
+    shared no-eval recursive-descent parser (Math.* → Catalyst), rounded
+    once at the end. Base scored in full: the transform re-orders, so ES
+    disables dynamic pruning here too."""
+    from . import dsl
+
+    body = {
+        "query": {
+            "script_score": {
+                "query": {"match": {"text": "spark merge"}},
+                "script": {
+                    "source": "_score * Math.log1p(doc['n_chars'].value)"
+                              " / params.d",
+                    "params": {"d": 2},
+                },
+            }
+        },
+        "size": 12,
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
+@q(
+    "dsl_rank_feature",
+    """WITH piv AS (
+         SELECT exp(avg(ln(n_chars))) AS p FROM documents WHERE n_chars > 0
+       )
+       SELECT doc_id,
+              round(1.5 * n_chars / (n_chars + piv.p), 4) AS score
+       FROM documents, piv WHERE n_chars > 0
+       ORDER BY round(1.5 * n_chars / (n_chars + piv.p), 4) DESC, doc_id
+       LIMIT 10""",
+)
+def dsl_rank_feature(spark, sf_dir):
+    """ES ``rank_feature`` saturation with the DEFAULT pivot — the
+    geometric mean of the feature's positive values (exp∘avg∘ln, the
+    same "approximate geometric mean" ES derives from index stats),
+    computed in ONE metadata aggregate; score = boost·x/(x+pivot)."""
+    from . import dsl
+
+    body = {
+        "query": {"rank_feature": {"field": "n_chars", "boost": 1.5}},
+        "size": 10,
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
+@q(
+    "dsl_terms_set",
+    f"""WITH tokens AS ({_TOKENS_CTE}),
+       postings AS (SELECT term, doc_id, count(*)::DOUBLE AS tf
+                    FROM tokens GROUP BY 1, 2),
+       doc_lens AS (SELECT doc_id, count(*)::DOUBLE AS dl
+                    FROM tokens GROUP BY 1),
+       stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl
+                 FROM doc_lens),
+       tdf AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+       scored AS (
+         SELECT p.doc_id,
+                sum(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) * p.tf * 2.2
+                    / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+                count(DISTINCT p.term) AS nm
+         FROM postings p JOIN tdf f USING (term)
+         JOIN doc_lens d USING (doc_id) CROSS JOIN stats s
+         WHERE p.term IN ('spark', 'merge', 'sort', 'crawl')
+         GROUP BY 1)
+       SELECT doc_id, round(score, 4) AS score
+       FROM scored WHERE nm >= 3
+       ORDER BY round(score, 4) DESC, doc_id LIMIT 12""",
+)
+def dsl_terms_set(spark, sf_dir):
+    """ES ``terms_set`` (dsl._terms_set_topk): docs containing ≥ N of
+    the given terms, BM25-scored over the matching terms; N from
+    minimum_should_match_script (``params.num_terms`` bound into the
+    shared script compiler). One postings pass computes both the score
+    and the distinct-match count."""
+    from . import dsl
+
+    body = {
+        "query": {
+            "terms_set": {
+                "text": {
+                    "terms": ["spark", "merge", "sort", "crawl"],
+                    "minimum_should_match_script": {
+                        "source": "params.num_terms - 1"
+                    },
+                }
+            }
+        },
+        "size": 12,
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
+@q(
+    "dsl_span_near",
+    f"""WITH tokens AS ({_TOKENS_CTE}),
+       pos AS (
+         SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(toks)),
+                                      i -> {{'term': toks[i], 'pos': i - 1}}),
+                       recursive := true)
+         FROM (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(text),
+                                                        '{SPLIT_RE_DUCKDB}'),
+                                  x -> x <> '') AS toks
+               FROM documents)
+       )
+       SELECT DISTINCT a.doc_id
+       FROM pos a JOIN pos b USING (doc_id)
+       WHERE a.term = 'key' AND b.term = 'sort'
+         AND a.pos < b.pos AND b.pos - a.pos - 1 <= 2
+       ORDER BY a.doc_id LIMIT 50""",
+)
+def dsl_span_near(spark, sf_dir):
+    """ES ``span_near`` (dsl._proximity_docs): span_term clauses
+    co-occurring within slop, in order — an n-way positional self-join
+    over term-pushdown position sets (Lucene SpanNearQuery's positional
+    walk, relationally). Also serves ``intervals.match`` (ordered ≡
+    in_order, max_gaps ≡ slop)."""
+    from . import dsl
+
+    body = {
+        "query": {
+            "span_near": {
+                "clauses": [
+                    {"span_term": {"text": "key"}},
+                    {"span_term": {"text": "sort"}},
+                ],
+                "slop": 2,
+                "in_order": True,
+            }
+        },
+        "size": 50,
+    }
+    out = dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+    return out.select("doc_id")
+
+
+from .querystring import query_string_oracle_sql as _qs_sql  # noqa: E402
+
+
+@q("dsl_match_bool_prefix", _qs_sql("spark cra*", k=15))
+def dsl_match_bool_prefix(spark, sf_dir):
+    """ES ``match_bool_prefix``: the analyzed terms as bool SHOULD term
+    clauses + the final (mid-type) term as a prefix clause — executed on
+    the shared boolean-tree engine (querystring.execute_tree), so the
+    oracle is literally the query_string twin of 'spark cra*'."""
+    from . import dsl
+
+    body = {"query": {"match_bool_prefix": {"text": "spark cra"}}, "size": 15}
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
 @q("dsl_explain_score", None, extra=True)
 def dsl_explain_score(spark, sf_dir):
     """ES ``_explain`` (dsl.explain / bm25.bm25_explain): per-term BM25
@@ -1478,6 +1648,7 @@ SELECT p.doc_id,
 FROM pos p LEFT JOIN neg n USING (doc_id)
 ORDER BY score DESC, doc_id ASC LIMIT 15
 """,
+    extra=True,  # demoted r5: dis_max/function_score keep the compound family gated
 )
 def dsl_boosting(spark, sf_dir):
     """ES ``boosting`` query (dsl.py:_boosting_topk): positive BM25 score,
@@ -1640,6 +1811,7 @@ def dsl_rescore(spark, sf_dir):
 @q(
     "bm25_topk_filtered",
     bm25_topk_oracle_sql(BM25_QUERY, k=BM25_K, filter_term="w0005"),
+    extra=True,  # demoted r5: bool_filter + bm25_topk(+wand) cover filtered relevance
 )
 def bm25_topk_filtered_q(spark, sf_dir):
     """X3+X4: ES bool query — BM25 relevance under a NON-SCORING term
@@ -1695,6 +1867,7 @@ def bm25_topk_wand(spark, sf_dir):
 @q(
     "token_count",
     f"SELECT doc_id, count(*) AS n_tokens FROM ({_TOKENS_CTE}) GROUP BY doc_id",
+    extra=True,  # demoted r5: quality_score/doc-length stats keep token analysis gated
 )
 def token_count(spark, sf_dir):
     """Token counting (whitespace+punct grammar, analyze.py)."""

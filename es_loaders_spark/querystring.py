@@ -357,9 +357,6 @@ def query_string_topk(
     k: int = 10,
 ) -> DataFrame:
     """Top-k (doc_id, score) for an ES ``query_string`` clause."""
-    from .dsl import filter_expr
-    from .postings import corpus_stats, doc_lengths, postings_long, term_df
-
     if isinstance(sub, str):
         sub = {"query": sub}
     default_field = sub.get("default_field") or text_col
@@ -367,6 +364,23 @@ def query_string_topk(
         sub["query"], default_field,
         str(sub.get("default_operator", "or")).lower(), text_field=text_col,
     )
+    return execute_tree(spark, docs, tree, filters, id_col, text_col, k)
+
+
+def execute_tree(
+    spark: SparkSession,
+    docs: DataFrame,
+    tree: Group,
+    filters: dict[str, Any] | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Execute a parsed boolean tree (shared by query_string and
+    match_bool_prefix, which IS a bool of term clauses + one prefix)."""
+    from .dsl import filter_expr
+    from .postings import corpus_stats, doc_lengths, postings_long, term_df
+
     leaves: list[Leaf] = []
     _collect_leaves(tree, leaves)
     if len(leaves) > MAX_LEAVES:
@@ -506,11 +520,22 @@ def query_string_oracle_sql(
     tree — BM25 term contributions, positional phrase tf/df, prefix
     expansion, keyword idfs and the boolean occur-flag algebra are all
     RECOMPUTED in SQL, nothing is copied from the Spark run."""
-    from .postings import B, K1
-
     tree = parse_query_string(
         query, default_field or text_col, default_operator, text_field=text_col
     )
+    return tree_oracle_sql(tree, k, doc_table, text_col, id_col)
+
+
+def tree_oracle_sql(
+    tree: Group,
+    k: int = 10,
+    doc_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """SQL twin for an already-parsed boolean tree."""
+    from .postings import B, K1
+
     leaves: list[Leaf] = []
     _collect_leaves(tree, leaves)
 

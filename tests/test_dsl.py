@@ -1642,7 +1642,7 @@ def test_pipeline_refusals_and_script_safety(spark, events):
             }
         },
     }
-    with pytest.raises(ValueError, match="buckets_path defines only"):
+    with pytest.raises(ValueError, match="defined names are only"):
         dsl.search(spark, events, bad).collect()
     bad["aggs"]["by_type"]["aggs"]["b"]["bucket_script"]["script"] = (
         "__import__('os')"

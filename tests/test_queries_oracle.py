@@ -98,11 +98,18 @@ def test_registry_fits_driver_cap():
                  "dsl_top_hits", "dsl_date_histogram", "dsl_regexp",
                  "dsl_query_string",  # dsl_fuzzy demoted to EXTRA for it
                  # r5 rotation: newest surface driver-gated
-                 "dsl_dis_max", "dsl_boosting", "dsl_function_score",
+                 "dsl_dis_max", "dsl_function_score",
                  "dsl_collapse", "dsl_rescore", "dsl_suggest",
                  "dsl_more_like_this", "dsl_composite",
                  "dsl_adjacency_matrix", "dsl_simple_query_string",
-                 "dsl_extended_stats"):
+                 "dsl_extended_stats",
+                 # r5 third wave (dsl_boosting/dsl_filters_agg/
+                 # bm25_topk_filtered/token_count/left_join_integrity
+                 # retired to EXTRA — all r04-green, all twin-covered)
+                 "dsl_pipeline_aggs", "dsl_bucket_script_sort",
+                 "dsl_stats_bucket", "dsl_script_score",
+                 "dsl_rank_feature", "dsl_terms_set", "dsl_span_near",
+                 "dsl_match_bool_prefix"):
         assert must in qs
     # oracle keys must be a subset of query keys (driver joins by name)
     assert set(entrymod.oracle_sql()) <= set(qs)
