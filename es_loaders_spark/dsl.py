@@ -1858,6 +1858,51 @@ def _aggs(
                 ).alias(f"{p}rank_{f'{float(v):g}'.replace('.', '_').replace('-', 'm')}")
                 for v in pr["values"]
             ]
+        if "boxplot" in spec:
+            # ES boxplot: min/max/q1/q2/q3 — t-digest-approximate in ES;
+            # exact by default here (oracle-checkable), approx: true →
+            # percentile_approx (same policy as percentiles)
+            bx = spec["boxplot"]
+            f = bx["field"]
+            fn = F.percentile_approx if bx.get("approx") else F.percentile
+            p = f"{name}_" if multi else ""
+            return [
+                F.min(f).alias(f"{p}min"), F.max(f).alias(f"{p}max"),
+                fn(F.col(f), F.lit(0.25)).alias(f"{p}q1"),
+                fn(F.col(f), F.lit(0.5)).alias(f"{p}q2"),
+                fn(F.col(f), F.lit(0.75)).alias(f"{p}q3"),
+            ]
+        if "top_metrics" in spec:
+            # ES top_metrics(size=1): the metric values of the best-sorted
+            # doc per bucket — ONE max_by/min_by pass, no window, no
+            # top_hits row materialization. Ties broken by id_col so the
+            # result is deterministic (ES leaves ties undefined).
+            tm = spec["top_metrics"]
+            if int(tm.get("size", 1)) != 1:
+                raise ValueError(
+                    "top_metrics supports size=1 (use top_hits for row sets)"
+                )
+            if id_col not in base.columns:
+                raise ValueError(
+                    f"top_metrics breaks sort ties by {id_col!r}, which "
+                    f"this table lacks — pass id_col= to search() "
+                    f"(columns: {base.columns})"
+                )
+            (sf_, sspec), = _as_list(tm["sort"])[0].items() \
+                if isinstance(_as_list(tm["sort"])[0], dict) \
+                else ((_as_list(tm["sort"])[0], "asc"),)
+            order = sspec["order"] if isinstance(sspec, dict) else sspec
+            if order == "desc":
+                key = F.struct(F.col(sf_), (-F.col(id_col)).alias("_t"))
+                pick = F.max_by
+            else:
+                key = F.struct(F.col(sf_), F.col(id_col).alias("_t"))
+                pick = F.min_by
+            p = f"{name}_" if multi else ""
+            return [
+                pick(F.col(m["field"]), key).alias(f"{p}{m['field']}")
+                for m in _as_list(tm["metrics"])
+            ]
         if "percentiles" in spec:
             # ES percentiles is t-digest-approximate; exact (sort-based,
             # linear interpolation — numpy/ES 'linear') by default so the
@@ -2178,6 +2223,218 @@ def _aggs(
             .select("b.key", "b.doc_count")
             .filter(F.col("doc_count") > 0)
         )
+    if "date_range" in spec:
+        # ES date_range agg: same independent-range semantics as range
+        # (from inclusive, to exclusive, overlaps allowed), bounds given
+        # as date strings; default keys use the raw bound strings.
+        r = spec["date_range"]
+        field = r["field"]
+        tagged = []
+        for rg in r["ranges"]:
+            frm, to = rg.get("from"), rg.get("to")
+            key = rg.get("key") or (
+                f"{'*' if frm is None else frm}-{'*' if to is None else to}"
+            )
+            cond = F.lit(True)
+            if frm is not None:
+                cond = cond & (F.col(field) >= F.lit(frm).cast("timestamp"))
+            if to is not None:
+                cond = cond & (F.col(field) < F.lit(to).cast("timestamp"))
+            tagged.append(F.when(cond, F.lit(key)))
+        grouped = base.withColumn(
+            f"{name}_key", F.explode(F.array_compact(F.array(*tagged)))
+        )
+        sub = spec.get("aggs")
+        if sub:
+            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
+        return grouped.groupBy(*group_cols, f"{name}_key").agg(
+            F.count(F.lit(1)).alias("doc_count")
+        )
+    if "auto_date_histogram" in spec:
+        # ES auto_date_histogram: pick the smallest calendar interval that
+        # keeps the bucket count within `buckets`. The unit ladder here is
+        # the calendar subset date_histogram supports (ES additionally
+        # uses sub-unit multiples like 5m/10m — documented narrowing).
+        # Interval choice reads min/max(ts) — a METADATA aggregate, like
+        # corpus_stats; the chosen unit is emitted as `{name}_interval`
+        # so consumers (and the oracle) see which rung was picked.
+        h = spec["auto_date_histogram"]
+        field = h["field"]
+        target = int(h.get("buckets", 10))
+        row = base.agg(
+            F.min(field).alias("_a"), F.max(field).alias("_b")
+        ).first()
+        if row["_a"] is None:
+            raise ValueError(
+                f"auto_date_histogram: no non-null values in {field!r}"
+            )
+        span = (row["_b"] - row["_a"]).total_seconds()
+        ladder = [
+            ("minute", 60.0), ("hour", 3600.0), ("day", 86400.0),
+            ("week", 7 * 86400.0), ("month", 30 * 86400.0),
+            ("quarter", 91 * 86400.0), ("year", 365 * 86400.0),
+        ]
+        unit = ladder[-1][0]
+        for u, sec in ladder:
+            if span / sec + 1 <= target:
+                unit = u
+                break
+        grouped = base.withColumn(
+            f"{name}_key", F.date_trunc(unit, F.col(field))
+        ).withColumn(f"{name}_interval", F.lit(unit))
+        sub = spec.get("aggs")
+        if sub:
+            return _recurse(
+                grouped, sub,
+                group_cols + [f"{name}_key", f"{name}_interval"],
+            )
+        return grouped.groupBy(
+            *group_cols, f"{name}_key", f"{name}_interval"
+        ).agg(F.count(F.lit(1)).alias("doc_count"))
+    if "multi_terms" in spec:
+        # ES multi_terms: composite bucket key over several fields, top-n
+        # by doc_count (desc) then keys asc — one groupBy over the field
+        # tuple + one bucket-level window, exactly the terms plan shape.
+        # Keys are emitted as one column per source field (ES emits a
+        # key array; columns are the relational equivalent).
+        t = spec["multi_terms"]
+        fields = [te["field"] for te in t["terms"]]
+        topn = int(t.get("size", 10))
+        counted = base.groupBy(*group_cols, *fields).agg(
+            F.count(F.lit(1)).alias("doc_count")
+        )
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.desc("doc_count"), *[F.asc(f) for f in fields]
+        )
+        buckets = (
+            counted.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= topn)
+            .drop("_rn")
+        )
+        sub = spec.get("aggs")
+        if sub:
+            keys = buckets.select(*group_cols, *fields)
+            restricted = base.join(
+                F.broadcast(keys), [*group_cols, *fields], "left_semi"
+            )
+            return _recurse(restricted, sub, group_cols + fields)
+        return buckets
+    if "rare_terms" in spec:
+        # ES rare_terms: the LONG TAIL — values with doc_count ≤
+        # max_doc_count, ordered count asc then key asc. ES bounds memory
+        # with a CuckooFilter and is approximate; exact here (one groupBy
+        # + filter), the same exact-by-default policy as cardinality.
+        rt = spec["rare_terms"]
+        field = rt["field"]
+        maxc = int(rt.get("max_doc_count", 1))
+        counted = base.groupBy(*group_cols, field).agg(
+            F.count(F.lit(1)).alias("doc_count")
+        )
+        buckets = counted.filter(F.col("doc_count") <= maxc)
+        sub = spec.get("aggs")
+        if sub:
+            keys = buckets.select(*group_cols, field)
+            restricted = base.join(
+                F.broadcast(keys), [*group_cols, field], "left_semi"
+            )
+            return _recurse(restricted, sub, group_cols + [field])
+        return buckets
+    if "global" in spec:
+        # ES global agg: escapes the query's filter context — sub-aggs
+        # run over the WHOLE table (the `background` relation, the same
+        # unfiltered side significant_terms contrasts against).
+        if group_cols:
+            raise ValueError("global must be a top-level agg (ES likewise)")
+        gbase = background if background is not None else base
+        sub = spec.get("aggs")
+        if sub:
+            return _recurse(gbase, sub, [])
+        return gbase.agg(F.count(F.lit(1)).alias("doc_count"))
+    if "sampler" in spec or "diversified_sampler" in spec:
+        # ES sampler: sub-aggs over the shard_size best-scoring docs per
+        # shard. Aggs here run in filter context (no scores), so the
+        # deterministic analogue is the shard_size LOWEST ids — a
+        # TakeOrdered, not a full sort (documented deviation; ES's own
+        # result is unstable across segment order). diversified_sampler
+        # additionally caps docs per field value BEFORE the size cap.
+        kind = "sampler" if "sampler" in spec else "diversified_sampler"
+        if group_cols:
+            raise ValueError(f"{kind} must be a top-level agg")
+        sp = spec[kind] or {}
+        shard_size = int(sp.get("shard_size", 100))
+        b = base
+        if id_col not in b.columns:
+            raise ValueError(
+                f"{kind} orders its deterministic sample by {id_col!r}, "
+                f"which this table lacks — pass id_col= to search() "
+                f"(columns: {b.columns})"
+            )
+        if kind == "diversified_sampler":
+            fld = sp["field"]
+            mpv = int(sp.get("max_docs_per_value", 1))
+            w = Window.partitionBy(fld).orderBy(F.asc(id_col))
+            b = (
+                b.withColumn("_dsrn", F.row_number().over(w))
+                .filter(F.col("_dsrn") <= mpv)
+                .drop("_dsrn")
+            )
+        b = b.orderBy(F.asc(id_col)).limit(shard_size)
+        sub = spec.get("aggs")
+        if sub:
+            return _recurse(b, sub, [])
+        return b.agg(F.count(F.lit(1)).alias("doc_count"))
+    if "median_absolute_deviation" in spec:
+        # ES MAD: median(|x − median(x)|) — two aggregate passes (the
+        # inner median is itself an aggregate, which no single pass can
+        # nest); per-bucket medians broadcast back onto the rows.
+        # Exact by default, approx: true → percentile_approx.
+        mad = spec["median_absolute_deviation"]
+        f = mad["field"]
+        fn = F.percentile_approx if mad.get("approx") else F.percentile
+        meds = base.groupBy(*group_cols).agg(
+            fn(F.col(f), F.lit(0.5)).alias("_med")
+        )
+        joined = (
+            base.join(F.broadcast(meds), group_cols)
+            if group_cols else base.crossJoin(F.broadcast(meds))
+        )
+        return joined.groupBy(*group_cols).agg(
+            fn(F.abs(F.col(f) - F.col("_med")), F.lit(0.5)).alias("value"),
+            F.count(F.lit(1)).alias("doc_count"),
+        )
+    if "string_stats" in spec:
+        # ES string_stats: count/min_length/max_length/avg_length +
+        # Shannon entropy (bits) over the CHARACTER distribution. Length
+        # stats are one pass; entropy is a char-explode + two bucket-level
+        # aggregates (rows ∝ total characters, the honest lower bound).
+        ss = spec["string_stats"]
+        f = ss["field"]
+        lens = base.groupBy(*group_cols).agg(
+            F.count(f).alias("count"),
+            F.min(F.length(f)).alias("min_length"),
+            F.max(F.length(f)).alias("max_length"),
+            F.avg(F.length(f)).alias("avg_length"),
+        )
+        chars = base.select(
+            *group_cols, F.explode(F.split(F.col(f), "")).alias("_ch")
+        ).filter(F.col("_ch") != "")
+        freq = chars.groupBy(*group_cols, "_ch").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        tot = freq.groupBy(*group_cols).agg(F.sum("_c").alias("_t"))
+        j = (
+            freq.join(F.broadcast(tot), group_cols)
+            if group_cols else freq.crossJoin(F.broadcast(tot))
+        )
+        ent = j.groupBy(*group_cols).agg(
+            (-F.sum(
+                (F.col("_c") / F.col("_t"))
+                * F.log2(F.col("_c") / F.col("_t"))
+            )).alias("entropy")
+        )
+        if group_cols:
+            return lens.join(ent, group_cols)
+        return lens.crossJoin(ent)
     if "missing" in spec:
         # ES missing agg: docs lacking a value for the field
         field = spec["missing"]["field"]

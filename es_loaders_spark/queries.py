@@ -77,6 +77,7 @@ def filter_numeric(spark, sf_dir):
     "rename_normalize",
     "SELECT c_custkey AS id, upper(c_name) AS name, round(c_acctbal, 4) AS balance "
     "FROM customer",
+    extra=True,  # demoted r5: P2/F4 r04-green; trivial projection family
 )
 def rename_normalize(spark, sf_dir):
     """P2/F2/F4 rename + normalize (mira_loader.py:110,122; metadata.py:71)."""
@@ -151,6 +152,7 @@ def semi_join_filter(spark, sf_dir):
     "union_distinct",
     "SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 5 "
     "UNION SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 45",
+    extra=True,  # demoted r5: S6/J4/U1/U2 all r04-green; local gate retains the oracle
 )
 def union_distinct(spark, sf_dir):
     """U1/U2 concat + dedup (mira_loader.py:188; metadata.py:114-120)."""
@@ -168,6 +170,7 @@ def union_distinct(spark, sf_dir):
 @q(
     "groupby_count",
     "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    extra=True,  # demoted r5: A1 r04-green; every bucketing agg exercises grouped counts
 )
 def groupby_count(spark, sf_dir):
     """A1 hash group-by count (mira_loader.py:350-355)."""
@@ -285,6 +288,7 @@ def dsl_bool_term_range_count(spark, sf_dir):
        )
        SELECT CAST(hx AS BIGINT) AS agg_histogram_x_key, event_type,
               doc_count FROM ranked WHERE rn = 1""",
+    extra=True,  # demoted r5: histogram2d_mode + dsl_date_histogram keep the histogram family gated
 )
 def dsl_histogram_mode(spark, sf_dir):
     """The reference's histogram ▸ terms(size=1) agg body
@@ -363,6 +367,7 @@ def dsl_multi_match(spark, sf_dir):
     "round(quantile_cont(value, 0.50), 4) AS p50, "
     "round(quantile_cont(value, 0.75), 4) AS p75, "
     "round(quantile_cont(value, 0.95), 4) AS p95 FROM events",
+    extra=True,  # demoted r5: dsl_boxplot_top_metrics + dsl_extended_stats keep exact-percentile machinery gated
 )
 def dsl_percentiles(spark, sf_dir):
     """ES ``percentiles`` agg (dsl.py percentiles leaf): exact sort-based
@@ -594,6 +599,199 @@ def dsl_stats_bucket(spark, sf_dir):
         F.round("st_sum", 4).alias("st_sum"),
         "st_count",
         F.round("avg_docs", 4).alias("avg_docs"),
+    )
+
+
+@q(
+    "dsl_multi_terms",
+    """WITH b AS (
+         SELECT event_type, user_id, count(*) AS doc_count
+         FROM events GROUP BY 1, 2
+         ORDER BY doc_count DESC, event_type, user_id LIMIT 5
+       )
+       SELECT e.event_type, e.user_id,
+              round(avg(e.value), 4) AS value, count(*) AS doc_count
+       FROM events e JOIN b USING (event_type, user_id)
+       GROUP BY 1, 2""",
+)
+def dsl_multi_terms(spark, sf_dir):
+    """ES ``multi_terms`` (dsl.py multi_terms branch): composite bucket
+    key over several fields, top-n by doc_count then keys — one groupBy
+    over the field tuple + one bucket-level window; sub-aggs run over
+    the surviving buckets via a broadcast semi-join, the terms plan
+    shape exactly."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "aggs": {
+            "mt": {
+                "multi_terms": {
+                    "terms": [{"field": "event_type"},
+                              {"field": "user_id"}],
+                    "size": 5,
+                },
+                "aggs": {"m": {"avg": {"field": "value"}}},
+            }
+        },
+    }
+    out = dsl.search(spark, _T(spark, sf_dir, "events"), body)
+    return out.select(
+        "event_type", "user_id", F.round("value", 4).alias("value"),
+        "doc_count",
+    )
+
+
+@q(
+    "dsl_rare_terms",
+    """SELECT user_id, round(max(value), 4) AS value, count(*) AS doc_count
+       FROM events GROUP BY user_id HAVING count(*) <= 2""",
+)
+def dsl_rare_terms(spark, sf_dir):
+    """ES ``rare_terms`` (dsl.py rare_terms branch): the long tail —
+    values with doc_count ≤ max_doc_count. ES bounds memory with an
+    approximate CuckooFilter; exact here (one groupBy + filter), the
+    same exact-by-default policy as cardinality/percentiles."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "aggs": {
+            "rt": {
+                "rare_terms": {"field": "user_id", "max_doc_count": 2},
+                "aggs": {"m": {"max": {"field": "value"}}},
+            }
+        },
+    }
+    out = dsl.search(spark, _T(spark, sf_dir, "events"), body)
+    return out.select("user_id", F.round("value", 4).alias("value"),
+                      "doc_count")
+
+
+@q(
+    "dsl_string_stats",
+    """WITH chars AS (
+         SELECT unnest(split(source, '')) AS ch FROM documents
+       ),
+       freq AS (SELECT ch, count(*)::DOUBLE AS c FROM chars GROUP BY 1),
+       tot AS (SELECT sum(c) AS t FROM freq)
+       SELECT (SELECT count(source) FROM documents) AS count,
+              (SELECT min(length(source)) FROM documents) AS min_length,
+              (SELECT max(length(source)) FROM documents) AS max_length,
+              (SELECT round(avg(length(source)), 4) FROM documents)
+                  AS avg_length,
+              round(-sum((c / t) * log2(c / t)), 4) AS entropy
+       FROM freq, tot""",
+)
+def dsl_string_stats(spark, sf_dir):
+    """ES ``string_stats`` (dsl.py string_stats branch): length stats in
+    one pass + Shannon entropy (bits) over the character distribution —
+    a char-explode and two bucket-level aggregates, rows ∝ total
+    characters (the honest lower bound for a character histogram)."""
+    from . import dsl
+
+    body = {"size": 0, "aggs": {"ss": {"string_stats": {"field": "source"}}}}
+    out = dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+    return out.select(
+        "count", "min_length", "max_length",
+        F.round("avg_length", 4).alias("avg_length"),
+        F.round("entropy", 4).alias("entropy"),
+    )
+
+
+@q(
+    "dsl_mad",
+    """WITH med AS (
+         SELECT event_type, quantile_cont(value, 0.5) AS m
+         FROM events GROUP BY 1
+       )
+       SELECT e.event_type,
+              round(quantile_cont(abs(e.value - med.m), 0.5), 4) AS value,
+              count(*) AS doc_count
+       FROM events e JOIN med USING (event_type)
+       GROUP BY 1""",
+)
+def dsl_mad(spark, sf_dir):
+    """ES ``median_absolute_deviation`` per terms bucket (dsl.py MAD
+    branch): median(|x − median(x)|) — two aggregate passes with the
+    per-bucket medians broadcast back onto the rows (the inner median is
+    itself an aggregate; no single pass can nest it). Exact by default,
+    ``approx: true`` → percentile_approx at scale."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "aggs": {
+            "by": {
+                "terms": {"field": "event_type", "size": 10},
+                "aggs": {
+                    "m": {"median_absolute_deviation": {"field": "value"}}
+                },
+            }
+        },
+    }
+    out = dsl.search(spark, _T(spark, sf_dir, "events"), body)
+    return out.select("event_type", F.round("value", 4).alias("value"),
+                      "doc_count")
+
+
+@q(
+    "dsl_boxplot_top_metrics",
+    """WITH latest AS (
+         SELECT event_type, value,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY ts DESC, event_id ASC) AS rn
+         FROM events
+       )
+       SELECT e.event_type,
+              round(min(e.value), 4) AS bx_min,
+              round(quantile_cont(e.value, 0.25), 4) AS bx_q1,
+              round(quantile_cont(e.value, 0.5), 4) AS bx_q2,
+              round(quantile_cont(e.value, 0.75), 4) AS bx_q3,
+              round(max(e.value), 4) AS bx_max,
+              round(any_value(l.value), 4) AS tm_value,
+              count(*) AS doc_count
+       FROM events e
+       JOIN (SELECT event_type, value FROM latest WHERE rn = 1) l
+         USING (event_type)
+       GROUP BY 1""",
+)
+def dsl_boxplot_top_metrics(spark, sf_dir):
+    """ES ``boxplot`` + ``top_metrics`` as sibling metric leaves under
+    one terms agg — min/max/q1/q2/q3 (exact percentiles, approx: true →
+    t-digest-style sketch) and the latest-by-sort metric value via ONE
+    max_by pass (no window, no row materialization), ties pinned by
+    id_col for cross-engine determinism."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "aggs": {
+            "by": {
+                "terms": {"field": "event_type", "size": 10},
+                "aggs": {
+                    "bx": {"boxplot": {"field": "value"}},
+                    "tm": {
+                        "top_metrics": {
+                            "metrics": [{"field": "value"}],
+                            "sort": [{"ts": "desc"}],
+                        }
+                    },
+                },
+            }
+        },
+    }
+    out = dsl.search(spark, _T(spark, sf_dir, "events"), body,
+                     id_col="event_id")
+    return out.select(
+        "event_type",
+        F.round("bx_min", 4).alias("bx_min"),
+        F.round("bx_q1", 4).alias("bx_q1"),
+        F.round("bx_q2", 4).alias("bx_q2"),
+        F.round("bx_q3", 4).alias("bx_q3"),
+        F.round("bx_max", 4).alias("bx_max"),
+        F.round("tm_value", 4).alias("tm_value"),
+        "doc_count",
     )
 
 

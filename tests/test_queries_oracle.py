@@ -94,7 +94,7 @@ def test_registry_fits_driver_cap():
     qs = entrymod.queries()
     assert len(qs) <= 50, f"{len(qs)} queries() entries exceed the driver's 50-row cap"
     for must in ("ann_ivf", "embedding_near_dups", "minhash_lsh_dups",
-                 "pivot_wide", "dsl_multi_match", "dsl_percentiles",
+                 "pivot_wide", "dsl_multi_match",
                  "dsl_top_hits", "dsl_date_histogram", "dsl_regexp",
                  "dsl_query_string",  # dsl_fuzzy demoted to EXTRA for it
                  # r5 rotation: newest surface driver-gated
@@ -109,7 +109,12 @@ def test_registry_fits_driver_cap():
                  "dsl_pipeline_aggs", "dsl_bucket_script_sort",
                  "dsl_stats_bucket", "dsl_script_score",
                  "dsl_rank_feature", "dsl_terms_set", "dsl_span_near",
-                 "dsl_match_bool_prefix"):
+                 "dsl_match_bool_prefix",
+                 # r5 agg wave (dsl_histogram_mode/dsl_percentiles/
+                 # union_distinct/groupby_count/rename_normalize retired
+                 # to EXTRA — all r04-green, all family-covered)
+                 "dsl_multi_terms", "dsl_rare_terms", "dsl_string_stats",
+                 "dsl_mad", "dsl_boxplot_top_metrics"):
         assert must in qs
     # oracle keys must be a subset of query keys (driver joins by name)
     assert set(entrymod.oracle_sql()) <= set(qs)
