@@ -990,6 +990,43 @@ def search(
     (``build.build_index``) so ``match`` serves from compressed
     postings (VERDICT r04 "What's wrong" #4).
     """
+    if body.get("pit") is not None:
+        # ES point-in-time search: results pinned to the index state the
+        # PIT captured, surviving later appends. The PIT id encodes the
+        # generation count at open_pit() time; relevance serves through
+        # timetravel.topk_as_of (as-of dfs/stats from the generation
+        # subset). Subset: one plain match on the indexed column.
+        from .timetravel import topk_as_of
+
+        if index_dir is None:
+            raise ValueError("pit search needs the index_dir the pit was "
+                             "opened on")
+        g = _parse_pit(body["pit"]["id"])
+        scoring, filters = _split_scoring(body.get("query"))
+        if scoring is None or "match" not in scoring:
+            raise ValueError(
+                "pit search supports a plain match query on the indexed "
+                "column (the as-of scorer)"
+            )
+        if filters and any(
+            _as_list(filters.get("bool", {}).get(k))
+            for k in ("must", "filter", "should", "must_not")
+        ):
+            raise ValueError(
+                "pit search does not support filters (deletes already "
+                "apply; as-of scoring is index-served)"
+            )
+        (fld, txt), = scoring["match"].items()
+        if isinstance(txt, dict):
+            txt = txt["query"]
+        if fld != text_col:
+            raise ValueError(
+                f"pit match scores the indexed column {text_col!r}; got "
+                f"{fld!r}"
+            )
+        return topk_as_of(
+            spark, index_dir, txt, k=int(body.get("size", 10)), generations=g
+        )
     if "aggs" in body:
         base = docs.filter(filter_expr(body.get("query", {}), id_col))
         # background = the UNFILTERED table: significant_terms contrasts
@@ -2626,6 +2663,146 @@ def msearch(
     return [search(spark, docs, b) for b in bodies]
 
 
+def _phrase_suggest(
+    spark: SparkSession,
+    docs: DataFrame,
+    name: str,
+    spec: dict[str, Any],
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """ES phrase suggester ("did you mean"): whole-phrase corrections
+    ranked by a corpus bigram language model.
+
+    ES's pipeline — per-term candidate generation (direct generator)
+    then candidate-phrase scoring with an n-gram LM over the index —
+    re-expressed relationally:
+
+    1. per-slot candidates: dictionary terms within ``max_edits``
+       (prefix-locked first char, the term suggester's scale lever),
+       capped at ``candidate_size`` ranked input-token-first (a
+       real-word slot may stand) then corpus frequency desc, term asc;
+    2. candidate phrases: the cross product of the per-slot sets —
+       bounded tiny relations (≤ candidate_size^n_slots rows, n ≤ 4);
+    3. LM score (Laplace-smoothed bigram with a unigram start, the
+       documented formula so any engine can replay it):
+       ln((c1(w0)+1)/(T+V)) + Σ_i ln((c2(w_{i-1},w_i)+1)/(c1(w_{i-1})+V))
+       with c1 = term occurrences, c2 = adjacent-pair occurrences,
+       T = total tokens, V = vocabulary size (ES's default smoothing is
+       StupidBackoff — Laplace is the deterministic, oracle-replayable
+       choice, documented divergence).
+
+    Bigram counts come from one positional self-join; T and V are
+    metadata scalars (one aggregate, the corpus_stats pattern). The
+    input phrase itself is excluded (ES only returns corrections).
+    Returns (suggester, option, score) — score rounded to 6dp.
+    """
+    from .analyze import tokenize_text, tokens_df
+
+    ph = spec["phrase"]
+    if "text" not in spec:
+        raise ValueError(f"phrase suggester {name!r} needs a 'text' to correct")
+    size = int(ph.get("size", 5))
+    gens = _as_list(ph.get("direct_generator")) or [{}]
+    max_edits = int(gens[0].get("max_edits", 2))
+    cand_size = int(gens[0].get("candidate_size", 5))
+    tokens = tokenize_text(spec["text"])
+    if not 2 <= len(tokens) <= 4:
+        raise ValueError(
+            f"phrase suggester supports 2-4 tokens (bigram LM; candidate "
+            f"combos bounded); got {len(tokens)}"
+        )
+    toks = tokens_df(docs.select(id_col, text_col), text_col=text_col,
+                     id_col=id_col)
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    row = uni.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("c1").alias("t")
+    ).first()
+    v_size, t_total = float(row["v"]), float(row["t"])
+    a = toks.select(
+        "doc_id", F.col("pos").alias("pa"), F.col("term").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pa"), F.col("term").alias("w2"))
+    big = a.join(b, ["doc_id", "pa"]).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2"))
+
+    # per-slot candidate terms: ≤ cand_size strings per slot — QUERY
+    # metadata, not data rows (the wand.py query-term-collect pattern);
+    # the input token ranks first when present so real-word slots stand
+    slots: list[list[str]] = []
+    for tok in tokens:
+        near = (
+            uni.filter(
+                (F.substring("term", 1, 1) == tok[:1])
+                & (F.levenshtein(F.col("term"), F.lit(tok)) <= max_edits)
+            )
+            .orderBy(
+                F.desc(F.col("term") == tok), F.desc("c1"), F.asc("term")
+            )
+            .limit(cand_size)
+            .collect()
+        )
+        terms = [r["term"] for r in near]
+        if not terms:
+            terms = [tok]  # unknown slot: keep the input literally
+        slots.append(terms)
+
+    import itertools
+
+    combo_rows = list(itertools.product(*slots))
+    combos = spark.createDataFrame(
+        combo_rows, ", ".join(f"s{i} string" for i in range(len(tokens)))
+    )
+    # restrict the count relations to the candidate terms, THEN broadcast
+    # — combos and the restricted relations are all tiny; the full
+    # vocabulary/bigram tables never move
+    all_terms = sorted({t for s in slots for t in s})
+    uni_small = uni.filter(F.col("term").isin(all_terms))
+    big_small = big.filter(
+        F.col("w1").isin(all_terms) & F.col("w2").isin(all_terms)
+    )
+    combos = combos.join(
+        F.broadcast(uni_small.withColumnRenamed("term", "s0")
+                    .withColumnRenamed("c1", "_u0")),
+        "s0", "left",
+    )
+    score = F.log(
+        (F.coalesce(F.col("_u0"), F.lit(0)) + F.lit(1.0))
+        / F.lit(t_total + v_size)
+    )
+    for i in range(1, len(tokens)):
+        combos = combos.join(
+            F.broadcast(
+                uni_small.withColumnRenamed("term", f"s{i - 1}")
+                .withColumnRenamed("c1", f"_up{i}")
+            ),
+            f"s{i - 1}", "left",
+        ).join(
+            F.broadcast(
+                big_small.withColumnRenamed("w1", f"s{i - 1}")
+                .withColumnRenamed("w2", f"s{i}")
+                .withColumnRenamed("c2", f"_b{i}")
+            ),
+            [f"s{i - 1}", f"s{i}"], "left",
+        )
+        score = score + F.log(
+            (F.coalesce(F.col(f"_b{i}"), F.lit(0)) + F.lit(1.0))
+            / (F.coalesce(F.col(f"_up{i}"), F.lit(0)) + F.lit(v_size))
+        )
+    original = " ".join(tokens)
+    phrase_col = F.concat_ws(" ", *[F.col(f"s{i}") for i in range(len(tokens))])
+    return (
+        combos.select(
+            F.lit(name).alias("suggester"),
+            phrase_col.alias("option"),
+            F.round(score, 6).alias("score"),
+        )
+        .filter(F.col("option") != original)
+        .orderBy(F.desc("score"), F.asc("option"))
+        .limit(size)
+    )
+
+
 def suggest(
     spark: SparkSession,
     docs: DataFrame,
@@ -2658,11 +2835,54 @@ def suggest(
 
     sug = body.get("suggest") or body
     out = None
+    phrase_specs = {n: s for n, s in sug.items() if "phrase" in s}
+    if phrase_specs:
+        # phrase suggestions carry an LM score, not (distance, freq) —
+        # a different result shape, so phrase suggesters don't mix with
+        # term/completion ones in a single call (ES nests per-suggester
+        # responses; relational outputs need one schema)
+        if len(phrase_specs) != len(sug):
+            raise ValueError(
+                "phrase suggesters cannot be mixed with term/completion "
+                "suggesters in one call (different result schemas)"
+            )
+        for name, spec in sorted(phrase_specs.items()):
+            r = _phrase_suggest(spark, docs, name, spec, text_col, id_col)
+            out = r if out is None else out.unionByName(r)
+        return out.orderBy("suggester", F.desc("score"), "option")
     p = postings_long(docs.select(id_col, text_col), text_col=text_col, id_col=id_col)
     tdf = p.groupBy("term").agg(F.count_distinct("doc_id").alias("freq"))
     for name, spec in sorted(sug.items()):
+        if "completion" in spec:
+            # ES completion suggester analogue: prefix → top completions
+            # from the corpus term dictionary, weighted by doc frequency
+            # (ES uses an indexed FST with explicit weights; df is the
+            # corpus-derived weight). Emitted in the term-suggester shape
+            # with distance 0 so suggester types can union.
+            comp = spec["completion"]
+            size = int(comp.get("size", 5))
+            prefix = str(spec.get("prefix", "")).lower()
+            if not prefix:
+                raise ValueError(f"suggester {name!r}: completion needs a prefix")
+            ranked = (
+                tdf.filter(F.col("term").startswith(prefix))
+                .orderBy(F.desc("freq"), F.asc("term"))
+                .limit(size)
+                .select(
+                    F.lit(name).alias("suggester"),
+                    F.lit(prefix).alias("token"),
+                    F.col("term").alias("option"),
+                    F.lit(0).alias("distance"),
+                    "freq",
+                )
+            )
+            out = ranked if out is None else out.unionByName(ranked)
+            continue
         if "term" not in spec:
-            raise ValueError(f"suggester {name!r}: only the term suggester is supported")
+            raise ValueError(
+                f"suggester {name!r}: supported types are term, completion "
+                "and phrase"
+            )
         t = spec["term"]
         size = int(t.get("size", 5))
         max_edits = int(t.get("max_edits", 2))
@@ -2713,6 +2933,85 @@ def suggest(
         )
         out = ranked if out is None else out.unionByName(ranked)
     return out.orderBy("suggester", "token", "distance", F.desc("freq"), "option")
+
+
+def open_pit(index_dir: str) -> dict[str, str]:
+    """ES ``POST /<index>/_pit`` analogue: capture the index's current
+    state for point-in-time searches. The returned id pins the
+    GENERATION COUNT (the snapshot axis timetravel.py serves) — searches
+    with ``body["pit"]`` reproduce this state exactly even after later
+    ``append_documents`` calls. A rewrite (compact/merge) invalidates
+    old pits loudly, exactly like timetravel's refusal."""
+    from .build import load_stats
+
+    g = int(load_stats(index_dir).get("generations", 1))
+    return {"id": f"gen-{g}"}
+
+
+def _parse_pit(pit_id: str) -> int:
+    m = re.fullmatch(r"gen-(\d+)", str(pit_id))
+    if m is None:
+        raise ValueError(
+            f"malformed pit id {pit_id!r} (open_pit returns 'gen-<g>')"
+        )
+    return int(m.group(1))
+
+
+def scroll(
+    spark: SparkSession,
+    docs: DataFrame,
+    body: dict[str, Any],
+    index_dir: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """ES scroll analogue: iterate EVERY hit of a filter query in stable
+    pages — implemented as automated ``search_after`` keyset pagination
+    (the scale path ES itself migrated scroll users to: each page is one
+    pushdown-able keyset predicate, no server-side cursor state, no
+    deep-offset re-sort).
+
+    Yields lists of Rows, one list per page. The driver materializes ONE
+    page at a time (bounded by ``size``) to extract the next keyset —
+    cursor pagination is inherently client-paced; the corpus is never
+    collected. The sort is made total by appending ``id_col`` asc when
+    absent, so pages tile exactly (a non-total sort would skip/duplicate
+    rows across pages). Scoring queries are rejected, as in search().
+    """
+    body = dict(body)
+    sort = _as_list(body.get("sort"))
+    keys = [
+        (s if isinstance(s, str) else next(iter(s)))
+        for s in sort
+    ]
+    if id_col not in keys:
+        sort = sort + [{id_col: "asc"}]
+    body["sort"] = sort
+    body.pop("search_after", None)
+    size = int(body.get("size", 10))
+
+    def sort_vals(row) -> list:
+        vals = []
+        for s in sort:
+            (field, spec), = s.items() if isinstance(s, dict) else ((s, "asc"),)
+            vals.append(row[field])
+        return vals
+
+    after = None
+    while True:
+        b = dict(body)
+        if after is not None:
+            b["search_after"] = after
+        rows = search(
+            spark, docs, b, index_dir=index_dir,
+            text_col=text_col, id_col=id_col,
+        ).collect()
+        if not rows:
+            return
+        yield rows
+        if len(rows) < size:
+            return
+        after = sort_vals(rows[-1])
 
 
 def more_like_this(

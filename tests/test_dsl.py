@@ -1332,8 +1332,10 @@ def test_suggest_missing_mode_skips_known_tokens(spark, documents):
 
 
 def test_suggest_refusals(spark, documents):
-    with pytest.raises(ValueError, match="term suggester"):
+    with pytest.raises(ValueError, match="needs a 'text'"):
         dsl.suggest(spark, documents, {"suggest": {"s": {"phrase": {}}}})
+    with pytest.raises(ValueError, match="term, completion"):
+        dsl.suggest(spark, documents, {"suggest": {"s": {"nosuch": {}}}})
     with pytest.raises(ValueError, match="max_edits"):
         dsl.suggest(
             spark,
