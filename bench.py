@@ -155,6 +155,8 @@ def main() -> None:
         "minhash_lsh_dups_fast",   # xxhash64 production path (the 100-TB number)
         "ann_bruteforce",
         "ann_ivf",                 # TRAINED quantizer (r5: training + probe)
+        "dsl_query_string",        # boolean-tree engine (r5 third wave)
+        "dsl_pipeline_aggs",       # bucket-frame window pipelines (r5)
     ]
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
