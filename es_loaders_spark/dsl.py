@@ -56,8 +56,132 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def filter_expr(query: dict[str, Any], id_col: str = "doc_id") -> Column:
-    """Compile a DSL filter-context query dict to a boolean Column."""
+# ES GeoUtils.EARTH_MEAN_RADIUS — the radius Lucene's haversin uses, so
+# distances agree with what an ES user sees.
+EARTH_RADIUS_M = 6_371_008.7714
+
+_DIST_UNITS_M = {
+    "mm": 0.001, "cm": 0.01, "m": 1.0, "km": 1000.0,
+    "in": 0.0254, "ft": 0.3048, "yd": 0.9144, "mi": 1609.344,
+    "nmi": 1852.0, "nm": 1852.0,
+    "millimeters": 0.001, "centimeters": 0.01, "meters": 1.0,
+    "kilometers": 1000.0, "inch": 0.0254, "feet": 0.3048,
+    "yards": 0.9144, "miles": 1609.344, "nauticalmiles": 1852.0,
+}
+
+
+def _parse_distance(spec) -> float:
+    """ES distance string ("1500km", "10mi", bare number = meters) → meters."""
+    if isinstance(spec, (int, float)):
+        return float(spec)
+    m = re.fullmatch(r"\s*([0-9.eE+-]+)\s*([a-zA-Z]*)\s*", str(spec))
+    if not m:
+        raise ValueError(f"unparseable distance {spec!r}")
+    unit = (m.group(2) or "m").lower()
+    if unit not in _DIST_UNITS_M:
+        raise ValueError(f"unsupported distance unit {unit!r} in {spec!r}")
+    return float(m.group(1)) * _DIST_UNITS_M[unit]
+
+
+def _parse_geo_point(origin) -> tuple[float, float]:
+    """ES geo-point literal → (lat, lon). Accepts {"lat","lon"} dicts,
+    [lon, lat] arrays (GeoJSON order!), and "lat,lon" strings."""
+    if isinstance(origin, dict):
+        return float(origin["lat"]), float(origin["lon"])
+    if isinstance(origin, (list, tuple)):
+        lon, lat = origin  # ES array form is [lon, lat]
+        return float(lat), float(lon)
+    lat_s, lon_s = str(origin).split(",")
+    return float(lat_s), float(lon_s)
+
+
+def _haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters (haversine, ES mean earth radius).
+    Pure Catalyst trig — whole-stage codegen, no UDF."""
+    dlat = F.radians(lat2 - lat1) / F.lit(2.0)
+    dlon = F.radians(lon2 - lon1) / F.lit(2.0)
+    a = (
+        F.pow(F.sin(dlat), F.lit(2.0))
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.pow(F.sin(dlon), F.lit(2.0))
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+_MAX_MERCATOR_LAT = 85.05112878  # Web-Mercator clamp (ES GeoTileUtils)
+
+
+def geotile_key(lat: Column, lon: Column, precision: int) -> Column:
+    """Web-Mercator tile key "z/x/y" (ES geotile_grid bucket key).
+
+    x = floor((lon+180)/360·2^z); y from the Mercator projection with
+    latitude clamped to ±85.05112878 — identical formula to ES
+    GeoTileUtils.longEncode. Pure Catalyst math, codegen-friendly.
+    """
+    import math as _math
+
+    n = F.lit(float(1 << precision))
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n)
+    latc = F.least(
+        F.greatest(lat, F.lit(-_MAX_MERCATOR_LAT)), F.lit(_MAX_MERCATOR_LAT)
+    )
+    latr = F.radians(latc)
+    y = F.floor(
+        (
+            F.lit(1.0)
+            - F.log(F.tan(latr) + F.lit(1.0) / F.cos(latr)) / F.lit(_math.pi)
+        )
+        / F.lit(2.0)
+        * n
+    )
+    clamp = lambda c: F.least(F.greatest(c, F.lit(0.0)), n - F.lit(1.0))  # noqa: E731
+    return F.concat_ws(
+        "/",
+        F.lit(str(precision)),
+        clamp(x).cast("long").cast("string"),
+        clamp(y).cast("long").cast("string"),
+    )
+
+
+def geotile_sql(lat: str, lon: str, precision: int) -> str:
+    """DuckDB-SQL twin of ``geotile_key`` (oracle generation)."""
+    import math as _math
+
+    n = float(1 << precision)
+    latc = f"least(greatest({lat}, -{_MAX_MERCATOR_LAT}), {_MAX_MERCATOR_LAT})"
+    x = f"floor((({lon}) + 180.0) / 360.0 * {n!r})"
+    y = (
+        f"floor((1.0 - ln(tan(radians({latc})) + 1.0 / cos(radians({latc})))"
+        f" / {_math.pi!r}) / 2.0 * {n!r})"
+    )
+    clamp = lambda c: f"least(greatest({c}, 0.0), {n - 1.0!r})"  # noqa: E731
+    return (
+        f"concat('{precision}', '/', CAST(CAST({clamp(x)} AS BIGINT) AS VARCHAR),"
+        f" '/', CAST(CAST({clamp(y)} AS BIGINT) AS VARCHAR))"
+    )
+
+
+def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """The DuckDB-SQL twin of ``_haversine_m`` (oracle generation)."""
+    return (
+        f"2.0 * {EARTH_RADIUS_M!r} * asin(sqrt("
+        f"pow(sin(radians(({lat2}) - ({lat1})) / 2.0), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin(radians(({lon2}) - ({lon1})) / 2.0), 2)))"
+    )
+
+
+def filter_expr(
+    query: dict[str, Any], id_col: str = "doc_id", _col=F.col
+) -> Column:
+    """Compile a DSL filter-context query dict to a boolean Column.
+
+    ``_col`` resolves a field name to a Column — ``F.col`` at document
+    scope; inside a ``nested`` clause it resolves path-prefixed names
+    against the current array element, so every leaf clause works
+    unchanged over nested objects (ES nested-query semantics: all inner
+    conditions must hold on the SAME nested object).
+    """
     if not query:
         return F.lit(True)
     if len(query) != 1:
@@ -67,30 +191,30 @@ def filter_expr(query: dict[str, Any], id_col: str = "doc_id") -> Column:
         (field, value), = body.items()
         if isinstance(value, dict):  # long form {"value": v}
             value = value["value"]
-        return F.col(field) == F.lit(value)
+        return _col(field) == F.lit(value)
     if kind == "terms":
         (field, values), = body.items()
-        return F.col(field).isin(list(values))
+        return _col(field).isin(list(values))
     if kind == "range":
         (field, conds), = body.items()
-        col, out = F.col(field), F.lit(True)
+        col, out = _col(field), F.lit(True)
         ops = {"gte": col.__ge__, "gt": col.__gt__, "lte": col.__le__, "lt": col.__lt__}
         for op, v in conds.items():
             out = out & ops[op](F.lit(v))
         return out
     if kind == "exists":
-        return F.col(body["field"]).isNotNull()
+        return _col(body["field"]).isNotNull()
     if kind == "match_all":
         return F.lit(True)
     if kind == "ids":
         # ES `_id` ≙ the engine's configured id column (ADVICE r03 #2:
         # was hard-coded doc_id, breaking tables with a different id col)
-        return F.col(id_col).isin([int(v) for v in body["values"]])
+        return _col(id_col).isin([int(v) for v in body["values"]])
     if kind == "prefix":
         (field, value), = body.items()
         if isinstance(value, dict):  # long form {"value": v}
             value = value["value"]
-        return F.col(field).startswith(str(value))
+        return _col(field).startswith(str(value))
     if kind == "wildcard":
         (field, value), = body.items()
         if isinstance(value, dict):
@@ -121,7 +245,7 @@ def filter_expr(query: dict[str, Any], id_col: str = "doc_id") -> Column:
                 out_chars.append("\\" + ch)
             else:
                 out_chars.append(ch)
-        return F.col(field).like("".join(out_chars))
+        return _col(field).like("".join(out_chars))
     if kind == "regexp":
         (field, value), = body.items()
         if isinstance(value, dict):
@@ -130,7 +254,7 @@ def filter_expr(query: dict[str, Any], id_col: str = "doc_id") -> Column:
         # field value (Lucene's syntax has no ^/$ operators at all). Spark's
         # rlike is a substring search, so anchor explicitly; (?:...) keeps a
         # top-level alternation like a|b from escaping the anchors.
-        return F.col(field).rlike(f"^(?:{value})$")
+        return _col(field).rlike(f"^(?:{value})$")
     if kind == "fuzzy":
         (field, value), = body.items()
         fuzziness: Any = "AUTO"
@@ -143,14 +267,65 @@ def filter_expr(query: dict[str, Any], id_col: str = "doc_id") -> Column:
             dist = 0 if len(value) <= 2 else 1 if len(value) <= 5 else 2
         else:
             dist = int(fuzziness)
-        return F.levenshtein(F.col(field), F.lit(value)) <= F.lit(dist)
+        return F.levenshtein(_col(field), F.lit(value)) <= F.lit(dist)
+    if kind == "nested":
+        # ES nested query: the parent matches if ANY nested object
+        # satisfies the ENTIRE inner query — the whole point of nested
+        # vs flattened arrays (two conditions must hold on the SAME
+        # element). Compiled to the `exists` HOF over the array column:
+        # whole-stage codegen, no explode, no shuffle, and the array
+        # never leaves its row. Inner field names are path-prefixed
+        # ("items.qty") exactly as ES requires.
+        path, inner = body["path"], body["query"]
+        parent_col = _col
+
+        def _elem_resolver(s):
+            def resolve(f: str) -> Column:
+                if f == path:
+                    return s
+                if f.startswith(path + "."):
+                    out = s
+                    for part in f[len(path) + 1:].split("."):
+                        out = out.getField(part)
+                    return out
+                return parent_col(f)
+
+            return resolve
+
+        return F.exists(
+            _col(path),
+            lambda s: F.coalesce(
+                filter_expr(inner, id_col, _elem_resolver(s)), F.lit(False)
+            ),
+        )
+    if kind == "geo_bounding_box":
+        (field, box), = body.items()
+        tl, br = box["top_left"], box["bottom_right"]
+        pt = _col(field)
+        lat, lon = pt.getField("lat"), pt.getField("lon")
+        out = (lat <= F.lit(float(tl["lat"]))) & (lat >= F.lit(float(br["lat"])))
+        lo, hi = float(tl["lon"]), float(br["lon"])
+        if lo <= hi:
+            return out & (lon >= F.lit(lo)) & (lon <= F.lit(hi))
+        # box crossing the antimeridian: ES treats left>right as a wrap
+        return out & ((lon >= F.lit(lo)) | (lon <= F.lit(hi)))
+    if kind == "geo_distance":
+        dist_m = _parse_distance(body["distance"])
+        (field, origin), = ((k, v) for k, v in body.items()
+                            if k not in ("distance", "distance_type"))
+        olat, olon = _parse_geo_point(origin)
+        pt = _col(field)
+        return _haversine_m(
+            pt.getField("lat"), pt.getField("lon"),
+            F.lit(olat), F.lit(olon),
+        ) <= F.lit(dist_m)
     if kind == "bool":
         # ES two-valued match semantics: a clause over a missing/NULL field
         # simply DOESN'T MATCH. Spark predicates are three-valued (NULL
         # propagates), so every sub-clause is coalesced to false before
         # negation/counting — otherwise must_not wrongly drops NULL-field
         # rows (~NULL = NULL) and msm counts go NULL-poisoned.
-        matches = lambda sub: F.coalesce(filter_expr(sub, id_col), F.lit(False))  # noqa: E731
+        matches = lambda sub: F.coalesce(filter_expr(sub, id_col, _col), F.lit(False))  # noqa: E731
         out = F.lit(True)
         has_positive = False
         for clause in ("filter", "must"):
@@ -967,6 +1142,49 @@ def _proximity_docs(
     return joined.filter(cond).select("doc_id").distinct()
 
 
+_RUNTIME_TYPES = {
+    "double": "double", "long": "long", "keyword": "string",
+    "boolean": "boolean", "date": "timestamp",
+}
+
+
+def _apply_runtime_mappings(docs: DataFrame, rt: dict[str, Any]) -> DataFrame:
+    """ES ``runtime_mappings``: each entry becomes a derived column.
+
+    The painless subset matches script_score: ``doc['field'].value``
+    references, ``params.*``, arithmetic/comparisons and ``Math.*`` —
+    with the conventional ``emit(...)`` wrapper unwrapped (runtime-field
+    scripts emit exactly one value per doc here; multi-emit fields are
+    out of scope). Compiled by ``_compile_script`` → one Catalyst
+    expression per field, no join (the field computes on its own row).
+    """
+    for fname, spec in rt.items():
+        script = spec.get("script")
+        src = script["source"] if isinstance(script, dict) else str(script)
+        m = re.fullmatch(r"\s*emit\((.*)\)\s*;?\s*", src, re.S)
+        if m:
+            src = m.group(1)
+        fields = sorted(set(re.findall(r"doc\['([\w.]+)'\]\.value", src)))
+        src = re.sub(
+            r"doc\['([\w.]+)'\]\.value",
+            lambda mm: "f_" + mm.group(1).replace(".", "__"),
+            src,
+        ).replace("Math.", "")
+        params: dict[str, Column] = {}
+        if isinstance(script, dict):
+            for p, v in (script.get("params") or {}).items():
+                params[p] = F.lit(float(v))
+        for f in fields:
+            params["f_" + f.replace(".", "__")] = F.col(f).cast("double")
+        typ = _RUNTIME_TYPES.get(spec.get("type", "double"))
+        if typ is None:
+            raise ValueError(
+                f"runtime field {fname!r}: unsupported type {spec.get('type')!r}"
+            )
+        docs = docs.withColumn(fname, _compile_script(src, params).cast(typ))
+    return docs
+
+
 def search(
     spark: SparkSession,
     docs: DataFrame,
@@ -990,6 +1208,40 @@ def search(
     (``build.build_index``) so ``match`` serves from compressed
     postings (VERDICT r04 "What's wrong" #4).
     """
+    if body.get("runtime_mappings"):
+        # ES runtime fields: script-derived columns visible to the query,
+        # aggs and sort of THIS search — withColumn over the same no-eval
+        # script parser, so the derived expression stays inside
+        # whole-stage codegen (never a Python UDF).
+        docs = _apply_runtime_mappings(docs, body["runtime_mappings"])
+    if "knn" in body:
+        # ES knn search section: exact cosine top-k (the brute-force
+        # baseline; at scale serve via similarity.ivf_topk_indexed /
+        # lsh_topk_indexed over a built ANN index). `filter` is a
+        # PRE-filter, as in ES. Score = (1+cosine)/2, the documented ES
+        # transform for cosine similarity. num_candidates is accepted
+        # and ignored — the exact path examines every (filtered) vector.
+        from .similarity import _dot, _norm
+
+        knn = body["knn"]
+        qv = [float(x) for x in knn["query_vector"]]
+        k = int(knn.get("k", body.get("size", 10)))
+        base = docs
+        flt_clauses = _as_list(knn.get("filter"))
+        if flt_clauses:
+            cond = F.lit(True)
+            for c in flt_clauses:
+                cond = cond & F.coalesce(filter_expr(c, id_col), F.lit(False))
+            base = docs.filter(cond)
+        q = F.array(*[F.lit(x) for x in qv])
+        vec = F.transform(F.col(knn["field"]), lambda x: x.cast("double"))
+        sim = _dot(vec, q) / (_norm(vec) * _norm(q))
+        score = (F.lit(1.0) + sim) / F.lit(2.0)
+        return (
+            base.select(F.col(id_col), F.round(score, 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+        )
     if body.get("pit") is not None:
         # ES point-in-time search: results pinned to the index state the
         # PIT captured, surviving later appends. The PIT id encodes the
@@ -1940,6 +2192,38 @@ def _aggs(
                 pick(F.col(m["field"]), key).alias(f"{p}{m['field']}")
                 for m in _as_list(tm["metrics"])
             ]
+        if "reverse_nested" in spec:
+            # ES reverse_nested (under a nested context): how many PARENT
+            # documents fall in this bucket. The nested explode keeps the
+            # parent's id column on every nested row, so this is one
+            # count_distinct — no join back to the parent table.
+            if id_col not in base.columns:
+                raise ValueError(
+                    f"reverse_nested counts parents by {id_col!r}, which "
+                    f"this table lacks (columns: {base.columns})"
+                )
+            return [F.count_distinct(F.col(id_col)).alias(f"{name}_doc_count")]
+        if "geo_bounds" in spec:
+            pt = F.col(spec["geo_bounds"]["field"])
+            lat, lon = pt.getField("lat"), pt.getField("lon")
+            p = f"{name}_" if multi else ""
+            return [
+                F.max(lat).alias(f"{p}top_left_lat"),
+                F.min(lon).alias(f"{p}top_left_lon"),
+                F.min(lat).alias(f"{p}bottom_right_lat"),
+                F.max(lon).alias(f"{p}bottom_right_lon"),
+            ]
+        if "geo_centroid" in spec:
+            # ES geo_centroid: arithmetic mean of lat/lon (ES averages the
+            # coordinates, not the great-circle midpoint) + point count
+            pt = F.col(spec["geo_centroid"]["field"])
+            lat, lon = pt.getField("lat"), pt.getField("lon")
+            p = f"{name}_" if multi else ""
+            return [
+                F.avg(lat).alias(f"{p}lat"),
+                F.avg(lon).alias(f"{p}lon"),
+                F.count(lat).alias(f"{p}count"),
+            ]
         if "percentiles" in spec:
             # ES percentiles is t-digest-approximate; exact (sort-based,
             # linear interpolation — numpy/ES 'linear') by default so the
@@ -2162,6 +2446,103 @@ def _aggs(
             )
             for nm, qd in sorted(named.items())
         ]
+        grouped = base.withColumn(
+            f"{name}_key",
+            F.explode(F.array_compact(F.array(*tagged))),
+        )
+        sub = spec.get("aggs")
+        if sub:
+            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
+        return grouped.groupBy(*group_cols, f"{name}_key").agg(
+            F.count(F.lit(1)).alias("doc_count")
+        )
+    if "nested" in spec:
+        # ES nested agg: switch the aggregation context from parent docs
+        # to the nested objects under `path`. One explode (nested rows ≈
+        # array elements — this is the ONLY place nested arrays unroll;
+        # filter-context nested queries stay HOF-only), replacing the
+        # array column with the element struct so sub-agg field names
+        # ("items.qty") resolve into it. Parent columns (incl. id_col)
+        # ride along, which is what makes reverse_nested a count_distinct
+        # instead of a join. doc_count = number of nested docs, like ES.
+        path = spec["nested"]["path"]
+        sub = spec.get("aggs")
+        exploded = base.withColumn("__nested_elem", F.explode(F.col(path)))
+        if sub:
+            # Sub-agg specs reference nested fields path-prefixed
+            # ("items.qty"), but downstream agg machinery (groupBy keys,
+            # window sorts) needs plain column names. Rewrite every
+            # prefixed name in the spec to a flat "items__qty" column and
+            # materialize exactly the referenced fields from the exploded
+            # element — projection stays minimal, names stay dot-free.
+            refs: set[str] = set()
+
+            def _rw(obj):
+                if isinstance(obj, dict):
+                    return {_rw(k): _rw(v) for k, v in obj.items()}
+                if isinstance(obj, list):
+                    return [_rw(x) for x in obj]
+                if isinstance(obj, str) and obj.startswith(path + "."):
+                    refs.add(obj)
+                    return obj.replace(".", "__")
+                return obj
+
+            sub = _rw(sub)
+            for ref in sorted(refs):
+                col = F.col("__nested_elem")
+                for part in ref[len(path) + 1:].split("."):
+                    col = col.getField(part)
+                exploded = exploded.withColumn(ref.replace(".", "__"), col)
+            return _recurse(exploded.drop("__nested_elem"), sub, group_cols)
+        exploded = exploded.drop("__nested_elem")
+        if group_cols:
+            return exploded.groupBy(*group_cols).agg(
+                F.count(F.lit(1)).alias("doc_count")
+            )
+        return exploded.agg(F.count(F.lit(1)).alias("doc_count"))
+    if "geotile_grid" in spec:
+        # ES geotile_grid: Web-Mercator map tiles "z/x/y" at the given
+        # precision — pure floor math, whole-stage codegen, one groupBy.
+        g = spec["geotile_grid"]
+        pt = F.col(g["field"])
+        grouped = base.withColumn(
+            f"{name}_key",
+            geotile_key(
+                pt.getField("lat"), pt.getField("lon"),
+                int(g.get("precision", 7)),
+            ),
+        )
+        sub = spec.get("aggs")
+        if sub:
+            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
+        return grouped.groupBy(*group_cols, f"{name}_key").agg(
+            F.count(F.lit(1)).alias("doc_count")
+        )
+    if "geo_distance" in spec:
+        # ES geo_distance agg: distance-from-origin range buckets — the
+        # same independent/overlapping bucket semantics as the range agg
+        # (from inclusive, to exclusive), over a haversine expression.
+        g = spec["geo_distance"]
+        pt = F.col(g["field"])
+        olat, olon = _parse_geo_point(g["origin"])
+        unit = _DIST_UNITS_M[g.get("unit", "m")]
+        dist = _haversine_m(
+            pt.getField("lat"), pt.getField("lon"),
+            F.lit(olat), F.lit(olon),
+        ) / F.lit(unit)
+        fmt = lambda v: f"{float(v):g}"  # noqa: E731
+        tagged = []
+        for rg in g["ranges"]:
+            frm, to = rg.get("from"), rg.get("to")
+            key = rg.get("key") or (
+                f"{'*' if frm is None else fmt(frm)}-{'*' if to is None else fmt(to)}"
+            )
+            cond = F.lit(True)
+            if frm is not None:
+                cond = cond & (dist >= F.lit(float(frm)))
+            if to is not None:
+                cond = cond & (dist < F.lit(float(to)))
+            tagged.append(F.when(cond, F.lit(key)))
         grouped = base.withColumn(
             f"{name}_key",
             F.explode(F.array_compact(F.array(*tagged))),
