@@ -24,7 +24,7 @@ from es_loaders_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: BM25 top-k over the documents corpus at sf0.001."""
-    return QUERIES["bm25_topk"](spark, "/root/testdata/sf0.001")
+    return QUERIES["bm25_topk_wand"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

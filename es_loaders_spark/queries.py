@@ -3051,3 +3051,291 @@ for _n in _RETIRED_R5:
     EXTRA_QUERIES[_n] = QUERIES.pop(_n)
     if _n in ORACLES:
         EXTRA_ORACLES[_n] = ORACLES.pop(_n)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 fourth wave: nested docs, geo, runtime fields, percolator
+# (dsl.py nested/geo/runtime_mappings; percolate.py)
+# ---------------------------------------------------------------------------
+
+# One synthetic geo derivation shared by the Spark queries and their SQL
+# twins: a deterministic lat/lon per customer, pure integer-mod + double
+# division so both engines produce bit-identical coordinates.
+_GEO_LAT_SQL = "(c_custkey * 7919 % 16000) / 100.0 - 80.0"
+_GEO_LON_SQL = "(c_custkey * 104729 % 36000) / 100.0 - 180.0"
+
+
+def _geo_customers(spark, sf_dir):
+    c = _T(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") * 7919 % 16000) / 100.0 - 80.0
+    lon = (F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0
+    return c.select(
+        "c_custkey", F.struct(lat.alias("lat"), lon.alias("lon")).alias("loc")
+    )
+
+
+def _nested_orders(spark, sf_dir):
+    """Orders as parent docs with their lineitems as NESTED objects —
+    the array-of-struct shape ES nested mappings model. collect_list
+    order is nondeterministic; every consumer below is order-insensitive
+    (exists / aggregates), which is exactly why nested results stay
+    deterministic at any parallelism."""
+    li = _T(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_orderkey").alias("doc_id")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_quantity").alias("qty"),
+                F.col("l_discount").alias("disc"),
+                F.col("l_returnflag").alias("flag"),
+            )
+        ).alias("items")
+    )
+
+
+@q(
+    "dsl_nested",
+    "SELECT l_orderkey AS doc_id FROM lineitem "
+    "WHERE l_quantity >= 48 AND l_discount >= 0.07 "
+    "GROUP BY 1 ORDER BY 1 LIMIT 50000",
+)
+def dsl_nested(spark, sf_dir):
+    """ES ``nested`` query (dsl.py filter_expr): BOTH conditions must
+    hold on the SAME nested lineitem — the semantics a flattened array
+    model gets wrong. Compiled to the exists() HOF: no explode, no
+    shuffle, the array never leaves its row."""
+    from . import dsl
+
+    body = {
+        "query": {"nested": {"path": "items", "query": {"bool": {"filter": [
+            {"range": {"items.qty": {"gte": 48}}},
+            {"range": {"items.disc": {"gte": 0.07}}},
+        ]}}}},
+        "sort": [{"doc_id": "asc"}],
+        "size": 50000,
+        "_source": ["doc_id"],
+    }
+    return dsl.search(spark, _nested_orders(spark, sf_dir), body)
+
+
+@q(
+    "dsl_nested_agg",
+    "SELECT l_returnflag AS flag, round(sum(l_quantity), 4) AS qty_sum, "
+    "count(DISTINCT l_orderkey) AS parents, count(*) AS doc_count "
+    "FROM lineitem GROUP BY 1",
+)
+def dsl_nested_agg(spark, sf_dir):
+    """ES ``nested`` agg ▸ terms ▸ sum + ``reverse_nested`` (dsl.py
+    _aggs): the ONLY place nested arrays unroll is the agg explode; the
+    parent id rides along so reverse_nested is a count_distinct, not a
+    join back to the parent table."""
+    from . import dsl
+
+    body = {"size": 0, "aggs": {"per_item": {"nested": {"path": "items"}, "aggs": {
+        "by_flag": {"terms": {"field": "items.flag", "size": 10}, "aggs": {
+            "qty_sum": {"sum": {"field": "items.qty"}},
+            "parents": {"reverse_nested": {}},
+        }}}}}}
+    out = dsl.search(spark, _nested_orders(spark, sf_dir), body)
+    return out.select(
+        F.col("items__flag").alias("flag"),
+        F.round("qty_sum_value", 4).alias("qty_sum"),
+        F.col("parents_doc_count").alias("parents"),
+        "doc_count",
+    )
+
+
+@q(
+    "dsl_geo_distance",
+    f"""WITH pts AS (
+         SELECT {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon FROM customer
+       ), d AS (
+         SELECT 2.0 * 6371008.7714 * asin(sqrt(
+           pow(sin(radians(lat - 40.71) / 2.0), 2) +
+           cos(radians(40.71)) * cos(radians(lat)) *
+           pow(sin(radians(lon - (-74.0)) / 2.0), 2))) / 1000.0 AS km
+         FROM pts)
+       SELECT CASE WHEN km < 2500 THEN '*-2500'
+                   WHEN km < 8000 THEN '2500-8000'
+                   WHEN km < 14000 THEN '8000-14000'
+                   ELSE '14000-*' END AS ring,
+              count(*) AS doc_count
+       FROM d GROUP BY 1""",
+)
+def dsl_geo_distance(spark, sf_dir):
+    """ES ``geo_distance`` ring agg (dsl.py _aggs): haversine with the
+    ES mean earth radius, evaluated as pure Catalyst trig (no UDF), then
+    the independent-range exploded-tag bucket shape. The oracle's CASE is
+    equivalent because these rings are non-overlapping."""
+    from . import dsl
+
+    body = {"size": 0, "aggs": {"rings": {"geo_distance": {
+        "field": "loc", "origin": {"lat": 40.71, "lon": -74.0}, "unit": "km",
+        "ranges": [
+            {"to": 2500}, {"from": 2500, "to": 8000},
+            {"from": 8000, "to": 14000}, {"from": 14000},
+        ],
+    }}}}
+    out = dsl.search(spark, _geo_customers(spark, sf_dir), body)
+    return out.select(F.col("rings_key").alias("ring"), "doc_count")
+
+
+@q("dsl_geotile_grid", None)  # oracle assembled below (needs geotile_sql)
+def dsl_geotile_grid(spark, sf_dir):
+    """ES ``geotile_grid`` agg (dsl.py geotile_key): Web-Mercator z/x/y
+    tile buckets — pure floor math in whole-stage codegen, one groupBy.
+    The oracle re-emits the identical formula via dsl.geotile_sql."""
+    from . import dsl
+
+    body = {"size": 0, "aggs": {
+        "tiles": {"geotile_grid": {"field": "loc", "precision": 5}}}}
+    out = dsl.search(spark, _geo_customers(spark, sf_dir), body)
+    return out.select(F.col("tiles_key").alias("tile"), "doc_count")
+
+
+def _geotile_oracle_sql() -> str:
+    from . import dsl
+
+    return (
+        "WITH pts AS (SELECT "
+        f"{_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon FROM customer) "
+        f"SELECT {dsl.geotile_sql('lat', 'lon', 5)} AS tile, "
+        "count(*) AS doc_count FROM pts GROUP BY 1"
+    )
+
+
+ORACLES["dsl_geotile_grid"] = _geotile_oracle_sql()
+
+
+# The percolated candidate document (fixed) and the stored-query
+# derivation (one row per part) — mirrored exactly in the SQL twin.
+_PERC_DOC = {
+    "brand": "Brand#32", "size": 17,
+    "type_text": "STANDARD POLISHED TIN", "container": "SM CASE",
+}
+_PERC_QUERIES_SQL = """
+  SELECT CAST(p_partkey AS BIGINT) AS query_id,
+         CASE p_partkey % 5 WHEN 0 THEN 'term' WHEN 1 THEN 'range'
+              WHEN 2 THEN 'match' WHEN 3 THEN 'match_phrase'
+              ELSE 'terms' END AS kind,
+         CASE p_partkey % 5 WHEN 0 THEN 'brand' WHEN 1 THEN 'size'
+              ELSE 'type_text' END AS field,
+         CASE WHEN p_partkey % 5 = 0 THEN p_brand
+              WHEN p_partkey % 5 IN (2, 3) THEN p_type END AS value,
+         CASE WHEN p_partkey % 5 = 4
+              THEN [p_type, 'PROMO BURNISHED COPPER'] END AS "values",
+         CASE WHEN p_partkey % 5 = 1
+              THEN CAST(p_size AS DOUBLE) - 2 END AS gte,
+         CASE WHEN p_partkey % 5 = 1
+              THEN CAST(p_size AS DOUBLE) + 2 END AS lte,
+         CASE WHEN p_partkey % 5 = 2 AND p_partkey % 2 = 0
+              THEN 'and' END AS operator
+  FROM part
+"""
+
+
+def _perc_queries(spark, sf_dir):
+    part = _T(spark, sf_dir, "part")
+    k = F.col("p_partkey") % 5
+    kind = F.element_at(
+        F.array(F.lit("term"), F.lit("range"), F.lit("match"),
+                F.lit("match_phrase"), F.lit("terms")),
+        (k + 1).cast("int"),
+    )
+    field = (
+        F.when(k == 0, F.lit("brand"))
+        .when(k == 1, F.lit("size"))
+        .otherwise(F.lit("type_text"))
+    )
+    value = (
+        F.when(k == 0, F.col("p_brand"))
+        .when((k == 2) | (k == 3), F.col("p_type"))
+    )
+    values = F.when(
+        k == 4, F.array(F.col("p_type"), F.lit("PROMO BURNISHED COPPER"))
+    )
+    gte = F.when(k == 1, F.col("p_size").cast("double") - 2)
+    lte = F.when(k == 1, F.col("p_size").cast("double") + 2)
+    op = F.when((k == 2) & (F.col("p_partkey") % 2 == 0), F.lit("and"))
+    return part.select(
+        F.col("p_partkey").cast("long").alias("query_id"),
+        kind.alias("kind"), field.alias("field"), value.alias("value"),
+        values.alias("values"), gte.alias("gte"), lte.alias("lte"),
+        op.alias("operator"),
+    )
+
+
+@q("dsl_percolate", None)  # oracle assembled below (percolate_oracle_sql)
+def dsl_percolate(spark, sf_dir):
+    """ES percolator (percolate.py): every part row becomes a stored
+    query (term / range / match / match_phrase / terms, cycling by
+    partkey); the fixed candidate doc percolates against ALL of them in
+    ONE whole-stage-codegen filter pass — queries are the scanned data,
+    the document is O(doc) literals in the plan."""
+    from . import percolate as P
+
+    return P.percolate(_perc_queries(spark, sf_dir), _PERC_DOC)
+
+
+def _percolate_oracle_sql() -> str:
+    from . import percolate as P
+
+    return (
+        f"WITH pq AS ({_PERC_QUERIES_SQL}) "
+        + P.percolate_oracle_sql(_PERC_DOC, "pq")
+    )
+
+
+ORACLES["dsl_percolate"] = _percolate_oracle_sql()
+
+
+@q(
+    "dsl_runtime_fields",
+    """WITH r AS (
+         SELECT l_extendedprice * (1 - l_discount) AS net FROM lineitem
+       )
+       SELECT count(net) AS cnt, round(min(net), 4) AS min_v,
+              round(max(net), 4) AS max_v, round(avg(net), 4) AS avg_v,
+              round(sum(net), 4) AS sum_v
+       FROM r WHERE net >= 90000""",
+)
+def dsl_runtime_fields(spark, sf_dir):
+    """ES ``runtime_mappings`` (dsl.py _apply_runtime_mappings): a
+    script-derived field visible to the query AND the aggs of the same
+    search — compiled by the no-eval painless parser into one Catalyst
+    expression (never a Python UDF), so predicate + stats stay in
+    whole-stage codegen."""
+    from . import dsl
+
+    body = {
+        "runtime_mappings": {"net": {"type": "double", "script": {
+            "source": "emit(doc['l_extendedprice'].value * "
+                      "(1 - doc['l_discount'].value))"}}},
+        "size": 0,
+        "query": {"range": {"net": {"gte": 90000.0}}},
+        "aggs": {"s": {"stats": {"field": "net"}}},
+    }
+    out = dsl.search(spark, _T(spark, sf_dir, "lineitem"), body)
+    return out.select(
+        F.col("count").alias("cnt"),
+        F.round("min", 4).alias("min_v"),
+        F.round("max", 4).alias("max_v"),
+        F.round("avg", 4).alias("avg_v"),
+        F.round("sum", 4).alias("sum_v"),
+    )
+
+
+# Rotation for the fourth wave: 6 new driver rows in, 6 r04-green twins
+# out to the local-gate EXTRA registry (each keeps its oracle there, and
+# each §2 operator they covered has a green CORRECTNESS_r04 driver row).
+_RETIRED_R5B = [
+    "bm25_topk",            # exact-scorer twin: bm25_topk_wand keeps T3/X4 gated
+    "ann_lsh",              # ann_ivf keeps the indexed-ANN path gated
+    "simhash_fingerprints", # minhash_lsh_dups keeps near-dup dedup gated
+    "ngram_jaccard_dups",   # same family; embedding_near_dups stays gated
+    "pivot_wide",           # F13 green r04; unpivot_melt twin in local gate
+    "filter_numeric",       # P3/P6 twin: bool_filter keeps range filters gated
+]
+for _n in _RETIRED_R5B:
+    EXTRA_QUERIES[_n] = QUERIES.pop(_n)
+    if _n in ORACLES:
+        EXTRA_ORACLES[_n] = ORACLES.pop(_n)

@@ -94,7 +94,7 @@ def test_registry_fits_driver_cap():
     qs = entrymod.queries()
     assert len(qs) <= 50, f"{len(qs)} queries() entries exceed the driver's 50-row cap"
     for must in ("ann_ivf", "embedding_near_dups", "minhash_lsh_dups",
-                 "pivot_wide", "dsl_multi_match",
+                 "dsl_multi_match",
                  "dsl_top_hits", "dsl_date_histogram", "dsl_regexp",
                  "dsl_query_string",  # dsl_fuzzy demoted to EXTRA for it
                  # r5 rotation: newest surface driver-gated
@@ -114,7 +114,13 @@ def test_registry_fits_driver_cap():
                  # union_distinct/groupby_count/rename_normalize retired
                  # to EXTRA — all r04-green, all family-covered)
                  "dsl_multi_terms", "dsl_rare_terms", "dsl_string_stats",
-                 "dsl_mad", "dsl_boxplot_top_metrics"):
+                 "dsl_mad", "dsl_boxplot_top_metrics",
+                 # r5 fourth wave (bm25_topk/ann_lsh/simhash_fingerprints/
+                 # ngram_jaccard_dups/pivot_wide/filter_numeric retired to
+                 # EXTRA — all r04-green, all twin-covered)
+                 "dsl_nested", "dsl_nested_agg", "dsl_geo_distance",
+                 "dsl_geotile_grid", "dsl_percolate",
+                 "dsl_runtime_fields"):
         assert must in qs
     # oracle keys must be a subset of query keys (driver joins by name)
     assert set(entrymod.oracle_sql()) <= set(qs)
@@ -123,10 +129,10 @@ def test_registry_fits_driver_cap():
 def test_gate_rejects_case_mismatched_alias(spark, sf_dir, duck):
     """Regression for the r2/r3 pivot_wide mask: the compare must be
     case-SENSITIVE on column names, exactly like the driver's."""
-    df = entrymod.queries()["pivot_wide"](spark, sf_dir)
+    df = EXTRA_QUERIES["pivot_wide"](spark, sf_dir)
     assert df.columns == ["o_orderpriority", "f", "o", "p"]
     miscased = df.toDF("o_orderpriority", "F", "O", "P")
-    res = duck.execute(entrymod.oracle_sql()["pivot_wide"])
+    res = duck.execute(EXTRA_ORACLES["pivot_wide"])
     want_cols = [d[0] for d in res.description]
     assert [c for c in miscased.columns] != want_cols, (
         "gate failed to distinguish column-name case"
