@@ -128,7 +128,7 @@ def main() -> None:
     from es_loaders_spark.bm25 import bm25_topk
     from es_loaders_spark.build import build_index
     from es_loaders_spark.postings import corpus_stats, doc_lengths, postings_long, term_df
-    from es_loaders_spark.queries import QUERIES
+    from es_loaders_spark.queries import EXTRA_QUERIES, QUERIES
     from es_loaders_spark.session import get_spark
     from es_loaders_spark.wand import topk, topk_batch, warm_index
 
@@ -234,7 +234,9 @@ def main() -> None:
 
         # --- representative operator suite (SURVEY §2 + pipeline ops) ---
         for name in suite:
-            fn = QUERIES[name]
+            # the bench suite is rotation-stable: retired driver-gate
+            # twins keep running here from the EXTRA registry
+            fn = QUERIES.get(name) or EXTRA_QUERIES[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.time() - t0)

@@ -3461,3 +3461,114 @@ def more_like_this(
         .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(size)
+
+
+# ---------------------------------------------------------------------------
+# _termvectors / _mget / _field_caps — the per-document ES utility APIs
+# ---------------------------------------------------------------------------
+
+def termvectors(
+    spark: SparkSession,
+    docs: DataFrame,
+    ids: list[int],
+    index_dir: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``_termvectors`` / ``_mtermvectors`` analogue.
+
+    Forward statistics (term_freq, positions) come from the requested
+    documents' text — an id-pruned scan + posexplode, O(requested docs),
+    never a corpus pass. Corpus statistics (doc_freq) join from the
+    index's terms table when ``index_dir`` is given: the per-doc term
+    set is the broadcast side (tiny), the vocabulary never moves.
+    Without an index, doc_freq falls back to a full-corpus aggregate
+    (correct, but a scan per call — the documented anti-pattern at
+    scale; build the index).
+
+    Returns (doc_id, term, term_freq, positions, doc_freq) sorted by
+    (doc_id, term).
+    """
+    from .analyze import terms_array
+
+    wanted = docs.filter(F.col(id_col).isin([int(i) for i in ids]))
+    toks = wanted.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(terms_array(F.col(text_col))).alias("pos", "term"),
+    )
+    fwd = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+    if index_dir is not None:
+        import os as _os
+
+        terms_tbl = spark.read.parquet(_os.path.join(index_dir, "terms"))
+        out = terms_tbl.join(F.broadcast(fwd), "term")
+    else:
+        alldf = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(F.array_distinct(terms_array(F.col(text_col)))).alias("term"),
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        out = alldf.join(F.broadcast(fwd), "term")
+    return out.select(
+        "doc_id", "term", "term_freq", "positions", F.col("df").alias("doc_freq")
+    ).orderBy("doc_id", "term")
+
+
+def mget(
+    docs: DataFrame,
+    ids: list[int],
+    _source: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``_mget``: fetch documents by id, in REQUEST order (ES returns
+    hits positionally). The id list becomes a tiny broadcast relation
+    carrying its request position — an id-pruned join, no driver loop."""
+    spark = docs.sparkSession
+    req = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(ids)], f"_req_pos int, {id_col} long"
+    )
+    cols = _source if _source else [c for c in docs.columns]
+    out = docs.join(F.broadcast(req), id_col).orderBy("_req_pos")
+    return out.select(*cols)
+
+
+_ES_TYPE_BY_SPARK = {
+    "long": "long", "integer": "integer", "int": "integer",
+    "short": "short", "byte": "byte",
+    "double": "double", "float": "float",
+    "string": "keyword", "boolean": "boolean",
+    "timestamp": "date", "date": "date", "binary": "binary",
+}
+
+
+def field_caps(docs: DataFrame) -> dict[str, dict]:
+    """ES ``_field_caps`` analogue: the table schema as ES field
+    capabilities. Arrays of structs report as ``nested``; float arrays
+    as ``dense_vector``; everything is searchable/aggregatable (columnar
+    storage — every column is a doc-values column)."""
+    from pyspark.sql.types import ArrayType, StructType as _St
+
+    caps: dict[str, dict] = {}
+    for f in docs.schema.fields:
+        dt = f.dataType
+        if isinstance(dt, _St):
+            es = "object"
+        elif isinstance(dt, ArrayType):
+            if isinstance(dt.elementType, _St):
+                es = "nested"
+            elif dt.elementType.typeName() in ("float", "double"):
+                es = "dense_vector"
+            else:
+                es = _ES_TYPE_BY_SPARK.get(dt.elementType.typeName(), "keyword")
+        else:
+            es = _ES_TYPE_BY_SPARK.get(dt.typeName(), "keyword")
+        caps[f.name] = {
+            "type": es, "searchable": True, "aggregatable": es != "object",
+        }
+    return caps

@@ -3339,3 +3339,40 @@ for _n in _RETIRED_R5B:
     EXTRA_QUERIES[_n] = QUERIES.pop(_n)
     if _n in ORACLES:
         EXTRA_ORACLES[_n] = ORACLES.pop(_n)
+
+
+@q(
+    "dsl_termvectors",
+    r"""WITH lists AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text),
+                            '[^\pL\pN]+'), x -> x <> '') AS l
+         FROM documents
+       ), toks AS (
+         SELECT doc_id, unnest(l) AS term,
+                generate_subscripts(l, 1) - 1 AS pos
+         FROM lists WHERE doc_id IN (0, 1, 2)
+       ), fwd AS (
+         SELECT doc_id, term, count(*) AS term_freq,
+                list_sort(list(pos)) AS positions
+         FROM toks GROUP BY 1, 2
+       ), corpus AS (
+         SELECT doc_id, unnest(l) AS term FROM lists
+       ), dfreq AS (
+         SELECT term, count(DISTINCT doc_id) AS doc_freq FROM corpus GROUP BY 1
+       )
+       SELECT f.doc_id, f.term, f.term_freq, f.positions, d.doc_freq
+       FROM fwd f JOIN dfreq d USING (term)
+       ORDER BY 1, 2""",
+    extra=True,  # local-gate twin: per-doc forward stats, corpus df join
+)
+def dsl_termvectors(spark, sf_dir):
+    """ES ``_mtermvectors`` (dsl.termvectors): forward stats (tf,
+    positions) from an id-pruned scan of only the requested docs;
+    doc_freq joined from corpus metadata (index terms table in
+    production; scan twin here so the oracle replays both sides)."""
+    from . import dsl
+
+    return dsl.termvectors(
+        spark, _T(spark, sf_dir, "documents"), [0, 1, 2]
+    )

@@ -316,3 +316,78 @@ def test_percolate_plan_is_single_scan_no_shuffle(spark):
 def test_percolate_rejects_unsupported_kind(spark):
     with pytest.raises(ValueError, match="unsupported percolator"):
         P.queries_from_bodies(spark, [(1, {"fuzzy": {"f": "x"}})])
+
+
+# ---------- termvectors / mget / field_caps ----------
+
+def test_termvectors_forward_stats_match_python(spark, documents):
+    from es_loaders_spark.analyze import tokenize_text
+
+    ids = [r.doc_id for r in documents.limit(2).collect()]
+    out = dsl.termvectors(spark, documents, ids).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.term] = (r.term_freq, list(r.positions))
+    for row in documents.filter(F.col("doc_id").isin(ids)).collect():
+        toks = tokenize_text(row.text)
+        want = {}
+        for pos, t in enumerate(toks):
+            tf, ps = want.get(t, (0, []))
+            want[t] = (tf + 1, ps + [pos])
+        assert by_doc[row.doc_id] == want
+
+
+def test_termvectors_doc_freq_matches_corpus(spark, documents):
+    ids = [documents.limit(1).collect()[0].doc_id]
+    out = dsl.termvectors(spark, documents, ids).collect()
+    some = sorted(out, key=lambda r: -r.doc_freq)[:3]
+    from es_loaders_spark.analyze import terms_array
+
+    for r in some:
+        df = (documents
+              .filter(F.array_contains(
+                  F.array_distinct(terms_array(F.col("text"))), r.term))
+              .count())
+        assert r.doc_freq == df
+
+
+def test_termvectors_index_served_df(spark, web_pages, tmp_path):
+    from es_loaders_spark.build import build_index
+    from pyspark.sql.window import Window
+
+    docs = (
+        web_pages
+        .withColumn("doc_id", F.row_number().over(Window.orderBy("url")) - 1)
+        .select("doc_id", "text")
+    )
+    idx = str(tmp_path / "tv_idx")
+    build_index(spark, docs, idx, n_shards=4)
+    got = dsl.termvectors(spark, docs, [0, 1], index_dir=idx)
+    want = dsl.termvectors(spark, docs, [0, 1])
+    g = [(r.doc_id, r.term, r.term_freq, r.doc_freq) for r in got.collect()]
+    w = [(r.doc_id, r.term, r.term_freq, r.doc_freq) for r in want.collect()]
+    assert g == w  # index terms table == scan-computed df
+
+
+def test_mget_request_order_and_source(spark, documents):
+    ids = [r.doc_id for r in documents.limit(5).collect()]
+    req = [ids[3], ids[0], ids[4]]
+    out = dsl.mget(documents, req, _source=["doc_id"]).collect()
+    assert [r.doc_id for r in out] == req
+
+
+def test_field_caps_types(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(
+        doc_id=1, text="x", price=1.5, ok=True,
+        vec=[1.0, 2.0], tags=["a"], items=[Row(q=1)],
+    )])
+    caps = dsl.field_caps(df)
+    assert caps["doc_id"]["type"] == "long"
+    assert caps["text"]["type"] == "keyword"
+    assert caps["price"]["type"] == "double"
+    assert caps["ok"]["type"] == "boolean"
+    assert caps["vec"]["type"] == "dense_vector"
+    assert caps["tags"]["type"] == "keyword"
+    assert caps["items"]["type"] == "nested"
