@@ -510,3 +510,133 @@ def merge_generations(
     # any orphaned higher-numbered gen dirs
     _sweep_leftovers(max_gen=2)
     return stats
+
+
+# ---------------------------------------------------------------------------
+# _update_by_query — the document lifecycle's missing quarter
+# ---------------------------------------------------------------------------
+
+def id_map(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Committed (old_id, new_id) update mapping, or None if no doc was
+    ever updated. Resolve an externally-held old doc_id to its current
+    one by following the chain (old → new may itself be superseded)."""
+    cat = ManifestCatalog(index_dir)
+    if not cat.committed_partitions("id_map"):
+        return None
+    # select off the shard= snapshot-partition column the dir layout adds
+    return spark.read.parquet(os.path.join(index_dir, "id_map")).select(
+        "old_id", "new_id"
+    )
+
+
+def update_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    body: dict,
+    docs: DataFrame,
+    new_text,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_tag: str | None = None,
+) -> dict:
+    """ES ``_update_by_query`` analogue over the append-only index.
+
+    ES rewrites matching documents in place (same ``_id``, version
+    bump). This engine's index is immutable generations plus a global
+    tombstone set (by design: postings never rewrite, doc_ids never
+    reuse — that is what makes block metadata, caches and time-travel
+    sound). An update therefore = reindex-under-fresh-ids:
+
+    1. matching docs (``body["query"]``, same DSL as delete_by_query)
+       are re-written with ``new_text`` (a Column over the doc row) and
+       APPENDED as a new generation under fresh doc_ids
+       (old-id rank + max_doc_id + 1 — deterministic);
+    2. the old ids are tombstoned;
+    3. the (old_id, new_id) pairs are committed to the ``id_map``
+       catalog table so callers holding old ids can resolve forward.
+
+    LOUD DEVIATION from ES: ``_id`` is NOT stable across an update —
+    carry a stable business key as a column (the web corpus carries
+    ``url``) or resolve through ``id_map``. In exchange the update is
+    rank-exact: the post-update index is provably identical to a fresh
+    build over the updated corpus (test_update_by_query).
+
+    Crash/idempotence contract: the append commits first (with
+    ``batch_tag`` recorded in stats.json, so a replay no-ops), the
+    tombstones second (idempotent union). A crash between the two
+    leaves BOTH versions transiently visible; re-running the same call
+    completes the swap — at-least-once visibility of the new version,
+    never loss of both.
+
+    Ordering note: new ids come from a row_number over the MATCHED set
+    only — a global sort of the updated rows, not the corpus. Updates
+    that match a large fraction of a 10^12-doc corpus should go through
+    a fresh build instead (same advice ES gives for full reindexes).
+    """
+    from pyspark.sql.window import Window
+
+    from . import dsl as _dsl
+    from .build import append_documents, load_stats
+
+    stats = load_stats(index_dir)
+    applied = bool(batch_tag) and batch_tag in stats.get("applied_batches", [])
+    matched = docs.filter(
+        F.coalesce(_dsl.filter_expr(body.get("query", {}), id_col), F.lit(False))
+    )
+    if applied:
+        # Replay after the append already committed (crash between the
+        # append and the tombstone/id_map half): recompute the SAME new
+        # ids the committed append assigned — max_doc_id has moved, so
+        # recover the base from the appended generation itself (its docs
+        # are exactly this batch, lowest id first).
+        gdir = generation_dirs(index_dir, "doclens")[-1]
+        base = int(
+            spark.read.parquet(gdir).agg(F.min("doc_id")).collect()[0][0]
+        )
+    else:
+        base = int(stats["max_doc_id"]) + 1
+    w = Window.orderBy(F.col(id_col))
+    remapped = (
+        matched.withColumn("_new_id", F.row_number().over(w) - 1 + F.lit(base))
+        .withColumn(text_col, new_text)
+    )
+    pairs = remapped.select(
+        F.col(id_col).cast("long").alias("old_id"),
+        F.col("_new_id").cast("long").alias("new_id"),
+    )
+    n_updated = pairs.count()
+    if n_updated == 0:
+        return {"updated": 0, "stats": stats}
+
+    new_docs = remapped.select(
+        F.col("_new_id").alias(id_col),
+        *[c for c in docs.columns if c != id_col],
+    )
+    stats = append_documents(
+        spark, new_docs, index_dir, text_col=text_col, id_col=id_col,
+        batch_tag=batch_tag,
+    )
+
+    # tombstone the old versions (idempotent)
+    delete_ids(spark, index_dir, pairs.select("old_id"))
+
+    # commit the forward mapping (same snapshot protocol as tombstones)
+    cat = ManifestCatalog(index_dir)
+    d = cat.table_dir("id_map")
+    existing = id_map(spark, index_dir)
+    allpairs = pairs if existing is None else pairs.unionByName(existing).distinct()
+    version = cat.load("id_map").version + 1
+    part = os.path.join(d, f"shard={version}")
+    allpairs.coalesce(1).write.mode("overwrite").parquet(part)
+    n = spark.read.parquet(part).count()
+    for name in os.listdir(d):
+        if name.startswith("shard=") and name != f"shard={version}":
+            import shutil
+
+            shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+    cat.commit(
+        "id_map",
+        [PartitionEntry(partition_id=version, stage="id_map",
+                        input_rows=n, docs=n, terms=0, bytes=0, wall_ms=0)],
+    )
+    return {"updated": int(n_updated), "stats": stats}

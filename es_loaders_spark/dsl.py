@@ -268,6 +268,28 @@ def filter_expr(
         else:
             dist = int(fuzziness)
         return F.levenshtein(_col(field), F.lit(value)) <= F.lit(dist)
+    if kind == "match":
+        # match in FILTER context (bool.filter / delete_by_query /
+        # update_by_query): matching is boolean — the doc's analyzed
+        # tokens contain any query term (operator=or, ES default) or all
+        # of them (operator=and). Scoring `match` lives in search();
+        # this branch is what ES's filter context computes (scores
+        # ignored → 'does it match' only).
+        from .analyze import terms_array, tokenize_text
+
+        (field, v), = body.items()
+        op = "or"
+        if isinstance(v, dict):
+            op = str(v.get("operator", "or")).lower()
+            v = v["query"]
+        qterms = tokenize_text(str(v))
+        if not qterms:
+            return F.lit(False)
+        toks = terms_array(_col(field))
+        qlit = F.array(*[F.lit(t) for t in qterms])
+        if op == "and":
+            return F.forall(qlit, lambda t: F.array_contains(toks, t))
+        return F.arrays_overlap(toks, qlit)
     if kind == "nested":
         # ES nested query: the parent matches if ANY nested object
         # satisfies the ENTIRE inner query — the whole point of nested
