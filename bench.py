@@ -232,6 +232,22 @@ def main() -> None:
             bm25_topk(spark, p, dl, tdf, stats, q, k=20).collect()
         samples["bm25_exact_topk_avg"].append((time.time() - t0) / len(bm25_queries))
 
+        # --- query_string served from the positional index (r5): the
+        # boolean-tree engine's scale path — term/phrase/prefix leaves
+        # decode only their posting blocks instead of re-tokenizing the
+        # corpus (the dsl_query_string suite item below is the scan twin)
+        from es_loaders_spark import dsl as _dsl
+
+        qs_body = {
+            "query": {"query_string": {
+                "query": '(spark OR "key order")^2 AND batch* -lang:zh '
+                         'source:src3^1.5 n_chars:[120 TO 400]'}},
+            "size": 15,
+        }
+        t0 = time.time()
+        _dsl.search(spark, docs, qs_body, index_dir=d3).collect()
+        samples["dsl_query_string_indexed"].append(time.time() - t0)
+
         # --- representative operator suite (SURVEY §2 + pipeline ops) ---
         for name in suite:
             # the bench suite is rotation-stable: retired driver-gate

@@ -1596,7 +1596,7 @@ def search(
             return page(
                 execute_tree(
                     spark, docs, Group(clauses), filters, id_col, text_col,
-                    k=offset + size,
+                    k=offset + size, index_dir=index_dir,
                 )
             )
         if kind == "query_string":
@@ -1609,7 +1609,7 @@ def search(
             return page(
                 query_string_topk(
                     spark, docs, sub, filters, id_col, text_col,
-                    k=offset + size,
+                    k=offset + size, index_dir=index_dir,
                 )
             )
         if kind == "simple_query_string":

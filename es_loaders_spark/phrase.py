@@ -89,6 +89,53 @@ def positional_postings(
     return idx.mapInPandas(decode, "term string, doc_id long, positions array<long>")
 
 
+def tf_postings(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str] | None = None,
+    table: str = "shards",
+    prefix: str | None = None,
+) -> DataFrame:
+    """(term, doc_id, tf) for the given terms (or a term prefix), from
+    the compressed index.
+
+    Same pushdown-pruned read as ``positional_postings`` but decodes only
+    the docs/tfs payloads — works on positions=False (BM25-only) indexes
+    too. This is the index-served building block for scoring arbitrary
+    term leaves (query_string, terms_set, ...) without a corpus scan.
+    """
+    from .build import read_generations
+
+    idx = read_generations(spark, index_dir, table)
+    if terms is not None:
+        idx = idx.filter(F.col("term").isin(terms))
+    if prefix is not None:
+        idx = idx.filter(F.col("term").startswith(prefix))
+    if terms is None and prefix is None:
+        raise ValueError("tf_postings needs terms and/or a prefix filter")
+    idx = idx.select("term", "min_doc", "docs_payload", "tfs_payload")
+
+    def decode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            d, t, off = decode_blocks_flat_batch(
+                pdf["min_doc"].to_numpy(), pdf["docs_payload"].tolist(),
+                pdf["tfs_payload"].tolist(),
+            )
+            if d.size == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.repeat(pdf["term"].to_numpy(), np.diff(off)),
+                    "doc_id": d,
+                    "tf": t.astype(np.int64),
+                }
+            )
+
+    return idx.mapInPandas(decode, "term string, doc_id long, tf long")
+
+
 def phrase_docs(
     spark: SparkSession, index_dir: str, phrase: str, table: str = "shards"
 ) -> DataFrame:

@@ -355,6 +355,7 @@ def query_string_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 10,
+    index_dir: str | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for an ES ``query_string`` clause."""
     if isinstance(sub, str):
@@ -364,7 +365,8 @@ def query_string_topk(
         sub["query"], default_field,
         str(sub.get("default_operator", "or")).lower(), text_field=text_col,
     )
-    return execute_tree(spark, docs, tree, filters, id_col, text_col, k)
+    return execute_tree(spark, docs, tree, filters, id_col, text_col, k,
+                        index_dir=index_dir)
 
 
 def execute_tree(
@@ -375,11 +377,26 @@ def execute_tree(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 10,
+    index_dir: str | None = None,
 ) -> DataFrame:
     """Execute a parsed boolean tree (shared by query_string and
-    match_bool_prefix, which IS a bool of term clauses + one prefix)."""
+    match_bool_prefix, which IS a bool of term clauses + one prefix).
+
+    With ``index_dir``, every TEXT leaf serves from the compressed index
+    instead of re-tokenizing the corpus: term contributions decode only
+    the query terms' posting blocks (parquet term-pushdown →
+    ``phrase.tf_postings``), phrase tf comes from positional-postings
+    intersections, prefixes expand against the term dictionary, dl /
+    df / corpus stats come from the index's doclens/terms tables and
+    stats.json. Tombstoned docs are filtered from the result; like
+    Lucene, not-yet-compacted deletes still count in df/avgdl until
+    ``compact_index``. Without ``index_dir`` the leaves score from raw
+    token arrays — correct, but a corpus scan per query (the documented
+    anti-pattern at scale; SURVEY scale warning)."""
     from .dsl import filter_expr
-    from .postings import corpus_stats, doc_lengths, postings_long, term_df
+    from .postings import (
+        CorpusStats, corpus_stats, doc_lengths, postings_long, term_df,
+    )
 
     leaves: list[Leaf] = []
     _collect_leaves(tree, leaves)
@@ -388,7 +405,17 @@ def execute_tree(
 
     text_leaves = [l for l in leaves if l.kind in ("term", "phrase", "prefix")]
     need_text = bool(text_leaves)
-    if need_text:
+    p = None
+    if need_text and index_dir is not None:
+        from .build import load_stats, read_generations
+
+        st = load_stats(index_dir)
+        stats = CorpusStats(n_docs=int(st["n_docs"]), avgdl=float(st["avgdl"]))
+        dl = read_generations(spark, index_dir, "doclens").select("doc_id", "dl")
+        import os as _os
+
+        tdf = spark.read.parquet(_os.path.join(index_dir, "terms"))
+    elif need_text:
         text_side = docs.select(id_col, text_col)
         p = postings_long(text_side, text_col=text_col, id_col=id_col)
         dl = doc_lengths(text_side, text_col=text_col, id_col=id_col)
@@ -409,8 +436,15 @@ def execute_tree(
         from .bm25 import bm25_score_expr
 
         qterms = spark.createDataFrame([(t,) for t in term_vals], "term string")
+        if index_dir is not None:
+            # index-served: decode ONLY the query terms' posting blocks
+            from .phrase import tf_postings
+
+            src = tf_postings(spark, index_dir, term_vals)
+        else:
+            src = p.join(F.broadcast(qterms), "term")
         contrib = (
-            p.join(F.broadcast(qterms), "term")
+            src
             .join(F.broadcast(tdf.join(qterms, "term")), "term")
             .join(dl, "doc_id")
             .withColumn("_c", bm25_score_expr(stats))
@@ -426,17 +460,48 @@ def execute_tree(
     toks = None
     for l in leaves:
         if l.kind == "phrase":
-            if toks is None:
-                toks = tokens_df(docs.select(id_col, text_col),
-                                 text_col=text_col, id_col=id_col)
-            cur = toks.filter(F.col("term") == l.value[0]).select(
-                "doc_id", F.col("pos").alias("p"))
-            for j, w in enumerate(l.value[1:], start=1):
-                nxt = toks.filter(F.col("term") == w).select(
-                    "doc_id", (F.col("pos") - j).alias("p"))
-                cur = cur.join(nxt, ["doc_id", "p"])
-            tf_rel = cur.groupBy("doc_id").agg(
-                F.count(F.lit(1)).cast("double").alias("tf"))
+            if index_dir is not None:
+                # index-served phrase tf: positional-postings adjacency
+                # intersection (phrase.py shape); the surviving array's
+                # size IS the occurrence count the scan path tallies
+                from .phrase import positional_postings
+
+                words = list(l.value)
+                pp = positional_postings(
+                    spark, index_dir, sorted(set(words))
+                )
+                if len(set(words)) > 1:
+                    pp = pp.cache()
+                cur = pp.filter(F.col("term") == words[0]).select(
+                    "doc_id", F.col("positions").alias("cur"))
+                for w in words[1:]:
+                    nxt = pp.filter(F.col("term") == w).select(
+                        "doc_id", F.col("positions").alias("nxt"))
+                    cur = (
+                        cur.join(nxt, "doc_id")
+                        .select(
+                            "doc_id",
+                            F.array_intersect(
+                                F.transform("cur", lambda x: x + 1),
+                                F.col("nxt"),
+                            ).alias("cur"),
+                        )
+                        .filter(F.size("cur") > 0)
+                    )
+                tf_rel = cur.select(
+                    "doc_id", F.size("cur").cast("double").alias("tf"))
+            else:
+                if toks is None:
+                    toks = tokens_df(docs.select(id_col, text_col),
+                                     text_col=text_col, id_col=id_col)
+                cur = toks.filter(F.col("term") == l.value[0]).select(
+                    "doc_id", F.col("pos").alias("p"))
+                for j, w in enumerate(l.value[1:], start=1):
+                    nxt = toks.filter(F.col("term") == w).select(
+                        "doc_id", (F.col("pos") - j).alias("p"))
+                    cur = cur.join(nxt, ["doc_id", "p"])
+                tf_rel = cur.groupBy("doc_id").agg(
+                    F.count(F.lit(1)).cast("double").alias("tf"))
             # phrase df is a METADATA scalar (one tiny job per phrase —
             # phrases per query are few), like corpus_stats' collect
             df_ph = tf_rel.count()
@@ -455,9 +520,14 @@ def execute_tree(
             )
             sel = sel.join(ph, "doc_id", "left")
         elif l.kind == "prefix":
+            if index_dir is not None:
+                from .phrase import tf_postings
+
+                src = tf_postings(spark, index_dir, prefix=l.value)
+            else:
+                src = p.filter(F.col("term").startswith(l.value))
             hits = (
-                p.filter(F.col("term").startswith(l.value))
-                .select("doc_id").distinct()
+                src.select("doc_id").distinct()
                 .withColumn(f"_qs{l.id}", F.lit(1.0))
             )
             sel = sel.join(hits, "doc_id", "left")
@@ -492,13 +562,16 @@ def execute_tree(
             sel = sel.withColumn(f"_qs{l.id}", F.when(cond, F.lit(1.0)))
 
     matched, score = _compile_columns(tree)
-    return (
+    out = (
         sel.withColumn("_m", matched).withColumn("_s", score)
         .filter(F.col("_m"))
         .select("doc_id", F.round(F.col("_s"), 4).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
     )
+    if index_dir is not None:
+        from .deletes import filter_deleted
+
+        out = filter_deleted(spark, index_dir, out)
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def _sql_quote(v: Any) -> str:

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from es_loaders_spark import dsl
 from es_loaders_spark.querystring import (
@@ -172,3 +173,93 @@ class TestRankIdentity:
         }
         with pytest.raises(ValueError, match="highlight"):
             dsl.search(spark, documents, body)
+
+
+# ---------- index-served execution (r5: the scale path) ----------
+
+@pytest.fixture(scope="module")
+def qs_index(spark, web_pages, tmp_path_factory):
+    from pyspark.sql.window import Window
+
+    from es_loaders_spark.build import build_index
+
+    docs = (
+        web_pages
+        .withColumn("doc_id", F.row_number().over(Window.orderBy("url")) - 1)
+        .select("doc_id", "url", "text",
+                F.length("text").alias("n_chars"),
+                F.lit("src3").alias("source"), "lang")
+        .cache()
+    )
+    idx = str(tmp_path_factory.mktemp("qs") / "idx")
+    build_index(spark, docs, idx, n_shards=4)
+    return docs, idx
+
+
+QS_FULL = ('(spark OR "key order")^2 AND crawl* -lang:zh '
+           'source:src3^1.5 n_chars:[120 TO 4000]')
+
+
+def test_index_served_equals_scan_path(spark, qs_index):
+    from es_loaders_spark import dsl
+
+    docs, idx = qs_index
+    body = {"query": {"query_string": {"query": QS_FULL}}, "size": 15}
+    scan = [(r.doc_id, r.score) for r in dsl.search(spark, docs, body).collect()]
+    served = [(r.doc_id, r.score)
+              for r in dsl.search(spark, docs, body, index_dir=idx).collect()]
+    assert scan == served
+    assert len(served) > 0
+
+
+def test_index_served_plan_never_tokenizes_corpus(spark, qs_index):
+    from es_loaders_spark.querystring import execute_tree, parse_query_string
+
+    docs, idx = qs_index
+    tree = parse_query_string(QS_FULL, "text", "or", text_field="text")
+    plan = (
+        execute_tree(spark, docs, tree, None, index_dir=idx)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the scan path's signature operators: regexp tokenize + posexplode
+    assert "split(" not in plan and "posexplode" not in plan
+    # posting blocks are term-pushdown-pruned
+    assert "StartsWith" in plan or "term#" in plan
+
+
+def test_index_served_respects_tombstones(spark, qs_index):
+    from es_loaders_spark import dsl
+    from es_loaders_spark.deletes import delete_ids
+
+    docs, idx = qs_index
+    body = {"query": {"query_string": {"query": QS_FULL}}, "size": 15}
+    before = [(r.doc_id, r.score)
+              for r in dsl.search(spark, docs, body, index_dir=idx).collect()]
+    victim = before[0][0]
+    delete_ids(spark, idx, spark.createDataFrame([(victim,)], "doc_id long"))
+    after = [(r.doc_id, r.score)
+             for r in dsl.search(spark, docs, body, index_dir=idx).collect()]
+    assert victim not in {d for d, _ in after}
+    assert after[0] == before[1]  # next rank promoted, scores unchanged
+
+
+def test_match_bool_prefix_index_served(spark, qs_index):
+    from es_loaders_spark import dsl
+    from es_loaders_spark.deletes import tombstones
+
+    docs, idx = qs_index
+    body = {"query": {"match_bool_prefix": {"text": "spark craw"}}, "size": 8}
+    dead = {r.doc_id for r in (tombstones(spark, idx) or spark.createDataFrame(
+        [], "doc_id long")).collect()}
+    # scan path over the LIVE corpus == index-served (tombstones applied)
+    live = docs.filter(~F.col("doc_id").isin(list(dead))) if dead else docs
+    scan = [(r.doc_id, r.score) for r in dsl.search(spark, live, body).collect()]
+    served = [(r.doc_id, r.score)
+              for r in dsl.search(spark, docs, body, index_dir=idx).collect()]
+    # scores can differ in idf (tombstones still count in index df until
+    # compaction, like Lucene) — unless nothing was deleted; ids must
+    # agree when no deleted doc was a contender
+    if not dead:
+        assert served == scan
+    else:
+        assert {d for d, _ in served} <= {d for d, _ in scan} | dead
