@@ -1038,6 +1038,7 @@ def _terms_set_topk(
     id_col: str,
     text_col: str,
     k: int,
+    index_dir: str | None = None,
 ) -> DataFrame:
     """ES ``terms_set`` over the analyzed text column: docs containing at
     least N of the given terms, BM25-scored over the matching terms
@@ -1067,9 +1068,23 @@ def _terms_set_topk(
             "terms_set needs exactly one of minimum_should_match_field / "
             "minimum_should_match_script"
         )
-    p = postings_long(docs.select(id_col, field), text_col=field, id_col=id_col)
-    dl = doc_lengths(docs.select(id_col, field), text_col=field, id_col=id_col)
-    stats, tdf = corpus_stats(dl), term_df(p)
+    if index_dir is not None:
+        # index-served (r5): decode only the query terms' posting blocks
+        import os as _os
+
+        from .build import load_stats, read_generations
+        from .phrase import tf_postings
+        from .postings import CorpusStats
+
+        st = load_stats(index_dir)
+        stats = CorpusStats(n_docs=int(st["n_docs"]), avgdl=float(st["avgdl"]))
+        dl = read_generations(spark, index_dir, "doclens").select("doc_id", "dl")
+        tdf = spark.read.parquet(_os.path.join(index_dir, "terms"))
+        p = tf_postings(spark, index_dir, sorted(set(terms)))
+    else:
+        p = postings_long(docs.select(id_col, field), text_col=field, id_col=id_col)
+        dl = doc_lengths(docs.select(id_col, field), text_col=field, id_col=id_col)
+        stats, tdf = corpus_stats(dl), term_df(p)
     qterms = spark.createDataFrame([(t,) for t in terms], "term string")
     cand = p
     if filters:
@@ -1103,9 +1118,15 @@ def _terms_set_topk(
         )
         scored = scored.join(side, "doc_id", "left")
         need = F.col("_msm")
+    out = scored.filter(F.col("_nmatched") >= need).select(
+        "doc_id", F.round(F.col("_raw"), 4).alias("score")
+    )
+    if index_dir is not None:
+        from .deletes import filter_deleted
+
+        out = filter_deleted(spark, index_dir, out)
     return (
-        scored.filter(F.col("_nmatched") >= need)
-        .select("doc_id", F.round(F.col("_raw"), 4).alias("score"))
+        out
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
@@ -1119,6 +1140,7 @@ def _proximity_docs(
     in_order: bool,
     id_col: str,
     text_col: str,
+    index_dir: str | None = None,
 ) -> DataFrame:
     """Doc-ids where the (distinct) terms co-occur within a window —
     the shared engine for ``span_near`` and ``intervals.match``.
@@ -1127,8 +1149,10 @@ def _proximity_docs(
     (p_last − p_first − (n−1) ≤ slop); unordered: the minimal window
     containing all terms has gaps ≤ slop (max − min − (n−1) ≤ slop).
     An n-way positional self-join — the positional-index analogue of
-    Lucene's SpanNearQuery; each join leg is a term-pushdown position
-    set, never a text re-scan of non-matching docs.
+    Lucene's SpanNearQuery. With ``index_dir`` each join leg explodes
+    the terms' POSITIONAL POSTINGS (one pushdown-pruned decode of just
+    these terms' blocks — r5); otherwise each leg is a term-filtered
+    tokenization of the corpus (the scan path).
     """
     from .analyze import tokens_df
 
@@ -1139,14 +1163,25 @@ def _proximity_docs(
         )
     if len(terms) < 2:
         raise ValueError("span_near/intervals needs at least two terms")
-    toks = tokens_df(docs.select(id_col, text_col), text_col=text_col,
-                     id_col=id_col)
-    legs = [
-        toks.filter(F.col("term") == t).select(
-            "doc_id", F.col("pos").alias(f"p{i}")
-        )
-        for i, t in enumerate(terms)
-    ]
+    if index_dir is not None:
+        from .phrase import positional_postings
+
+        pp = positional_postings(spark, index_dir, sorted(set(terms))).cache()
+        legs = [
+            pp.filter(F.col("term") == t).select(
+                "doc_id", F.explode("positions").alias(f"p{i}")
+            )
+            for i, t in enumerate(terms)
+        ]
+    else:
+        toks = tokens_df(docs.select(id_col, text_col), text_col=text_col,
+                         id_col=id_col)
+        legs = [
+            toks.filter(F.col("term") == t).select(
+                "doc_id", F.col("pos").alias(f"p{i}")
+            )
+            for i, t in enumerate(terms)
+        ]
     joined = legs[0]
     for leg in legs[1:]:
         joined = joined.join(leg, "doc_id")
@@ -1161,7 +1196,12 @@ def _proximity_docs(
         cond = (
             F.greatest(*ps) - F.least(*ps) - F.lit(n - 1) <= F.lit(int(slop))
         )
-    return joined.filter(cond).select("doc_id").distinct()
+    out = joined.filter(cond).select("doc_id").distinct()
+    if index_dir is not None:
+        from .deletes import filter_deleted
+
+        out = filter_deleted(spark, index_dir, out)
+    return out
 
 
 _RUNTIME_TYPES = {
@@ -1507,6 +1547,7 @@ def search(
         if kind == "terms_set":
             return page(
                 _terms_set_topk(spark, docs, sub, filters, id_col, text_col,
+                                index_dir=index_dir,
                                 k=offset + size)
             )
         if kind in ("span_near", "intervals"):
@@ -1558,7 +1599,8 @@ def search(
                     )
                 in_order = bool(m.get("ordered", False))
             hits = _proximity_docs(
-                spark, docs, terms, slop, in_order, id_col, text_col
+                spark, docs, terms, slop, in_order, id_col, text_col,
+                index_dir=index_dir,
             )
             out = docs.join(
                 hits.withColumnRenamed("doc_id", id_col), id_col, "left_semi"

@@ -296,3 +296,53 @@ class TestMatchBoolPrefix:
             "size": 10000,
         })
         assert ids == set(_ids(both))
+
+
+def test_span_near_index_served_matches_scan(spark, web_pages, tmp_path):
+    from pyspark.sql.window import Window
+
+    from es_loaders_spark.build import build_index
+
+    docs = (
+        web_pages
+        .withColumn("doc_id", F.row_number().over(Window.orderBy("url")) - 1)
+        .select("doc_id", "text")
+        .cache()
+    )
+    idx = str(tmp_path / "span_idx")
+    build_index(spark, docs, idx, n_shards=4)
+    for body in (
+        {"query": {"span_near": {"clauses": [
+            {"span_term": {"text": "spark"}}, {"span_term": {"text": "crawl"}},
+        ], "slop": 3, "in_order": True}}, "size": 10000},
+        {"query": {"span_near": {"clauses": [
+            {"span_term": {"text": "data"}}, {"span_term": {"text": "index"}},
+        ], "slop": 2, "in_order": False}}, "size": 10000},
+    ):
+        scan = [r.doc_id for r in dsl.search(spark, docs, body).collect()]
+        served = [r.doc_id
+                  for r in dsl.search(spark, docs, body, index_dir=idx).collect()]
+        assert scan == served and len(scan) > 0
+
+
+def test_terms_set_index_served_matches_scan(spark, web_pages, tmp_path):
+    from pyspark.sql.window import Window
+
+    from es_loaders_spark.build import build_index
+
+    docs = (
+        web_pages
+        .withColumn("doc_id", F.row_number().over(Window.orderBy("url")) - 1)
+        .select("doc_id", "text", F.lit(2).alias("required"))
+        .cache()
+    )
+    idx = str(tmp_path / "ts_idx")
+    build_index(spark, docs, idx, n_shards=4)
+    body = {"query": {"terms_set": {"text": {
+        "terms": ["spark", "crawl", "index"],
+        "minimum_should_match_field": "required",
+    }}}, "size": 25}
+    scan = [(r.doc_id, r.score) for r in dsl.search(spark, docs, body).collect()]
+    served = [(r.doc_id, r.score)
+              for r in dsl.search(spark, docs, body, index_dir=idx).collect()]
+    assert scan == served and len(scan) > 0
