@@ -1342,7 +1342,45 @@ def search(
             spark, index_dir, txt, k=int(body.get("size", 10)), generations=g
         )
     if "aggs" in body:
-        base = docs.filter(filter_expr(body.get("query", {}), id_col))
+        qd = body.get("query", {}) or {}
+        base = None
+        if index_dir is not None and len(qd) == 1 and "match" in qd:
+            # Faceted search (aggs restricted by a text query) — the ES
+            # hot path. Serve the match's doc set from the index: decode
+            # only the query terms' posting blocks and semi-join, instead
+            # of tokenizing the whole corpus per request. Aggregation
+            # itself is unchanged; only the candidate set comes cheaper.
+            (fld, v), = qd["match"].items()
+            op = "or"
+            if isinstance(v, dict):
+                op = str(v.get("operator", "or")).lower()
+                v = v["query"]
+            if fld == text_col:
+                from .analyze import tokenize_text as _tok
+                from .deletes import filter_deleted
+                from .phrase import tf_postings
+
+                qterms = _tok(str(v))
+                if qterms:
+                    tp = tf_postings(spark, index_dir, sorted(set(qterms)))
+                    if op == "and":
+                        hits = (
+                            tp.groupBy("doc_id")
+                            .agg(F.count_distinct("term").alias("_nt"))
+                            .filter(F.col("_nt") == F.lit(len(set(qterms))))
+                            .select("doc_id")
+                        )
+                    else:
+                        hits = tp.select("doc_id").distinct()
+                    hits = filter_deleted(spark, index_dir, hits)
+                    base = docs.join(
+                        hits.withColumnRenamed("doc_id", id_col),
+                        id_col, "left_semi",
+                    )
+                else:
+                    base = docs.filter(F.lit(False))
+        if base is None:
+            base = docs.filter(filter_expr(qd, id_col))
         # background = the UNFILTERED table: significant_terms contrasts
         # the query's foreground set against it (ES background set)
         return _aggs(

@@ -391,3 +391,49 @@ def test_field_caps_types(spark):
     assert caps["vec"]["type"] == "dense_vector"
     assert caps["tags"]["type"] == "keyword"
     assert caps["items"]["type"] == "nested"
+
+
+# ---------- index-assisted faceted search (aggs + match query) ----------
+
+def test_aggs_with_match_query_index_served_parity(spark, web_pages, tmp_path):
+    from pyspark.sql.window import Window
+
+    from es_loaders_spark.build import build_index
+
+    docs = (
+        web_pages
+        .withColumn("doc_id", F.row_number().over(Window.orderBy("url")) - 1)
+        .select("doc_id", "text", "lang")
+        .cache()
+    )
+    idx = str(tmp_path / "facet_idx")
+    build_index(spark, docs, idx, n_shards=4)
+    for v in ("spark crawl", {"query": "spark crawl", "operator": "and"}):
+        body = {"size": 0, "query": {"match": {"text": v}},
+                "aggs": {"by_lang": {"terms": {"field": "lang", "size": 10}}}}
+        scan = sorted(tuple(r) for r in dsl.search(spark, docs, body).collect())
+        served = sorted(
+            tuple(r)
+            for r in dsl.search(spark, docs, body, index_dir=idx).collect())
+        assert scan == served and len(scan) > 0, v
+
+
+def test_aggs_match_index_plan_never_tokenizes_corpus(spark, web_pages, tmp_path):
+    from pyspark.sql.window import Window
+
+    from es_loaders_spark.build import build_index
+
+    docs = (
+        web_pages
+        .withColumn("doc_id", F.row_number().over(Window.orderBy("url")) - 1)
+        .select("doc_id", "text", "lang")
+    )
+    idx = str(tmp_path / "facet_idx2")
+    build_index(spark, docs, idx, n_shards=4)
+    body = {"size": 0, "query": {"match": {"text": "spark"}},
+            "aggs": {"by_lang": {"terms": {"field": "lang", "size": 10}}}}
+    plan = (
+        dsl.search(spark, docs, body, index_dir=idx)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "split(" not in plan and "posexplode" not in plan
