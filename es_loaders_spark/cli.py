@@ -50,9 +50,19 @@ def main(argv: list[str] | None = None) -> None:
     m.add_argument("--buckets", type=int, default=32)
 
     q = sub.add_parser("query", help="BM25 top-k over the index")
-    q.add_argument("--index-dir", required=True)
+    q.add_argument("--index-dir", required=True,
+                   help="index dir, or an alias when --alias-registry is given")
+    q.add_argument("--alias-registry", default=None,
+                   help="dir holding aliases.json; --index-dir then resolves "
+                        "aliases (see `aliases` subcommand)")
     q.add_argument("--query", action="append", required=True, help="repeatable")
     q.add_argument("-k", type=int, default=10)
+
+    al = sub.add_parser("aliases", help="atomic alias cutover (ES _aliases)")
+    al.add_argument("--registry", required=True)
+    al.add_argument("--actions", required=True,
+                    help='JSON list, e.g. \'[{"add": {"alias": "live", '
+                         '"index": "/idx/v2"}}]\'')
 
     p = sub.add_parser("phrase", help="positional phrase query over the index")
     p.add_argument("--index-dir", required=True)
@@ -100,6 +110,13 @@ def main(argv: list[str] | None = None) -> None:
 
     args = ap.parse_args(argv)
 
+    if args.cmd == "aliases":  # pure metadata — no Spark session needed
+        from .aliases import update_aliases
+
+        out = update_aliases(args.registry, json.loads(args.actions))
+        print(json.dumps({"aliases": out}))
+        return
+
     if args.cmd == "snapshots":  # pure metadata — no Spark session needed
         from .catalog import ManifestCatalog
 
@@ -146,8 +163,13 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "query":
         from .wand import topk_batch
 
+        index_dir = args.index_dir
+        if args.alias_registry:
+            from .aliases import resolve_alias
+
+            index_dir = resolve_alias(args.alias_registry, args.index_dir)
         batch = {f"q{i}": text for i, text in enumerate(args.query)}
-        rows = topk_batch(spark, args.index_dir, batch, k=args.k).collect()
+        rows = topk_batch(spark, index_dir, batch, k=args.k).collect()
         for r in rows:
             print(json.dumps({"query": batch[r["query_id"]], "rank": r["rank"],
                               "doc_id": r["doc_id"], "score": r["score"]}))
