@@ -48,6 +48,7 @@ zero Python to the executed plan.
 
 from __future__ import annotations
 
+import json
 import re
 from typing import Any
 
@@ -3674,3 +3675,66 @@ def field_caps(docs: DataFrame) -> dict[str, dict]:
             "type": es, "searchable": True, "aggregatable": es != "object",
         }
     return caps
+
+
+# ---------------------------------------------------------------------------
+# _search/template — mustache-subset template rendering
+# ---------------------------------------------------------------------------
+
+def render_template(source, params: dict[str, Any]):
+    """ES search-template rendering (the mustache subset the ES docs
+    demonstrate): ``{{var}}`` substitution anywhere in the body,
+    ``{{#toJson}}var{{/toJson}}`` for structured values, and
+    ``{{var}}{{^var}}default{{/var}}`` fallbacks. Rendering walks the
+    JSON tree (driver-side, O(template)); a string that is EXACTLY one
+    placeholder keeps the param's native type (so sizes stay ints and
+    arrays stay arrays), otherwise placeholders interpolate into the
+    string."""
+    if isinstance(source, dict):
+        return {k: render_template(v, params) for k, v in source.items()}
+    if isinstance(source, list):
+        return [render_template(v, params) for v in source]
+    if not isinstance(source, str):
+        return source
+    m = re.fullmatch(r"\{\{#toJson\}\}(\w+)\{\{/toJson\}\}", source.strip())
+    if m:
+        return params[m.group(1)]
+    m = re.fullmatch(r"\{\{(\w+)\}\}\{\{\^(\w+)\}\}(.*?)\{\{/(\w+)\}\}",
+                     source.strip())
+    if m and m.group(1) == m.group(2) == m.group(4):
+        name, default = m.group(1), m.group(3)
+        return params[name] if name in params else _parse_default(default)
+    m = re.fullmatch(r"\{\{(\w+)\}\}", source.strip())
+    if m:
+        # mustache semantics: a missing variable renders empty
+        return params.get(m.group(1), "")
+
+    def sub(mm):
+        name = mm.group(1)
+        return str(params[name]) if name in params else ""
+
+    return re.sub(r"\{\{(\w+)\}\}", sub, source)
+
+
+def _parse_default(s: str):
+    try:
+        return json.loads(s)
+    except Exception:
+        return s
+
+
+def search_template(
+    spark: SparkSession,
+    docs: DataFrame,
+    template: dict[str, Any],
+    index_dir: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``_search/template``: render ``template["source"]`` with
+    ``template["params"]`` then run the ordinary search."""
+    body = render_template(template["source"], template.get("params") or {})
+    return search(
+        spark, docs, body, index_dir=index_dir,
+        text_col=text_col, id_col=id_col,
+    )

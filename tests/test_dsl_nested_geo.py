@@ -437,3 +437,37 @@ def test_aggs_match_index_plan_never_tokenizes_corpus(spark, web_pages, tmp_path
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "split(" not in plan and "posexplode" not in plan
+
+
+# ---------- search templates ----------
+
+def test_render_template_substitution_and_types():
+    src = {"query": {"match": {"text": "{{q}}"}},
+           "size": "{{size}}{{^size}}10{{/size}}",
+           "knn_vec": "{{#toJson}}vec{{/toJson}}",
+           "note": "q={{q}} k={{size}}"}
+    out = dsl.render_template(src, {"q": "spark", "vec": [1.0, 2.0]})
+    assert out["query"]["match"]["text"] == "spark"
+    assert out["size"] == 10          # default kept native int
+    assert out["knn_vec"] == [1.0, 2.0]
+    assert out["note"] == "q=spark k="  # mustache: missing renders empty
+    out2 = dsl.render_template(src, {"q": "spark", "size": 3, "vec": []})
+    assert out2["size"] == 3
+    assert dsl.render_template({"a": "{{nope}}"}, {}) == {"a": ""}
+
+
+def test_search_template_end_to_end(spark, documents):
+    tpl = {
+        "source": {
+            "query": {"range": {"n_chars": {"gte": "{{lo}}"}}},
+            "sort": [{"doc_id": "asc"}],
+            "size": "{{k}}{{^k}}5{{/k}}",
+            "_source": ["doc_id"],
+        },
+        "params": {"lo": 200},
+    }
+    out = dsl.search_template(spark, documents, tpl).collect()
+    assert len(out) == 5
+    want = [r.doc_id for r in documents.filter(F.col("n_chars") >= 200)
+            .orderBy("doc_id").limit(5).collect()]
+    assert [r.doc_id for r in out] == want
