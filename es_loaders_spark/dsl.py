@@ -172,6 +172,29 @@ def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     )
 
 
+def _nested_elem_pred(path: str, inner: dict, id_col: str, _col=F.col):
+    """Element-level predicate for a nested query: a lambda over the
+    array element usable by both `exists` (matching) and `filter`
+    (inner_hits extraction). Inner field names are path-prefixed
+    ("items.qty") exactly as ES requires; unprefixed names resolve at
+    parent scope."""
+
+    def pred(s):
+        def resolve(f: str) -> Column:
+            if f == path:
+                return s
+            if f.startswith(path + "."):
+                out = s
+                for part in f[len(path) + 1:].split("."):
+                    out = out.getField(part)
+                return out
+            return _col(f)
+
+        return F.coalesce(filter_expr(inner, id_col, resolve), F.lit(False))
+
+    return pred
+
+
 def filter_expr(
     query: dict[str, Any], id_col: str = "doc_id", _col=F.col
 ) -> Column:
@@ -300,26 +323,8 @@ def filter_expr(
         # never leaves its row. Inner field names are path-prefixed
         # ("items.qty") exactly as ES requires.
         path, inner = body["path"], body["query"]
-        parent_col = _col
-
-        def _elem_resolver(s):
-            def resolve(f: str) -> Column:
-                if f == path:
-                    return s
-                if f.startswith(path + "."):
-                    out = s
-                    for part in f[len(path) + 1:].split("."):
-                        out = out.getField(part)
-                    return out
-                return parent_col(f)
-
-            return resolve
-
         return F.exists(
-            _col(path),
-            lambda s: F.coalesce(
-                filter_expr(inner, id_col, _elem_resolver(s)), F.lit(False)
-            ),
+            _col(path), _nested_elem_pred(path, inner, id_col, _col)
         )
     if kind == "geo_bounding_box":
         (field, box), = body.items()
@@ -1819,6 +1824,22 @@ def search(
             "multi_match)"
         )
     out = docs.filter(filter_expr(filters, id_col))
+    if len(filters) == 1 and "nested" in filters \
+            and filters["nested"].get("inner_hits") is not None:
+        # ES inner_hits: return WHICH nested objects matched, not just
+        # the parent. The same element predicate that drove the exists()
+        # match re-runs as a `filter` HOF over the array — still no
+        # explode, the matched sub-objects come back as an array column
+        # named after inner_hits.name (default: the path).
+        nb = filters["nested"]
+        ih_name = (nb.get("inner_hits") or {}).get("name") or nb["path"]
+        out = out.withColumn(
+            ih_name if ih_name != nb["path"] else f"inner_hits_{ih_name}",
+            F.filter(
+                F.col(nb["path"]),
+                _nested_elem_pred(nb["path"], nb["query"], id_col),
+            ),
+        )
     sort_cols = []
     for s in _as_list(body.get("sort")):
         (field, spec), = s.items() if isinstance(s, dict) else ((s, "asc"),)

@@ -471,3 +471,33 @@ def test_search_template_end_to_end(spark, documents):
     want = [r.doc_id for r in documents.filter(F.col("n_chars") >= 200)
             .orderBy("doc_id").limit(5).collect()]
     assert [r.doc_id for r in out] == want
+
+
+def test_nested_inner_hits_returns_matching_elements(spark, nested_docs):
+    body = {
+        "query": {"nested": {
+            "path": "items",
+            "query": {"range": {"items.qty": {"gte": 4}}},
+            "inner_hits": {},
+        }},
+        "sort": [{"doc_id": "asc"}], "size": 10,
+        "_source": ["doc_id", "inner_hits_items"],
+    }
+    out = dsl.search(spark, nested_docs, body).collect()
+    got = {r.doc_id: [(e.flag, e.qty) for e in r.inner_hits_items] for r in out}
+    # doc 1: (A,5.0) matches, (B,2.0) doesn't; doc 4: only (A,4.0)
+    assert got == {1: [("A", 5.0)], 4: [("A", 4.0)]}
+
+
+def test_nested_inner_hits_custom_name(spark, nested_docs):
+    body = {
+        "query": {"nested": {
+            "path": "items",
+            "query": {"term": {"items.flag": "B"}},
+            "inner_hits": {"name": "b_items"},
+        }},
+        "sort": [{"doc_id": "asc"}], "size": 10,
+        "_source": ["doc_id", "b_items"],
+    }
+    out = dsl.search(spark, nested_docs, body).collect()
+    assert [(r.doc_id, len(r.b_items)) for r in out] == [(1, 1)]
