@@ -172,6 +172,69 @@ def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     )
 
 
+# Parent/child join-field convention: one table holds both document
+# types; `join_name` carries the type ("question" / "answer"), and
+# `join_parent` the parent's id (NULL on parents) — the relational
+# reading of ES's join field {"name": ..., "parent": ...}.
+JOIN_NAME_COL = "join_name"
+JOIN_PARENT_COL = "join_parent"
+
+
+def _parent_child_query(
+    docs: DataFrame, qd: dict[str, Any], id_col: str
+) -> DataFrame | None:
+    """Resolve a top-level has_child / has_parent / parent_id query to a
+    restricted docs relation, or None when qd is none of those.
+
+    These are RELATION-level clauses (they need a join across rows of
+    different types), so they live here rather than in the row-local
+    filter_expr. has_child: one child-side aggregate + a semi-join into
+    the parents (min_children/max_children honored — ES defaults 1/∞);
+    has_parent: matching parents' ids semi-join into the children. At
+    scale both sides shuffle on the parent id — the same routing key ES
+    forces for parent/child colocation.
+    """
+    if len(qd) != 1:
+        return None
+    (kind, sub), = qd.items()
+    if kind == "parent_id":
+        return docs.filter(
+            (F.col(JOIN_NAME_COL) == F.lit(sub["type"]))
+            & (F.col(JOIN_PARENT_COL) == F.lit(int(sub["id"])))
+        )
+    if kind == "has_child":
+        inner = F.coalesce(
+            filter_expr(sub.get("query", {"match_all": {}}), id_col),
+            F.lit(False),
+        )
+        lo = int(sub.get("min_children", 1))
+        hi = sub.get("max_children")
+        counts = (
+            docs.filter(F.col(JOIN_NAME_COL) == F.lit(sub["type"]))
+            .filter(inner)
+            .groupBy(F.col(JOIN_PARENT_COL).alias(id_col))
+            .agg(F.count(F.lit(1)).alias("_nc"))
+            .filter(F.col("_nc") >= F.lit(lo))
+        )
+        if hi is not None:
+            counts = counts.filter(F.col("_nc") <= F.lit(int(hi)))
+        return docs.join(counts.select(id_col), id_col, "left_semi")
+    if kind == "has_parent":
+        inner = F.coalesce(
+            filter_expr(sub.get("query", {"match_all": {}}), id_col),
+            F.lit(False),
+        )
+        parents = (
+            docs.filter(F.col(JOIN_NAME_COL) == F.lit(sub["parent_type"]))
+            .filter(inner)
+            .select(F.col(id_col).alias(JOIN_PARENT_COL))
+        )
+        return docs.filter(F.col(JOIN_PARENT_COL).isNotNull()).join(
+            parents, JOIN_PARENT_COL, "left_semi"
+        )
+    return None
+
+
 def _nested_elem_pred(path: str, inner: dict, id_col: str, _col=F.col):
     """Element-level predicate for a nested query: a lambda over the
     array element usable by both `exists` (matching) and `filter`
@@ -1349,8 +1412,8 @@ def search(
         )
     if "aggs" in body:
         qd = body.get("query", {}) or {}
-        base = None
-        if index_dir is not None and len(qd) == 1 and "match" in qd:
+        base = _parent_child_query(docs, qd, id_col)
+        if base is None and index_dir is not None and len(qd) == 1 and "match" in qd:
             # Faceted search (aggs restricted by a text query) — the ES
             # hot path. Serve the match's doc set from the index: decode
             # only the query terms' posting blocks and semi-join, instead
@@ -1823,7 +1886,9 @@ def search(
             "highlight requires a scoring clause (match / match_phrase / "
             "multi_match)"
         )
-    out = docs.filter(filter_expr(filters, id_col))
+    out = _parent_child_query(docs, filters, id_col)
+    if out is None:
+        out = docs.filter(filter_expr(filters, id_col))
     if len(filters) == 1 and "nested" in filters \
             and filters["nested"].get("inner_hits") is not None:
         # ES inner_hits: return WHICH nested objects matched, not just
@@ -2580,6 +2645,29 @@ def _aggs(
         return grouped.groupBy(*group_cols, f"{name}_key").agg(
             F.count(F.lit(1)).alias("doc_count")
         )
+    if "children" in spec:
+        # ES children agg: switch the aggregation context from the
+        # current (parent) docs to their children of the given type —
+        # one equi-join on the parent id (the same key ES routes
+        # parent/child shards by). Parent-level bucket keys ride the
+        # join so sub-aggs stay per-bucket.
+        if background is None:
+            raise ValueError("children agg needs the full table (background)")
+        t = spec["children"]["type"]
+        kids = background.filter(F.col(JOIN_NAME_COL) == F.lit(t))
+        kids = kids.drop(*[c for c in group_cols if c in kids.columns])
+        parent_side = base.select(
+            *group_cols, F.col(id_col).alias(JOIN_PARENT_COL)
+        ).distinct()
+        switched = kids.join(parent_side, JOIN_PARENT_COL)
+        sub = spec.get("aggs")
+        if sub:
+            return _recurse(switched, sub, group_cols)
+        if group_cols:
+            return switched.groupBy(*group_cols).agg(
+                F.count(F.lit(1)).alias("doc_count")
+            )
+        return switched.agg(F.count(F.lit(1)).alias("doc_count"))
     if "nested" in spec:
         # ES nested agg: switch the aggregation context from parent docs
         # to the nested objects under `path`. One explode (nested rows ≈

@@ -3376,3 +3376,63 @@ def dsl_termvectors(spark, sf_dir):
     return dsl.termvectors(
         spark, _T(spark, sf_dir, "documents"), [0, 1, 2]
     )
+
+
+# Parent/child join-field table: orders as parents, lineitems as
+# children, one relation — child ids offset into a disjoint range
+# (l_orderkey*10 + l_linenumber stays unique and deterministic).
+_PC_UNION_SQL = """
+  SELECT o_orderkey AS doc_id, 'order' AS join_name,
+         CAST(NULL AS BIGINT) AS join_parent,
+         CAST(NULL AS DOUBLE) AS qty
+  FROM orders
+  UNION ALL
+  SELECT 1000000000 + l_orderkey * 10 + l_linenumber AS doc_id,
+         'item' AS join_name, l_orderkey AS join_parent,
+         CAST(l_quantity AS DOUBLE) AS qty
+  FROM lineitem
+"""
+
+
+def _pc_docs(spark, sf_dir):
+    o = _T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.lit("order").alias("join_name"),
+        F.lit(None).cast("long").alias("join_parent"),
+        F.lit(None).cast("double").alias("qty"),
+    )
+    li = _T(spark, sf_dir, "lineitem").select(
+        (F.lit(1000000000) + F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long").alias("doc_id"),
+        F.lit("item").alias("join_name"),
+        F.col("l_orderkey").cast("long").alias("join_parent"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    return o.unionByName(li)
+
+
+@q(
+    "dsl_has_child",
+    f"""WITH t AS ({_PC_UNION_SQL})
+       SELECT doc_id FROM t p
+       WHERE p.join_name = 'order' AND EXISTS (
+         SELECT 1 FROM t c
+         WHERE c.join_name = 'item' AND c.join_parent = p.doc_id
+           AND c.qty >= 49)
+       ORDER BY 1 LIMIT 50000""",
+    extra=True,  # local-gate twin: relational semi-join family is
+                 # driver-gated via dsl_nested / join rows
+)
+def dsl_has_child(spark, sf_dir):
+    """ES ``has_child`` (dsl._parent_child_query): parents with ≥1 child
+    of the given type matching the inner query — one child-side
+    aggregate + a semi-join on the parent id (the ES parent/child
+    routing key)."""
+    from . import dsl
+
+    body = {
+        "query": {"has_child": {"type": "item",
+                                "query": {"range": {"qty": {"gte": 49}}}}},
+        "sort": [{"doc_id": "asc"}], "size": 50000, "_source": ["doc_id"],
+    }
+    return dsl.search(spark, _pc_docs(spark, sf_dir), body)
