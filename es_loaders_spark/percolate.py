@@ -238,3 +238,118 @@ WHERE coalesce(
    , false)
 ORDER BY {id_col}
 """
+
+
+def _doc_side_maps(doc_cols: list[str], text_cols: list[str]):
+    """Doc-side value maps built from COLUMNS (not literals) — the
+    evaluator for percolating a whole relation/stream of documents."""
+    from .analyze import terms_array
+
+    skeys, svals, nkeys, nvals, tkeys, tvals, pkeys, pvals = (
+        [], [], [], [], [], [], [], [])
+    for c in doc_cols:
+        if c in text_cols:
+            skeys.append(F.lit(c)); svals.append(F.col(c).cast("string"))
+            toks = terms_array(F.col(c))
+            tkeys.append(F.lit(c)); tvals.append(toks)
+            pkeys.append(F.lit(c))
+            pvals.append(F.concat(F.lit(" "), F.concat_ws(" ", toks), F.lit(" ")))
+        else:
+            skeys.append(F.lit(c)); svals.append(F.col(c).cast("string"))
+            nkeys.append(F.lit(c))
+            nvals.append(F.col(c).cast("string").try_cast("double"))
+
+    def mk(ks, vs, vtype):
+        if not ks:
+            return F.lit(None).cast(f"map<string,{vtype}>")
+        return F.map_from_arrays(F.array(*ks), F.array(*vs))
+
+    return (
+        mk(skeys, svals, "string"),
+        mk(nkeys, nvals, "double"),
+        mk(tkeys, tvals, "array<string>"),
+        mk(pkeys, pvals, "string"),
+    )
+
+
+def _match_cond(smap, nmap, tmap, pmap) -> Column:
+    """The stored-query predicate over doc-side maps (shared by the
+    one-doc literal path and the batch/stream relation path)."""
+    from .analyze import terms_array
+
+    sval = F.element_at(smap, F.col("field"))
+    nval = F.element_at(nmap, F.col("field"))
+    tval = F.element_at(tmap, F.col("field"))
+    pval = F.element_at(pmap, F.col("field"))
+    qtoks = terms_array(F.col("value"))
+    match_or = F.arrays_overlap(qtoks, tval)
+    match_and = F.forall(qtoks, lambda t: F.array_contains(tval, t))
+    match_pred = F.when(F.col("operator") == "and", match_and).otherwise(match_or)
+    phrase_pred = pval.contains(
+        F.concat(F.lit(" "), F.concat_ws(" ", qtoks), F.lit(" "))
+    )
+    range_pred = (
+        (F.col("gte").isNull() | (nval >= F.col("gte")))
+        & (F.col("lte").isNull() | (nval <= F.col("lte")))
+        & nval.isNotNull()
+    )
+    k = F.col("kind")
+    # term over a numeric doc column: compare NUMERICALLY when both
+    # sides parse (no string-canonicalization games — "17" matches 17.0)
+    term_pred = (sval == F.col("value")) | (
+        nval.isNotNull() & (nval == F.col("value").try_cast("double"))
+    )
+    return (
+        ((k == "term") & term_pred)
+        | ((k == "terms") & F.array_contains(F.col("values"), sval))
+        | ((k == "range") & range_pred)
+        | ((k == "match") & match_pred)
+        | ((k == "match_phrase") & phrase_pred)
+        | ((k == "prefix") & sval.startswith(F.col("value")))
+        | ((k == "exists") & (sval.isNotNull() | tval.isNotNull()))
+    )
+
+
+def percolate_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_cols: tuple[str, ...] | None = None,
+    id_col: str = "query_id",
+) -> DataFrame:
+    """Percolate a RELATION of documents (alerting shape): which stored
+    queries match each doc?
+
+    One broadcast cross-join (queries are alerting rules — small next to
+    a document stream) with the SAME codegen predicate as the one-doc
+    path, doc values read from columns instead of literals. Works
+    unchanged on a STREAMING docs frame: this is a stream-static join,
+    so `stream.transform(lambda b: percolate_batch(b, rules))` →
+    writeStream gives continuous percolation with no custom state.
+
+    Returns (doc_id_col, query_id), one row per match.
+    """
+    cols = [c for c in docs.columns if c != doc_id_col]
+    if text_cols is None:
+        # same convention as the one-doc path: every string field is
+        # analyzed text (match/phrase-able), everything else scalar
+        from pyspark.sql.types import StringType
+
+        text_cols = tuple(
+            f.name for f in docs.schema.fields
+            if isinstance(f.dataType, StringType) and f.name != doc_id_col
+        )
+    smap, nmap, tmap, pmap = _doc_side_maps(cols, list(text_cols))
+    side = docs.select(
+        F.col(doc_id_col),
+        smap.alias("__s"), nmap.alias("__n"),
+        tmap.alias("__t"), pmap.alias("__p"),
+    )
+    cond = _match_cond(
+        F.col("__s"), F.col("__n"), F.col("__t"), F.col("__p")
+    )
+    return (
+        side.crossJoin(F.broadcast(queries))
+        .filter(F.coalesce(cond, F.lit(False)))
+        .select(doc_id_col, id_col)
+    )

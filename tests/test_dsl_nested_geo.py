@@ -501,3 +501,56 @@ def test_nested_inner_hits_custom_name(spark, nested_docs):
     }
     out = dsl.search(spark, nested_docs, body).collect()
     assert [(r.doc_id, len(r.b_items)) for r in out] == [(1, 1)]
+
+
+def test_percolate_batch_matches_per_doc_percolate(spark):
+    q = P.queries_from_bodies(spark, PERC_BODIES)
+    docs = spark.createDataFrame([
+        Row(doc_id=1, brand="Brand#32", size=17,
+            type_text="STANDARD POLISHED TIN", container="SM CASE"),
+        Row(doc_id=2, brand="Brand#13", size=30,
+            type_text="ECONOMY BURNISHED STEEL", container="JUMBO JAR"),
+        Row(doc_id=3, brand="Other", size=19,
+            type_text="PROMO POLISHED BRASS", container="LG BOX"),
+    ])
+    got = sorted(
+        (r.doc_id, r.query_id)
+        for r in P.percolate_batch(docs, q).collect()
+    )
+    want = []
+    for d in docs.collect():
+        doc = {k: v for k, v in d.asDict().items() if k != "doc_id"}
+        for r in P.percolate(q, doc).collect():
+            want.append((d.doc_id, r.query_id))
+    assert got == sorted(want) and len(got) > 0
+
+
+def test_percolate_streaming_alerting(spark, tmp_path):
+    import time
+
+    q = P.queries_from_bodies(spark, PERC_BODIES)
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, brand="Brand#32", size=17,
+            type_text="STANDARD POLISHED TIN", container="SM CASE"),
+        Row(doc_id=2, brand="Brand#13", size=30,
+            type_text="ECONOMY BURNISHED STEEL", container="JUMBO JAR"),
+    ])
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    matches = P.percolate_batch(stream, q)  # stream-static broadcast join
+    query = (
+        matches.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    query.awaitTermination(120)
+    got = sorted(
+        (r.doc_id, r.query_id) for r in spark.read.parquet(out).collect()
+    )
+    want = []
+    for d in docs.collect():
+        doc = {k: v for k, v in d.asDict().items() if k != "doc_id"}
+        for r in P.percolate(q, doc).collect():
+            want.append((d.doc_id, r.query_id))
+    assert got == sorted(want) and len(got) > 0
