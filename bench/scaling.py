@@ -42,6 +42,14 @@ def run_once(cores: int, master: str | None = None) -> dict:
     idx_dir = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_")
     shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # untimed warmup build (same discipline as bench.py): JIT/codegen
+    # compilation is a per-JVM constant that otherwise inflates BOTH
+    # sides of the N-vs-4N comparison and compresses the measured ratio
+    warm_dir = tempfile.mkdtemp(prefix=f"scale_warm_{cores}_")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_pipeline(spark, 3000, warm_dir, n_shards=8)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
     t0 = time.time()
     build_pipeline(spark, N_PAGES, idx_dir, n_shards=N_SHARDS)
     t_build = time.time() - t0

@@ -3436,3 +3436,31 @@ def dsl_has_child(spark, sf_dir):
         "sort": [{"doc_id": "asc"}], "size": 50000, "_source": ["doc_id"],
     }
     return dsl.search(spark, _pc_docs(spark, sf_dir), body)
+
+
+@q(
+    "dsl_knn",
+    """SELECT vec_id,
+              round((1.0 + list_cosine_similarity(
+                  embedding,
+                  (SELECT embedding FROM embeddings WHERE vec_id = 0))) / 2.0,
+                  4) AS score
+       FROM embeddings
+       WHERE label >= 3
+       ORDER BY score DESC, vec_id ASC LIMIT 15""",
+    extra=True,  # local-gate twin of the similarity family (ann_* rows)
+)
+def dsl_knn(spark, sf_dir):
+    """ES ``knn`` search body (dsl.search knn branch): exact cosine with
+    the (1+cos)/2 ES score transform and PRE-filter semantics — the
+    brute-force baseline; the scale path is the built ANN indexes."""
+    from . import dsl
+
+    emb = _T(spark, sf_dir, "embeddings")
+    body = {"knn": {
+        "field": "embedding",
+        "query_vector": _query_vec(spark, sf_dir),
+        "k": 15,
+        "filter": {"range": {"label": {"gte": 3}}},
+    }}
+    return dsl.search(spark, emb, body, id_col="vec_id")
