@@ -89,3 +89,18 @@ def oracle_tokens_sql(doc_table: str = "documents", text_col: str = "text") -> s
         )
         WHERE t <> ''
     """
+
+
+def analyze_api(text: str) -> list[dict]:
+    """ES ``_analyze`` response shape: tokens with character offsets and
+    positions, under the engine's single analyzer grammar (the same
+    regex tokenize_text uses — parity asserted in tests)."""
+    return [
+        {
+            "token": m.group(0).lower(),
+            "start_offset": m.start(),
+            "end_offset": m.end(),
+            "position": i,
+        }
+        for i, m in enumerate(_TOKEN_RE_PY.finditer(text))
+    ]

@@ -3847,3 +3847,32 @@ def search_template(
         spark, docs, body, index_dir=index_dir,
         text_col=text_col, id_col=id_col,
     )
+
+
+def validate_query(body: dict[str, Any]) -> dict[str, Any]:
+    """ES ``_validate/query`` analogue: can this body's query compile?
+
+    Attempts the same compilation search()/count() would perform —
+    filter_expr for filter-context clauses, the query_string parser for
+    query_string — WITHOUT executing anything. Returns ES's response
+    shape: {"valid": bool, "error": str|None}.
+    """
+    query = body.get("query", {}) or {}
+    try:
+        if len(query) == 1 and "query_string" in query:
+            from .querystring import parse_query_string
+
+            sub = query["query_string"]
+            if isinstance(sub, str):
+                sub = {"query": sub}
+            parse_query_string(
+                sub["query"], sub.get("default_field") or "text",
+                str(sub.get("default_operator", "or")).lower(),
+            )
+        else:
+            scoring, filters = _split_scoring(query)
+            if filters:
+                filter_expr(filters)
+        return {"valid": True, "error": None}
+    except (ValueError, KeyError) as e:
+        return {"valid": False, "error": str(e)}

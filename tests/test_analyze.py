@@ -72,3 +72,14 @@ def test_tokenizer_property_unicode():
             assert list(flat[offsets[i] : offsets[i + 1]]) == tokenize_text(t)
 
     check()
+
+
+def test_analyze_api_offsets_and_parity():
+    from es_loaders_spark.analyze import analyze_api, tokenize_text
+
+    text = "Hello, WORLD! crawl-data 42"
+    out = analyze_api(text)
+    assert [t["token"] for t in out] == tokenize_text(text)
+    assert [t["position"] for t in out] == list(range(len(out)))
+    for t in out:
+        assert text[t["start_offset"]:t["end_offset"]].lower() == t["token"]

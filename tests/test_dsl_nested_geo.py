@@ -554,3 +554,14 @@ def test_percolate_streaming_alerting(spark, tmp_path):
         for r in P.percolate(q, doc).collect():
             want.append((d.doc_id, r.query_id))
     assert got == sorted(want) and len(got) > 0
+
+
+def test_validate_query(spark):  # Column compilation needs a session
+    assert dsl.validate_query(
+        {"query": {"bool": {"filter": [{"term": {"a": 1}}]}}}
+    ) == {"valid": True, "error": None}
+    bad = dsl.validate_query({"query": {"frobnicate": {"a": 1}}})
+    assert not bad["valid"] and "frobnicate" in bad["error"]
+    badqs = dsl.validate_query(
+        {"query": {"query_string": {"query": "a AND (b"}}})
+    assert not badqs["valid"] and "parenthes" in badqs["error"]
