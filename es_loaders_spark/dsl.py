@@ -3613,6 +3613,7 @@ def more_like_this(
     body: dict[str, Any],
     text_col: str = "text",
     id_col: str = "doc_id",
+    index_dir: str | None = None,
 ) -> DataFrame:
     """ES ``more_like_this`` query: find documents similar to a seed doc.
 
@@ -3643,25 +3644,73 @@ def more_like_this(
     include = bool(mlt.get("include", False))
     size = int(body.get("size", 10))
 
-    p = postings_long(docs.select(id_col, text_col), text_col=text_col, id_col=id_col)
-    dl = doc_lengths(docs.select(id_col, text_col), text_col=text_col, id_col=id_col)
-    stats = corpus_stats(dl)
-    tdf = term_df(p)
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(stats.n_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    seed_terms = (
-        p.filter(F.col("doc_id") == F.lit(seed_id))
-        .filter(F.col("tf") >= min_tf)
-        .join(tdf, "term")
-        .filter(F.col("df") >= min_df)
-        .withColumn("_tfidf", F.col("tf") * idf)
-        .orderBy(F.desc("_tfidf"), F.asc("term"))
-        .limit(max_terms)
-        .select("term")
-    )
+    if index_dir is not None:
+        # index-served (r5): seed term stats from ONE id-pruned doc
+        # (O(seed), never a corpus tokenize); df/dl/avgdl from the
+        # index's terms/doclens/stats.json; candidate postings decode
+        # only the ≤ max_query_terms selected terms' blocks. The one
+        # driver materialization is the selected-term list itself
+        # (≤ max_query_terms short strings — query metadata, the same
+        # class as wand.py's query-term stats collect).
+        import os as _os
+
+        from .analyze import terms_array
+        from .build import load_stats, read_generations
+        from .phrase import tf_postings
+        from .postings import CorpusStats
+
+        st = load_stats(index_dir)
+        stats = CorpusStats(n_docs=int(st["n_docs"]), avgdl=float(st["avgdl"]))
+        dl = read_generations(spark, index_dir, "doclens").select("doc_id", "dl")
+        tdf = spark.read.parquet(_os.path.join(index_dir, "terms"))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(stats.n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        seed_tf = (
+            docs.filter(F.col(id_col) == F.lit(seed_id))
+            .select(F.explode(terms_array(F.col(text_col))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        sel_rows = (
+            seed_tf.filter(F.col("tf") >= min_tf)
+            .join(tdf, "term")
+            .filter(F.col("df") >= min_df)
+            .withColumn("_tfidf", F.col("tf") * idf)
+            .orderBy(F.desc("_tfidf"), F.asc("term"))
+            .limit(max_terms)
+            .select("term")
+            .collect()
+        )
+        terms_list = [r.term for r in sel_rows]
+        if not terms_list:
+            return spark.createDataFrame([], "doc_id long, score double")
+        seed_terms = spark.createDataFrame(
+            [(t,) for t in terms_list], "term string"
+        )
+        p = tf_postings(spark, index_dir, terms_list)
+    else:
+        p = postings_long(docs.select(id_col, text_col), text_col=text_col, id_col=id_col)
+        dl = doc_lengths(docs.select(id_col, text_col), text_col=text_col, id_col=id_col)
+        stats = corpus_stats(dl)
+        tdf = term_df(p)
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(stats.n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        seed_terms = (
+            p.filter(F.col("doc_id") == F.lit(seed_id))
+            .filter(F.col("tf") >= min_tf)
+            .join(tdf, "term")
+            .filter(F.col("df") >= min_df)
+            .withColumn("_tfidf", F.col("tf") * idf)
+            .orderBy(F.desc("_tfidf"), F.asc("term"))
+            .limit(max_terms)
+            .select("term")
+        )
     cand = p.join(F.broadcast(seed_terms), "term")
     if not include:
         cand = cand.filter(F.col("doc_id") != F.lit(seed_id))
@@ -3672,6 +3721,10 @@ def more_like_this(
         .groupBy("doc_id")
         .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
     )
+    if index_dir is not None:
+        from .deletes import filter_deleted
+
+        scored = filter_deleted(spark, index_dir, scored)
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(size)
 
 

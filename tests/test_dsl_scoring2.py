@@ -346,3 +346,27 @@ def test_terms_set_index_served_matches_scan(spark, web_pages, tmp_path):
     served = [(r.doc_id, r.score)
               for r in dsl.search(spark, docs, body, index_dir=idx).collect()]
     assert scan == served and len(scan) > 0
+
+
+def test_more_like_this_index_served_matches_scan(spark, web_pages, tmp_path):
+    from pyspark.sql.window import Window
+
+    from es_loaders_spark.build import build_index
+
+    docs = (
+        web_pages
+        .withColumn("doc_id", F.row_number().over(Window.orderBy("url")) - 1)
+        .select("doc_id", "text")
+        .cache()
+    )
+    idx = str(tmp_path / "mlt_idx")
+    build_index(spark, docs, idx, n_shards=4)
+    body = {"query": {"more_like_this": {
+        "like": {"doc_id": 7}, "max_query_terms": 20,
+        "min_term_freq": 2, "min_doc_freq": 5}}, "size": 15}
+    scan = [(r.doc_id, r.score)
+            for r in dsl.more_like_this(spark, docs, body).collect()]
+    served = [(r.doc_id, r.score)
+              for r in dsl.more_like_this(spark, docs, body,
+                                          index_dir=idx).collect()]
+    assert scan == served and len(scan) > 0
