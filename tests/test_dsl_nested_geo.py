@@ -565,3 +565,99 @@ def test_validate_query(spark):  # Column compilation needs a session
     badqs = dsl.validate_query(
         {"query": {"query_string": {"query": "a AND (b"}}})
     assert not badqs["valid"] and "parenthes" in badqs["error"]
+
+
+def test_percolate_randomized_three_way_consistency(spark):
+    """300 seeded-random stored queries × 12 random docs: per-doc
+    percolate ≡ percolate_batch ≡ the DuckDB SQL twin, in bulk."""
+    import random
+
+    rng = random.Random(20260818)
+    words = ["spark", "index", "crawl", "data", "batch", "merge", "query",
+             "page", "fast", "slow", "tin", "brass", "steel"]
+    brands = [f"Brand#{i}" for i in range(1, 6)]
+
+    bodies = []
+    for qid in range(1, 301):
+        kind = rng.choice(
+            ["term", "terms", "range", "match", "match_and",
+             "match_phrase", "prefix", "exists"])
+        if kind == "term":
+            bodies.append((qid, {"term": {"brand": rng.choice(brands)}}))
+        elif kind == "terms":
+            bodies.append((qid, {"terms": {"brand": rng.sample(brands, 2)}}))
+        elif kind == "range":
+            lo = rng.randint(0, 40)
+            bodies.append((qid, {"range": {"size": {"gte": lo, "lte": lo + rng.randint(0, 20)}}}))
+        elif kind == "match":
+            bodies.append((qid, {"match": {"blurb": " ".join(rng.sample(words, rng.randint(1, 3)))}}))
+        elif kind == "match_and":
+            bodies.append((qid, {"match": {"blurb": {
+                "query": " ".join(rng.sample(words, 2)), "operator": "and"}}}))
+        elif kind == "match_phrase":
+            bodies.append((qid, {"match_phrase": {"blurb": " ".join(rng.sample(words, 2))}}))
+        elif kind == "prefix":
+            bodies.append((qid, {"prefix": {"brand": rng.choice(brands)[:6]}}))
+        else:
+            bodies.append((qid, {"exists": {"field": rng.choice(["brand", "blurb", "nope"])}}))
+    q = P.queries_from_bodies(spark, bodies)
+
+    docs = []
+    for did in range(1, 13):
+        docs.append({
+            "brand": rng.choice(brands),
+            "size": rng.randint(0, 60),
+            "blurb": " ".join(rng.choice(words) for _ in range(rng.randint(3, 10))),
+        })
+
+    import duckdb
+    con = duckdb.connect()
+    con.register("pq", q.toPandas())
+
+    batch_df = spark.createDataFrame(
+        [Row(doc_id=i + 1, **d) for i, d in enumerate(docs)])
+    got_batch = sorted(
+        (r.doc_id, r.query_id)
+        for r in P.percolate_batch(batch_df, q).collect())
+
+    got_perdoc, got_duck = [], []
+    for i, d in enumerate(docs):
+        for r in P.percolate(q, d).collect():
+            got_perdoc.append((i + 1, r.query_id))
+        for r in con.execute(P.percolate_oracle_sql(d, "pq")).fetchall():
+            got_duck.append((i + 1, r[0]))
+
+    assert got_batch == sorted(got_perdoc) == sorted(got_duck)
+    assert len(got_batch) > 100  # the web actually matched things
+
+
+def test_geo_randomized_duckdb_consistency(spark):
+    """500 seeded-random coordinates: geotile keys and haversine
+    distances agree with the DuckDB twins in bulk (one pass each)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(42)
+    pts = [(round(rng.uniform(-89.9, 89.9), 6),
+            round(rng.uniform(-180.0, 180.0), 6)) for _ in range(500)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    got = [
+        (r.k, round(r.d, 6))
+        for r in df.select(
+            dsl.geotile_key(F.col("lat"), F.col("lon"), 9).alias("k"),
+            dsl._haversine_m(F.col("lat"), F.col("lon"),
+                             F.lit(40.71), F.lit(-74.0)).alias("d"),
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (lat DOUBLE, lon DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pts)
+    want = [
+        (k, round(d, 6))
+        for k, d in con.execute(
+            f"SELECT {dsl.geotile_sql('lat', 'lon', 9)}, "
+            f"{dsl.haversine_sql('lat', 'lon', '40.71', '-74.0')} FROM t"
+        ).fetchall()
+    ]
+    assert got == want
