@@ -3256,6 +3256,20 @@ def msearch(
     return [search(spark, docs, b) for b in bodies]
 
 
+def msearch_template(
+    spark: SparkSession,
+    docs: DataFrame,
+    templates: list[dict[str, Any]],
+    index_dir: str | None = None,
+) -> list[DataFrame]:
+    """ES ``_msearch/template``: render each {"source", "params"} entry
+    (render_template) then run the searches — msearch over templates."""
+    return [
+        search_template(spark, docs, t, index_dir=index_dir)
+        for t in templates
+    ]
+
+
 def _phrase_suggest(
     spark: SparkSession,
     docs: DataFrame,

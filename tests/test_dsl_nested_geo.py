@@ -661,3 +661,20 @@ def test_geo_randomized_duckdb_consistency(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_msearch_template(spark, documents):
+    tpls = [
+        {"source": {"query": {"range": {"n_chars": {"gte": "{{lo}}"}}},
+                    "sort": [{"doc_id": "asc"}], "size": 3,
+                    "_source": ["doc_id"]},
+         "params": {"lo": lo}}
+        for lo in (100, 300)
+    ]
+    outs = dsl.msearch_template(spark, documents, tpls)
+    assert len(outs) == 2
+    for lo, out in zip((100, 300), outs):
+        want = [r.doc_id for r in documents
+                .filter(F.col("n_chars") >= lo).orderBy("doc_id")
+                .limit(3).collect()]
+        assert [r.doc_id for r in out.collect()] == want
