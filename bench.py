@@ -157,6 +157,7 @@ def main() -> None:
         "ann_ivf",                 # TRAINED quantizer (r5: training + probe)
         "dsl_query_string",        # boolean-tree engine (r5 third wave)
         "dsl_pipeline_aggs",       # bucket-frame window pipelines (r5)
+        "dsl_percolate",           # 20k stored queries, one codegen pass (r5)
     ]
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
