@@ -95,6 +95,7 @@ def tf_postings(
     terms: list[str] | None = None,
     table: str = "shards",
     prefix: str | None = None,
+    like_pattern: str | None = None,
 ) -> DataFrame:
     """(term, doc_id, tf) for the given terms (or a term prefix), from
     the compressed index.
@@ -111,8 +112,12 @@ def tf_postings(
         idx = idx.filter(F.col("term").isin(terms))
     if prefix is not None:
         idx = idx.filter(F.col("term").startswith(prefix))
-    if terms is None and prefix is None:
-        raise ValueError("tf_postings needs terms and/or a prefix filter")
+    if like_pattern is not None:
+        # wildcard expansion: a LIKE over the term column (leading
+        # wildcards scan the whole dictionary, same caveat as ES)
+        idx = idx.filter(F.col("term").like(like_pattern))
+    if terms is None and prefix is None and like_pattern is None:
+        raise ValueError("tf_postings needs terms, a prefix or a pattern")
     idx = idx.select("term", "min_doc", "docs_payload", "tfs_payload")
 
     def decode(batches):

@@ -242,26 +242,52 @@ def parse_query_string(
                 )
             return Leaf("phrase", fld, words)
         if "~" in tok:
-            raise ValueError(
-                f"query_string: fuzzy {tok!r} is not supported — use the "
-                "fuzzy leaf clause"
-            )
+            # Lucene fuzzy: term~ (AUTO edits by length) or term~N.
+            # Distance is PLAIN Levenshtein (a transposition costs 2);
+            # ES defaults to Damerau (transpositions=true, cost 1) —
+            # documented deviation, applied identically in the SQL twin.
+            base, _, n = tok.partition("~")
+            if fld != text_field:
+                raise ValueError(
+                    f"query_string: fuzzy {tok!r} matches the analyzed "
+                    f"column {text_field!r}; got field {fld!r}"
+                )
+            words = tokenize_text(base)
+            if len(words) != 1:
+                raise ValueError(f"query_string: bad fuzzy term {tok!r}")
+            w = words[0]
+            if n == "":
+                edits = 0 if len(w) <= 2 else 1 if len(w) <= 5 else 2
+            else:
+                edits = int(n)
+                if edits not in (0, 1, 2):
+                    raise ValueError(
+                        f"query_string: fuzzy edits must be 0-2 in {tok!r}"
+                    )
+            return Leaf("fuzzy", fld, (w, edits))
         if tok.endswith("*") and len(tok) > 1 and "*" not in tok[:-1] \
                 and "?" not in tok:
+            if fld != text_field:
+                # keyword-field prefix IS a wildcard (in-row LIKE)
+                return Leaf("kwwild", fld, tok)
             stems = tokenize_text(tok[:-1])
             if len(stems) != 1:
                 raise ValueError(f"query_string: bad prefix {tok!r}")
-            if fld != text_field:
-                raise ValueError(
-                    f"query_string: prefix {tok!r} expands the analyzed "
-                    f"column {text_field!r}; got field {fld!r}"
-                )
             return Leaf("prefix", fld, stems[0])
         if "*" in tok or "?" in tok:
-            raise ValueError(
-                f"query_string: embedded wildcard {tok!r} is not supported "
-                "— use the wildcard leaf clause"
-            )
+            # Lucene wildcard (* = any run, ? = any one char): on the
+            # analyzed column it expands vocabulary terms (constant-score
+            # rewrite, like prefix); on a keyword field it is an in-row
+            # LIKE. Backslash escapes are not supported here (use the
+            # wildcard leaf clause for those).
+            if "\\" in tok:
+                raise ValueError(
+                    f"query_string: backslash escapes in wildcard {tok!r} "
+                    "are not supported — use the wildcard leaf clause"
+                )
+            if fld == text_field:
+                return Leaf("wildcard", fld, tok.lower())
+            return Leaf("kwwild", fld, tok)
         if fld == text_field:
             words = tokenize_text(tok)
             if len(words) != 1:
@@ -403,7 +429,9 @@ def execute_tree(
     if len(leaves) > MAX_LEAVES:
         raise ValueError(f"query_string: {len(leaves)} leaves > {MAX_LEAVES}")
 
-    text_leaves = [l for l in leaves if l.kind in ("term", "phrase", "prefix")]
+    text_leaves = [l for l in leaves
+                   if l.kind in ("term", "phrase", "prefix", "wildcard",
+                                 "fuzzy")]
     need_text = bool(text_leaves)
     p = None
     if need_text and index_dir is not None:
@@ -531,6 +559,68 @@ def execute_tree(
                 .withColumn(f"_qs{l.id}", F.lit(1.0))
             )
             sel = sel.join(hits, "doc_id", "left")
+        elif l.kind == "wildcard":
+            # constant-score multi-term rewrite over the vocabulary
+            # (Lucene's default for wildcard), like prefix
+            pat = _wild_to_like(l.value)
+            if index_dir is not None:
+                from .phrase import tf_postings
+
+                src = tf_postings(spark, index_dir, like_pattern=pat)
+            else:
+                src = p.filter(F.col("term").like(pat))
+            hits = (
+                src.select("doc_id").distinct()
+                .withColumn(f"_qs{l.id}", F.lit(1.0))
+            )
+            sel = sel.join(hits, "doc_id", "left")
+        elif l.kind == "fuzzy":
+            # Lucene fuzzy, deterministic variant: expansions = the
+            # ≤ 50 vocabulary terms within `edits` (ES max_expansions),
+            # ordered (distance asc, df desc, term asc); per-doc score =
+            # MAX over matched expansions of bm25_contrib × the Lucene
+            # length-normalized boost (1 − dist/len(term)). Deviation
+            # from Lucene's blended-df rewrite documented: same match
+            # set, per-expansion idf instead of blended idf.
+            from .bm25 import bm25_score_expr
+
+            base_t, edits = l.value
+            exp = (
+                tdf.withColumn(
+                    "dist", F.levenshtein(F.col("term"), F.lit(base_t))
+                )
+                .filter(F.col("dist") <= F.lit(int(edits)))
+                .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+                .limit(50)
+            )
+            if index_dir is not None:
+                from .phrase import tf_postings
+
+                # expansion list is query metadata (≤ 50 short strings)
+                terms_l = [r.term for r in exp.select("term").collect()]
+                fsrc = (
+                    tf_postings(spark, index_dir, terms_l)
+                    if terms_l else None
+                )
+            else:
+                fsrc = p.join(F.broadcast(exp.select("term")), "term")
+            if fsrc is None:
+                sel = sel.withColumn(
+                    f"_qs{l.id}", F.lit(None).cast("double")
+                )
+            else:
+                boost = (
+                    F.lit(1.0)
+                    - F.col("dist") / F.lit(float(len(base_t)))
+                )
+                fcontrib = (
+                    fsrc.join(F.broadcast(exp), "term")
+                    .join(dl, "doc_id")
+                    .withColumn("_c", bm25_score_expr(stats) * boost)
+                    .groupBy("doc_id")
+                    .agg(F.max("_c").alias(f"_qs{l.id}"))
+                )
+                sel = sel.join(fcontrib, "doc_id", "left")
 
     kw_leaves = [l for l in leaves if l.kind == "kwterm"]
     if kw_leaves:
@@ -560,6 +650,14 @@ def execute_tree(
             if hi is not None:
                 cond = cond & (c <= F.lit(hi) if ihi else c < F.lit(hi))
             sel = sel.withColumn(f"_qs{l.id}", F.when(cond, F.lit(1.0)))
+        elif l.kind == "kwwild":
+            # wildcard on a keyword field: in-row LIKE, constant score
+            sel = sel.withColumn(
+                f"_qs{l.id}",
+                F.when(
+                    F.col(l.field).like(_wild_to_like(l.value)), F.lit(1.0)
+                ),
+            )
 
     matched, score = _compile_columns(tree)
     out = (
@@ -572,6 +670,22 @@ def execute_tree(
 
         out = filter_deleted(spark, index_dir, out)
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _wild_to_like(pattern: str) -> str:
+    """Lucene wildcard (* ?) → SQL LIKE (% _), escaping LIKE's own
+    metacharacters. Backslash escapes rejected at parse time."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
 
 
 def _sql_quote(v: Any) -> str:
@@ -613,7 +727,10 @@ def tree_oracle_sql(
     _collect_leaves(tree, leaves)
 
     ctes: list[str] = []
-    need_text = any(l.kind in ("term", "phrase", "prefix") for l in leaves)
+    need_text = any(
+        l.kind in ("term", "phrase", "prefix", "wildcard", "fuzzy")
+        for l in leaves
+    )
     if need_text:
         ctes.append(f"""tokens AS (
     SELECT {id_col} AS doc_id, t AS term
@@ -691,6 +808,40 @@ def tree_oracle_sql(
                 f"(CASE WHEN pre{l.id}.doc_id IS NOT NULL THEN 1.0 END) "
                 f"AS _qs{l.id}"
             )
+        elif l.kind == "wildcard":
+            pat = _wild_to_like(l.value).replace("'", "''")
+            ctes.append(
+                f"wc{l.id} AS (SELECT DISTINCT doc_id FROM postings "
+                f"WHERE term LIKE '{pat}' ESCAPE '\\')"
+            )
+            joins.append(f"LEFT JOIN wc{l.id} ON wc{l.id}.doc_id = d.{id_col}")
+            cols.append(
+                f"(CASE WHEN wc{l.id}.doc_id IS NOT NULL THEN 1.0 END) "
+                f"AS _qs{l.id}"
+            )
+        elif l.kind == "kwwild":
+            pat = _wild_to_like(l.value).replace("'", "''")
+            cols.append(
+                f"(CASE WHEN d.{l.field} LIKE '{pat}' ESCAPE '\\' "
+                f"THEN 1.0 END) AS _qs{l.id}"
+            )
+        elif l.kind == "fuzzy":
+            base_t, edits = l.value
+            bq = _sql_quote(base_t)
+            ctes.append(f"""fz{l.id}_exp AS (
+    SELECT term, df, levenshtein(term, {bq}) AS dist FROM tdf
+    WHERE levenshtein(term, {bq}) <= {int(edits)}
+    ORDER BY dist ASC, df DESC, term ASC LIMIT 50)""")
+            ctes.append(f"""fz{l.id} AS (
+    SELECT p.doc_id,
+           max(ln(1 + (s.n - e.df + 0.5) / (e.df + 0.5)) * p.tf * ({K1} + 1)
+               / (p.tf + {K1} * (1 - {B} + {B} * dlen.dl / s.avgdl))
+               * (1.0 - e.dist / {float(len(base_t))!r})) AS c
+    FROM postings p JOIN fz{l.id}_exp e USING (term)
+    JOIN doc_lens dlen USING (doc_id) CROSS JOIN stats s
+    GROUP BY p.doc_id)""")
+            joins.append(f"LEFT JOIN fz{l.id} ON fz{l.id}.doc_id = d.{id_col}")
+            cols.append(f"fz{l.id}.c AS _qs{l.id}")
         elif l.kind == "kwterm":
             dfq = (f"(SELECT count(*)::DOUBLE FROM {doc_table} "
                    f"WHERE {l.field} = {_sql_quote(l.value)})")

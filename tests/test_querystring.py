@@ -73,9 +73,11 @@ class TestParser:
         assert len(leaves) == 1  # one column, two clauses
 
     def test_loud_rejections(self):
+        # fuzzy (~) and embedded wildcards graduated to real leaves in
+        # the r5 final wave — only still-unsupported shapes raise now
         for bad in (
-            "a~2", "mid*dle", "wh?t", "field:(a b)", "(a OR b",
-            "a )", "a AND", "+", '""', "a:[1 TO]",
+            "a~3", "field:(a b)", "(a OR b",
+            "a )", "a AND", "+", '""', "a:[1 TO]", "wild\\*card*",
         ):
             with pytest.raises(ValueError):
                 parse_query_string(bad, "text", "or")
@@ -263,3 +265,65 @@ def test_match_bool_prefix_index_served(spark, qs_index):
         assert served == scan
     else:
         assert {d for d, _ in served} <= {d for d, _ in scan} | dead
+
+
+# ---------- wildcard / fuzzy leaves (r5 final wave) ----------
+
+WF_QUERIES = [
+    "b?tch*",                     # embedded ? + trailing * on the text field
+    "*atch spark",                # leading wildcard (dictionary scan)
+    "batvh~ AND spark",           # fuzzy AUTO (1 edit for len 5)
+    "batch~1 -lang:zh",           # explicit edits + keyword negation
+    "merge~2 OR spark",           # wide fuzzy
+    "lang:z? spark",              # wildcard on a keyword field
+]
+
+
+class TestWildcardFuzzy:
+    @pytest.mark.parametrize("q", WF_QUERIES)
+    def test_matches_duckdb(self, spark, documents, duck, q):
+        body = {"query": {"query_string": {"query": q}}, "size": 15}
+        got = [
+            (r.doc_id, r.score)
+            for r in dsl.search(spark, documents, body).collect()
+        ]
+        want = [
+            (int(a), float(b))
+            for a, b in duck.execute(query_string_oracle_sql(q, k=15)).fetchall()
+        ]
+        assert got == want, q
+        assert len(got) > 0, q
+
+    def test_parse_shapes(self):
+        g = parse_query_string("b?tch* batvh~ merge~2 lang:z*", "text", "or")
+        kinds = [c.node.kind for c in g.clauses]
+        assert kinds == ["wildcard", "fuzzy", "fuzzy", "kwwild"]
+        assert g.clauses[1].node.value == ("batvh", 1)  # AUTO for len 5
+        assert g.clauses[2].node.value == ("merge", 2)
+
+    def test_fuzzy_rejects_bad_edits(self):
+        with pytest.raises(ValueError, match="0-2"):
+            parse_query_string("spark~3", "text", "or")
+
+    def test_index_served_parity(self, spark, web_pages, tmp_path):
+        from pyspark.sql.window import Window
+
+        from es_loaders_spark.build import build_index
+
+        docs = (
+            web_pages
+            .withColumn("doc_id",
+                        F.row_number().over(Window.orderBy("url")) - 1)
+            .select("doc_id", "text", "lang")
+            .cache()
+        )
+        idx = str(tmp_path / "wf_idx")
+        build_index(spark, docs, idx, n_shards=4)
+        for q in ("cr?wl*", "crawk~ AND spark", "spark OR inde~1"):
+            body = {"query": {"query_string": {"query": q}}, "size": 15}
+            scan = [(r.doc_id, r.score)
+                    for r in dsl.search(spark, docs, body).collect()]
+            served = [(r.doc_id, r.score)
+                      for r in dsl.search(spark, docs, body,
+                                          index_dir=idx).collect()]
+            assert scan == served and len(scan) > 0, q
