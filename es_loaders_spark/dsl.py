@@ -1994,9 +1994,48 @@ def count(
     docs: DataFrame,
     body: dict | None = None,
     id_col: str = "doc_id",
+    index_dir: str | None = None,
+    text_col: str = "text",
 ) -> DataFrame:
-    """``es.count`` analogue → one-row DataFrame (n bigint)."""
+    """``es.count`` analogue → one-row DataFrame (n bigint).
+
+    With ``index_dir``, a MATCH query on the indexed column counts from
+    the query terms' POSTING BLOCKS (distinct live doc_ids) — never a
+    corpus scan; everything else filters ``docs``. (term stays on the
+    scan path: filter_expr's term is exact keyword equality engine-wide,
+    and an index-served token count would silently change that.)
+    """
     q = (body or {}).get("query", {})
+    if index_dir is not None and len(q) == 1:
+        (kind, sub), = q.items()
+        terms_q, op = None, "or"
+        if kind == "match":
+            (fld, v), = sub.items()
+            if isinstance(v, dict):
+                op = str(v.get("operator", "or")).lower()
+                v = v["query"]
+            if fld == text_col:
+                from .analyze import tokenize_text
+
+                terms_q = tokenize_text(str(v))
+        if terms_q is not None:
+            if not terms_q:
+                return spark.range(0).agg(F.count(F.lit(1)).alias("n"))
+            from .deletes import filter_deleted
+            from .phrase import tf_postings
+
+            tp = tf_postings(spark, index_dir, sorted(set(terms_q)))
+            if op == "and" and len(set(terms_q)) > 1:
+                hits = (
+                    tp.groupBy("doc_id")
+                    .agg(F.count_distinct("term").alias("_nt"))
+                    .filter(F.col("_nt") == F.lit(len(set(terms_q))))
+                    .select("doc_id")
+                )
+            else:
+                hits = tp.select("doc_id").distinct()
+            hits = filter_deleted(spark, index_dir, hits)
+            return hits.agg(F.count(F.lit(1)).alias("n"))
     return docs.filter(filter_expr(q, id_col)).agg(F.count(F.lit(1)).alias("n"))
 
 

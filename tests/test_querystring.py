@@ -327,3 +327,36 @@ class TestWildcardFuzzy:
                       for r in dsl.search(spark, docs, body,
                                           index_dir=idx).collect()]
             assert scan == served and len(scan) > 0, q
+
+
+def test_count_index_served_matches_scan(spark, web_pages, tmp_path):
+    from pyspark.sql.window import Window
+
+    from es_loaders_spark.build import build_index
+    from es_loaders_spark.deletes import delete_ids
+
+    docs = (
+        web_pages
+        .withColumn("doc_id", F.row_number().over(Window.orderBy("url")) - 1)
+        .select("doc_id", "text")
+        .cache()
+    )
+    idx = str(tmp_path / "cnt_idx")
+    build_index(spark, docs, idx, n_shards=4)
+    bodies = [
+        {"query": {"match": {"text": "spark crawl"}}},
+        {"query": {"match": {"text": {"query": "spark crawl",
+                                      "operator": "and"}}}},
+    ]
+    for body in bodies:
+        scan = dsl.count(spark, docs, body).collect()[0].n
+        served = dsl.count(spark, docs, body, index_dir=idx).collect()[0].n
+        assert scan == served and scan > 0, body
+    # tombstoning a matching doc reduces the served count immediately
+    victim = dsl.search(spark, docs, {"query": {"match": {"text": "spark"}},
+                                      "size": 1}, index_dir=idx).collect()[0].doc_id
+    q = {"query": {"match": {"text": "spark"}}}
+    before = dsl.count(spark, docs, q, index_dir=idx).collect()[0].n
+    delete_ids(spark, idx, spark.createDataFrame([(int(victim),)], "doc_id long"))
+    after = dsl.count(spark, docs, q, index_dir=idx).collect()[0].n
+    assert after == before - 1
