@@ -235,6 +235,51 @@ def _parent_child_query(
     return None
 
 
+def _resolve_terms_lookups(
+    spark: SparkSession,
+    docs: DataFrame,
+    query,
+    id_col: str,
+    lookups: dict[str, DataFrame] | None = None,
+):
+    """ES terms-lookup resolution: a ``terms`` clause whose value is
+    {"index": ..., "id": ..., "path": ...} fetches the term list from
+    ONE document at query time (ES does exactly this — the lookup is
+    query metadata, O(one doc), cached per request). The walked query
+    tree gets the clause rewritten to a plain terms list, so everything
+    downstream (filter_expr, aggs, counts) is untouched. The lookup
+    table comes from ``lookups[index]``; an unknown/omitted index falls
+    back to the docs table itself."""
+    if isinstance(query, list):
+        return [
+            _resolve_terms_lookups(spark, docs, q, id_col, lookups)
+            for q in query
+        ]
+    if not isinstance(query, dict):
+        return query
+    out = {}
+    for k, v in query.items():
+        if k == "terms" and isinstance(v, dict) and len(v) == 1:
+            (fld, spec), = v.items()
+            if isinstance(spec, dict) and "id" in spec and "path" in spec:
+                src_df = (lookups or {}).get(spec.get("index"), docs)
+                rows = (
+                    src_df.filter(F.col(id_col) == F.lit(int(spec["id"])))
+                    .select(F.col(spec["path"]).alias("_v"))
+                    .collect()
+                )
+                if not rows:
+                    raise ValueError(
+                        f"terms lookup: no doc with {id_col}={spec['id']!r}"
+                    )
+                val = rows[0]["_v"]
+                vals = list(val) if isinstance(val, (list, tuple)) else [val]
+                out[k] = {fld: vals}
+                continue
+        out[k] = _resolve_terms_lookups(spark, docs, v, id_col, lookups)
+    return out
+
+
 def _nested_elem_pred(path: str, inner: dict, id_col: str, _col=F.col):
     """Element-level predicate for a nested query: a lambda over the
     array element usable by both `exists` (matching) and `filter`
@@ -1323,6 +1368,7 @@ def search(
     index_dir: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    lookups: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """``es.search(body=...)`` analogue over a documents-shaped table.
 
@@ -1339,6 +1385,12 @@ def search(
     (``build.build_index``) so ``match`` serves from compressed
     postings (VERDICT r04 "What's wrong" #4).
     """
+    if "query" in body and body["query"]:
+        resolved = _resolve_terms_lookups(
+            spark, docs, body["query"], id_col, lookups
+        )
+        if resolved != body["query"]:
+            body = {**body, "query": resolved}
     if body.get("runtime_mappings"):
         # ES runtime fields: script-derived columns visible to the query,
         # aggs and sort of THIS search — withColumn over the same no-eval

@@ -678,3 +678,33 @@ def test_msearch_template(spark, documents):
                 .filter(F.col("n_chars") >= lo).orderBy("doc_id")
                 .limit(3).collect()]
         assert [r.doc_id for r in out.collect()] == want
+
+
+def test_terms_lookup_resolves_from_document(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, color="red", follower_ids=[2, 3]),
+        Row(doc_id=2, color="blue", follower_ids=[]),
+        Row(doc_id=3, color="red", follower_ids=[1]),
+        Row(doc_id=4, color="blue", follower_ids=[1, 2]),
+    ])
+    # ES terms lookup: ids from doc 1's follower_ids field
+    body = {"query": {"terms": {"doc_id": {"id": 1, "path": "follower_ids"}}},
+            "sort": [{"doc_id": "asc"}], "size": 10, "_source": ["doc_id"]}
+    got = [r.doc_id for r in dsl.search(spark, docs, body).collect()]
+    assert got == [2, 3]
+    # nested inside bool + a separate lookup table
+    users = spark.createDataFrame([Row(doc_id=9, fav_colors=["blue"])])
+    body2 = {"query": {"bool": {"filter": [
+        {"terms": {"color": {"index": "users", "id": 9, "path": "fav_colors"}}},
+    ]}}, "sort": [{"doc_id": "asc"}], "size": 10, "_source": ["doc_id"]}
+    got2 = [r.doc_id for r in
+            dsl.search(spark, docs, body2, lookups={"users": users}).collect()]
+    assert got2 == [2, 4]
+    # scalar path value resolves to a one-element list
+    body3 = {"query": {"terms": {"color": {"id": 1, "path": "color"}}},
+             "sort": [{"doc_id": "asc"}], "size": 10, "_source": ["doc_id"]}
+    got3 = [r.doc_id for r in dsl.search(spark, docs, body3).collect()]
+    assert got3 == [1, 3]
+    with pytest.raises(ValueError, match="no doc"):
+        dsl.search(spark, docs,
+                   {"query": {"terms": {"color": {"id": 99, "path": "color"}}}})
