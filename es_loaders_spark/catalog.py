@@ -202,3 +202,51 @@ class ManifestCatalog:
             pid = int(name.split("=", 1)[1]) // id_divisor
             if pid not in committed:
                 shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+
+
+def index_stats(index_dir: str) -> dict:
+    """ES ``_cat/indices`` / ``_stats`` analogue: one metadata dict per
+    index — docs, generations, tombstones, on-disk bytes per table,
+    snapshot counts. Pure filesystem + manifest metadata (no Spark
+    session, no data read), so it is safe from any ops tooling."""
+    import json as _json
+
+    stats_path = os.path.join(index_dir, "stats.json")
+    if not os.path.exists(stats_path):
+        raise FileNotFoundError(f"{index_dir!r} is not a built index")
+    with open(stats_path) as f:
+        stats = _json.load(f)
+    cat = ManifestCatalog(index_dir)
+    out = {
+        "index": index_dir,
+        "n_docs": int(stats.get("n_docs", 0)),
+        "max_doc_id": int(stats.get("max_doc_id", -1)),
+        "avgdl": stats.get("avgdl"),
+        "generations": int(stats.get("generations", 1)),
+        "positions": bool(stats.get("positions", True)),
+        "format": stats.get("format"),
+        "applied_batches": list(stats.get("applied_batches", [])),
+        "tables": {},
+    }
+    for name in sorted(os.listdir(index_dir)):
+        d = os.path.join(index_dir, name)
+        if not os.path.isdir(d):
+            continue
+        size = 0
+        files = 0
+        for root, _dirs, fnames in os.walk(d):
+            for fn in fnames:
+                if fn.endswith(".parquet"):
+                    size += os.path.getsize(os.path.join(root, fn))
+                    files += 1
+        snaps = 0
+        try:
+            snaps = len(cat.snapshots(name))
+        except Exception:
+            pass
+        out["tables"][name] = {
+            "bytes": size, "parquet_files": files, "snapshots": snaps,
+        }
+    deletes = out["tables"].get("deletes")
+    out["has_tombstones"] = bool(deletes and deletes["parquet_files"])
+    return out

@@ -58,6 +58,9 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--query", action="append", required=True, help="repeatable")
     q.add_argument("-k", type=int, default=10)
 
+    st = sub.add_parser("stats", help="index metadata (ES _cat/indices style)")
+    st.add_argument("--index-dir", required=True)
+
     al = sub.add_parser("aliases", help="atomic alias cutover (ES _aliases)")
     al.add_argument("--registry", required=True)
     al.add_argument("--actions", required=True,
@@ -109,6 +112,12 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--index-dir", default="/tmp/es_loaders_spark_demo")
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "stats":  # pure metadata — no Spark session needed
+        from .catalog import index_stats
+
+        print(json.dumps(index_stats(args.index_dir)))
+        return
 
     if args.cmd == "aliases":  # pure metadata — no Spark session needed
         from .aliases import update_aliases

@@ -85,3 +85,31 @@ def test_retention_zero_keeps_no_history(tmp_path):
     cat.commit("t", [_entry(0)])
     assert cat.snapshots("t") == []
     assert cat.load("t").version == 1  # current pointer unaffected
+
+
+def test_index_stats_metadata(spark, web_pages, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from es_loaders_spark.build import build_index
+    from es_loaders_spark.catalog import index_stats
+    from es_loaders_spark.deletes import delete_ids
+
+    docs = (
+        web_pages
+        .withColumn("doc_id", F.row_number().over(Window.orderBy("url")) - 1)
+        .select("doc_id", "text")
+    )
+    idx = str(tmp_path / "st_idx")
+    build_index(spark, docs, idx, n_shards=4)
+    st = index_stats(idx)
+    assert st["n_docs"] == 400 and st["generations"] == 1
+    assert not st["has_tombstones"]
+    assert st["tables"]["shards"]["bytes"] > 0
+    assert st["tables"]["shards"]["parquet_files"] > 0
+    delete_ids(spark, idx, spark.createDataFrame([(0,)], "doc_id long"))
+    assert index_stats(idx)["has_tombstones"]
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        index_stats(str(tmp_path / "nope"))
