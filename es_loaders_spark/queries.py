@@ -3464,3 +3464,50 @@ def dsl_knn(spark, sf_dir):
         "filter": {"range": {"label": {"gte": 3}}},
     }}
     return dsl.search(spark, emb, body, id_col="vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Driver-gate rotation (r6): the 16 registry entries that have never had a
+# driver row (VERDICT r05 "What's missing" #2) rotate IN; 18 multiply-green
+# twins rotate OUT to the local-gate EXTRA registry (13 are r04+r05
+# double-green, 5 are r05-green family twins whose siblings stay gated).
+# Every §2 operator retains a green row in CORRECTNESS_r04 ∪ r05, and every
+# rotated-out entry keeps its DuckDB oracle in tests/test_queries_oracle.py.
+# ---------------------------------------------------------------------------
+_RETIRED_R6 = [
+    # r04+r05 double-green (bm25_topk_wand stays: flagship / entry()):
+    "join_broadcast_dim",    # J1 — double-green
+    "groupby_sum_q1",        # A3 — double-green
+    "postings",              # X1 — double-green
+    "bool_filter",           # X3/P3 — double-green
+    "term_count_indexed",    # X2 — double-green
+    "phrase_match_indexed",  # X2+ — double-green
+    "quality_score",         # textstats — double-green
+    "lang_id",               # textstats — double-green
+    "fingerprint_docs",      # dedup — double-green
+    "dedup_exact_groups",    # dedup — double-green
+    "minhash_lsh_dups",      # dedup — double-green
+    "ann_ivf",               # ANN — double-green
+    "embedding_near_dups",   # ANN — double-green
+    # r05-green family twins (sibling rows stay driver-gated):
+    "dsl_simple_query_string",  # subset twin of dsl_query_string
+    "dsl_stats_bucket",         # pipeline-agg twin of dsl_pipeline_aggs
+    "dsl_mad",                  # stats twin of dsl_extended_stats
+    "dsl_boxplot_top_metrics",  # stats twin of dsl_extended_stats
+    "dsl_adjacency_matrix",     # filters-family twin of dsl_filters_agg (in)
+]
+_PROMOTED_R6 = [
+    "dsl_percentiles", "dsl_fuzzy", "dsl_knn", "dsl_has_child",
+    "dsl_termvectors", "dsl_boosting", "dsl_constant_score",
+    "dsl_function_score_weights", "dsl_explain_score", "dsl_missing_agg",
+    "dsl_weighted_avg", "dsl_percentile_ranks", "dsl_filters_agg",
+    "bm25_topk_highlight", "phrase_prefix_indexed", "ann_ivf_fixed",
+]
+for _n in _RETIRED_R6:
+    EXTRA_QUERIES[_n] = QUERIES.pop(_n)
+    if _n in ORACLES:
+        EXTRA_ORACLES[_n] = ORACLES.pop(_n)
+for _n in _PROMOTED_R6:
+    QUERIES[_n] = EXTRA_QUERIES.pop(_n)
+    if _n in EXTRA_ORACLES:
+        ORACLES[_n] = EXTRA_ORACLES.pop(_n)

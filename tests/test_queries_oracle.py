@@ -93,34 +93,35 @@ def test_registry_fits_driver_cap():
     twins live in EXTRA_QUERIES (local gate only)."""
     qs = entrymod.queries()
     assert len(qs) <= 50, f"{len(qs)} queries() entries exceed the driver's 50-row cap"
-    for must in ("ann_ivf", "embedding_near_dups", "minhash_lsh_dups",
-                 "dsl_multi_match",
-                 "dsl_top_hits", "dsl_date_histogram", "dsl_regexp",
-                 "dsl_query_string",  # dsl_fuzzy demoted to EXTRA for it
-                 # r5 rotation: newest surface driver-gated
+    for must in (
+                 # r6 rotation: the 16 never-driver-green rows now gated
+                 # (VERDICT r05 worklist #1); their 18 retired twins are
+                 # all green in CORRECTNESS_r04 ∪ r05 and keep local-gate
+                 # oracles here.
+                 "dsl_percentiles", "dsl_fuzzy", "dsl_knn", "dsl_has_child",
+                 "dsl_termvectors", "dsl_boosting", "dsl_constant_score",
+                 "dsl_function_score_weights", "dsl_explain_score",
+                 "dsl_missing_agg", "dsl_weighted_avg",
+                 "dsl_percentile_ranks", "dsl_filters_agg",
+                 "bm25_topk_highlight", "phrase_prefix_indexed",
+                 "ann_ivf_fixed",
+                 # r5 surface that stays gated (green r05 only)
+                 "dsl_multi_match", "dsl_top_hits", "dsl_date_histogram",
+                 "dsl_regexp", "dsl_query_string",
                  "dsl_dis_max", "dsl_function_score",
                  "dsl_collapse", "dsl_rescore", "dsl_suggest",
                  "dsl_more_like_this", "dsl_composite",
-                 "dsl_adjacency_matrix", "dsl_simple_query_string",
                  "dsl_extended_stats",
-                 # r5 third wave (dsl_boosting/dsl_filters_agg/
-                 # bm25_topk_filtered/token_count/left_join_integrity
-                 # retired to EXTRA — all r04-green, all twin-covered)
                  "dsl_pipeline_aggs", "dsl_bucket_script_sort",
-                 "dsl_stats_bucket", "dsl_script_score",
+                 "dsl_script_score",
                  "dsl_rank_feature", "dsl_terms_set", "dsl_span_near",
                  "dsl_match_bool_prefix",
-                 # r5 agg wave (dsl_histogram_mode/dsl_percentiles/
-                 # union_distinct/groupby_count/rename_normalize retired
-                 # to EXTRA — all r04-green, all family-covered)
                  "dsl_multi_terms", "dsl_rare_terms", "dsl_string_stats",
-                 "dsl_mad", "dsl_boxplot_top_metrics",
-                 # r5 fourth wave (bm25_topk/ann_lsh/simhash_fingerprints/
-                 # ngram_jaccard_dups/pivot_wide/filter_numeric retired to
-                 # EXTRA — all r04-green, all twin-covered)
                  "dsl_nested", "dsl_nested_agg", "dsl_geo_distance",
                  "dsl_geotile_grid", "dsl_percolate",
-                 "dsl_runtime_fields"):
+                 "dsl_runtime_fields",
+                 # flagship (entry()) stays gated
+                 "bm25_topk_wand"):
         assert must in qs
     # oracle keys must be a subset of query keys (driver joins by name)
     assert set(entrymod.oracle_sql()) <= set(qs)
