@@ -419,6 +419,7 @@ def build_index(
             "max_doc_id": int(agg["max_id"] if agg["max_id"] is not None else -1),
             "generations": 1,
             "applied_batches": [],
+            "batch_bases": {},
             "positions": bool(positions),
         }
 
@@ -824,8 +825,15 @@ def append_documents(
     old_total_dl = stats["avgdl"] * stats["n_docs"]
     new_n = stats["n_docs"] + int(dl_agg["n"])
     applied = list(stats.get("applied_batches", []))
+    # per-tag first-assigned doc_id, recorded in the SAME atomic write as
+    # the tag itself: update_by_query's crash replay recovers its id base
+    # from here instead of guessing "last generation == my batch" (which
+    # an unrelated append between crash and replay would silently break —
+    # ADVICE r05, deletes.py:592)
+    bases = dict(stats.get("batch_bases", {}))
     if batch_tag:
         applied.append(batch_tag)
+        bases[batch_tag] = int(agg["min_id"])
     stats = {
         "format": INDEX_FORMAT,
         "n_docs": new_n,
@@ -833,6 +841,7 @@ def append_documents(
         "max_doc_id": int(agg["max_id"]),
         "generations": gen + 1,
         "applied_batches": applied,
+        "batch_bases": bases,
         "positions": positions,
     }
     _write_json_atomic(stats_path, stats)

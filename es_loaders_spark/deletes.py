@@ -370,6 +370,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         "max_doc_id": int(stats.get("max_doc_id", -1)),
         "generations": 1,
         "applied_batches": list(stats.get("applied_batches", [])),
+        "batch_bases": dict(stats.get("batch_bases", {})),
         "positions": bool(stats.get("positions", True)),
     }
     _write_json_atomic(stats_path, stats)
@@ -586,13 +587,22 @@ def update_by_query(
     if applied:
         # Replay after the append already committed (crash between the
         # append and the tombstone/id_map half): recompute the SAME new
-        # ids the committed append assigned — max_doc_id has moved, so
-        # recover the base from the appended generation itself (its docs
-        # are exactly this batch, lowest id first).
-        gdir = generation_dirs(index_dir, "doclens")[-1]
-        base = int(
-            spark.read.parquet(gdir).agg(F.min("doc_id")).collect()[0][0]
-        )
+        # ids the committed append assigned. append_documents records the
+        # batch's first assigned id in stats["batch_bases"] inside the
+        # same atomic write as the tag — recover from THAT, never from
+        # "the last generation" (an unrelated append_documents between
+        # the crash and the replay would make the last generation some
+        # other batch and silently mis-map old ids — ADVICE r05).
+        bases = stats.get("batch_bases", {})
+        if batch_tag not in bases:
+            raise RuntimeError(
+                f"update_by_query replay: batch_tag {batch_tag!r} is in "
+                "applied_batches but has no recorded base in "
+                "stats['batch_bases'] (pre-base-recording index?); "
+                "cannot safely recompute the committed id mapping — "
+                "resolve via the id_map table or rebuild"
+            )
+        base = int(bases[batch_tag])
     else:
         base = int(stats["max_doc_id"]) + 1
     w = Window.orderBy(F.col(id_col))

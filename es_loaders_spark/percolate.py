@@ -161,8 +161,14 @@ def percolate(
         & nval.isNotNull()
     )
     k = F.col("kind")
+    # same numeric-equality fallback as percolate_batch's _match_cond:
+    # a stored {"term": {"size": 17.0}} must match doc size=17 on both
+    # percolation paths (ADVICE r05 — the two paths disagreed)
+    term_pred = (sval == F.col("value")) | (
+        nval.isNotNull() & (nval == F.col("value").try_cast("double"))
+    )
     cond = (
-        ((k == "term") & (sval == F.col("value")))
+        ((k == "term") & term_pred)
         | ((k == "terms") & F.array_contains(F.col("values"), sval))
         | ((k == "range") & range_pred)
         | ((k == "match") & match_pred)
@@ -222,7 +228,9 @@ def percolate_oracle_sql(
     return f"""
 SELECT {id_col} FROM {queries_rel}
 WHERE coalesce(
-      (kind = 'term'   AND ({sval}) = value)
+      (kind = 'term'   AND ((({sval}) = value)
+                        OR (({nval}) IS NOT NULL
+                            AND ({nval}) = try_cast(value AS DOUBLE))))
    OR (kind = 'terms'  AND list_contains("values", {sval}))
    OR (kind = 'range'  AND (gte IS NULL OR ({nval}) >= gte)
                        AND (lte IS NULL OR ({nval}) <= lte)

@@ -25,10 +25,22 @@ documented classic-parser grammar):
   constant score 1.0 (same rewrite);
 - ``^boost`` on any clause.
 
-Unsupported pieces raise loudly: fuzzy ``~`` (use the ``fuzzy`` leaf
-clause), embedded ``?``/``*`` wildcards (use ``wildcard``), regex
-``/…/``, per-field groups ``field:(a b)``. A bare term whose analysis
-yields multiple tokens raises too — quote it as a phrase.
+- fuzzy ``term~`` / ``term~N`` — scored leaves (wave 11): expands to
+  the ≤ 50 vocabulary terms within plain-Levenshtein distance N
+  (``~`` alone = AUTO: 0/1/2 by term length, ES rules); per-doc score
+  is the MAX over matched expansions of bm25 × (1 − dist/len).
+  Documented deviations: plain Levenshtein (a transposition costs 2;
+  ES defaults to Damerau) and per-expansion idf instead of Lucene's
+  blended-df rewrite — both applied identically in the SQL twin;
+- embedded ``?``/``*`` wildcards (``te?t``, ``f*o``) — scored leaves
+  (wave 11): on the analyzed column, vocabulary-expansion with constant
+  score 1.0 (Lucene's default constant-score multi-term rewrite); on a
+  keyword field, an in-row LIKE. Backslash escapes inside a wildcard
+  still raise (use the ``wildcard`` leaf clause).
+
+Unsupported pieces raise loudly: regex ``/…/``, per-field groups
+``field:(a b)``. A bare term whose analysis yields multiple tokens
+raises too — quote it as a phrase.
 
 Scoring: Lucene BooleanQuery — a document matches every MUST, no
 MUST_NOT, and (when no MUST exists) at least one SHOULD; its score is

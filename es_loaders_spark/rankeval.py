@@ -89,8 +89,12 @@ def rank_eval(
     rel = F.coalesce(F.col("rating"), F.lit(0)) >= F.lit(thr)
 
     if mname == "precision":
+        # ES's Precision metric divides by the number of ACTUALLY
+        # retrieved docs (<= k), not by k — a query returning 3 hits,
+        # 3 relevant, scores 1.0 (ADVICE r05: fixed-k under-scored it).
         per = joined.groupBy("query_id").agg(
-            (F.sum(rel.cast("int")) / F.lit(float(k))).alias("metric_score")
+            (F.sum(rel.cast("int")) / F.count(F.lit(1)))
+            .alias("metric_score")
         )
     elif mname == "recall":
         denom = (

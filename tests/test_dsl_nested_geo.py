@@ -708,3 +708,28 @@ def test_terms_lookup_resolves_from_document(spark):
     with pytest.raises(ValueError, match="no doc"):
         dsl.search(spark, docs,
                    {"query": {"terms": {"color": {"id": 99, "path": "color"}}}})
+
+
+def test_percolate_numeric_term_parity_single_vs_batch(spark):
+    """ADVICE r05 (percolate.py:165): a stored {"term": {"size": 17.0}}
+    must match doc size=17 on BOTH percolation paths (single-doc used
+    strict string equality; batch had the numeric try_cast fallback)
+    — and in the DuckDB oracle."""
+    bodies = [(1, {"term": {"size": 17.0}}),
+              (2, {"term": {"size": 18.0}}),
+              (3, {"term": {"brand": "Brand#32"}})]
+    q = P.queries_from_bodies(spark, bodies)
+    doc = {"brand": "Brand#32", "size": 17}
+    got_single = [r.query_id for r in P.percolate(q, doc).collect()]
+    assert got_single == [1, 3]
+    docs_df = spark.createDataFrame([Row(doc_id=0, brand="Brand#32", size=17)])
+    got_batch = sorted(
+        r.query_id
+        for r in P.percolate_batch(docs_df, q, text_cols=("brand",)).collect()
+    )
+    assert got_batch == got_single
+    con = duckdb.connect()
+    con.register("pq", q.toPandas())
+    want = [r[0] for r in
+            con.execute(P.percolate_oracle_sql(doc, "pq")).fetchall()]
+    assert want == got_single

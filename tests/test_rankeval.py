@@ -54,7 +54,9 @@ def test_precision_recall_mrr_against_python(spark, re_index):
     rated_ids = {r["id"]: {x["_id"] for x in r["ratings"]} for r in reqs}
 
     p, per = rank_eval(spark, re_index, reqs, {"precision": {"k": k}})
-    want_p = {qid: len([i for i in rated[qid] if i < len(hits[qid])]) / k
+    # ES Precision divides by the RETRIEVED count (<= k), not by k
+    want_p = {qid: len([i for i in rated[qid] if i < len(hits[qid])])
+              / max(1, len(hits[qid]))
               for qid in hits}
     got_p = {r.query_id: r.metric_score for r in per.collect()}
     assert got_p == pytest.approx(want_p, abs=1e-6)

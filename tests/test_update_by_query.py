@@ -138,3 +138,70 @@ def test_update_no_match_is_noop(spark, corpus, tmp_path):
     assert res["updated"] == 0
     assert id_map(spark, idx) is None
     evict_index(idx)
+
+
+def test_update_replay_survives_interleaved_append(spark, corpus, tmp_path):
+    """ADVICE r05 (deletes.py:592): a crash-replay must recover ITS OWN
+    id base from stats['batch_bases'], not from 'the last generation' —
+    an unrelated append between the crash and the replay used to make
+    the replay silently map old ids to the OTHER batch's doc_ids."""
+    from es_loaders_spark.build import append_documents
+
+    idx = str(tmp_path / "upd_idx5")
+    build_index(spark, corpus, idx, n_shards=4)
+    r1 = update_by_query(
+        spark, idx, {"query": {"match": {"text": "crawl"}}},
+        corpus, new_text=F.concat(F.col("text"), F.lit(" zzzupdated")),
+        batch_tag="upd-interleave",
+    )
+    pairs_before = sorted(
+        (r.old_id, r.new_id) for r in id_map(spark, idx).collect()
+    )
+    # unrelated append lands AFTER the update committed, BEFORE the replay
+    base2 = int(r1["stats"]["max_doc_id"]) + 1
+    extra = spark.createDataFrame(
+        [(base2 + i, f"unrelated filler page {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    append_documents(spark, extra, idx)
+    r2 = update_by_query(
+        spark, idx, {"query": {"match": {"text": "crawl"}}},
+        corpus, new_text=F.concat(F.col("text"), F.lit(" zzzupdated")),
+        batch_tag="upd-interleave",
+    )
+    assert r2["updated"] == r1["updated"]
+    pairs_after = sorted(
+        (r.old_id, r.new_id) for r in id_map(spark, idx).collect()
+    )
+    # the replay recomputed the SAME mapping — no pairs pointing into
+    # the unrelated batch's id range
+    assert pairs_after == pairs_before
+    assert all(new_id < base2 for _, new_id in pairs_after)
+    evict_index(idx)
+
+
+def test_update_replay_refuses_without_recorded_base(spark, corpus, tmp_path):
+    """A tag in applied_batches WITHOUT a batch_bases entry (pre-r6
+    index) must refuse loudly instead of guessing a base."""
+    import json
+    import os
+
+    idx = str(tmp_path / "upd_idx6")
+    build_index(spark, corpus, idx, n_shards=4)
+    update_by_query(
+        spark, idx, {"query": {"match": {"text": "crawl"}}},
+        corpus, new_text=F.concat(F.col("text"), F.lit(" zzzupdated")),
+        batch_tag="upd-nobase",
+    )
+    sp = os.path.join(idx, "stats.json")
+    st = json.load(open(sp))
+    st["batch_bases"].pop("upd-nobase")
+    json.dump(st, open(sp, "w"))
+    evict_index(idx)
+    with pytest.raises(RuntimeError, match="no recorded base"):
+        update_by_query(
+            spark, idx, {"query": {"match": {"text": "crawl"}}},
+            corpus, new_text=F.concat(F.col("text"), F.lit(" zzzupdated")),
+            batch_tag="upd-nobase",
+        )
+    evict_index(idx)
