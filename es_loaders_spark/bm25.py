@@ -70,7 +70,13 @@ def bm25_scores(
     per-doc multipliers break its score upper bounds, exactly why ES
     disables dynamic pruning for function_score too.
     """
-    terms = sorted(set(tokenize_text(query)))
+    # query may be a raw string (default StandardAnalyzer grammar) or a
+    # pre-analyzed term list — the caller's analysis chain (stopwords /
+    # synonyms / stemmer, analyze.AnalysisChain.tokens) applied upstream
+    if isinstance(query, (list, tuple)):
+        terms = sorted(set(query))
+    else:
+        terms = sorted(set(tokenize_text(query)))
     qterms = spark.createDataFrame([(t,) for t in terms], "term string")
     total = F.sum("contrib")
     if rounded:
@@ -240,6 +246,7 @@ def bm25_topk_oracle_sql(
     filter_term: str | None = None,
     candidate_clause: str | None = None,
     raw: bool = False,
+    chain=None,
 ) -> str:
     """DuckDB SQL computing the identical top-k (rank-identity oracle).
 
@@ -251,8 +258,21 @@ def bm25_topk_oracle_sql(
     ``raw=True`` returns the full UN-rounded, UN-ordered scored relation
     (``k`` ignored) — the twin of ``bm25_scores(rounded=False)`` for
     compound scoring transforms, which must round once at the end.
+
+    ``chain`` (analyze.AnalysisChain): applies the index's configured
+    stop/synonym/stem filters to BOTH the tokens CTE (doc side — dl
+    counts survivors, Lucene norm semantics) and the query terms, the
+    DuckDB twin of a chained index build + chained query analysis.
     """
-    terms = sorted(set(tokenize_text(query)))
+    if chain is not None:
+        terms = sorted(set(chain.tokens(query)))
+        keep = chain.sql_keep("t")
+        tokens_sel = f"{chain.sql_term('t')} AS term"
+        tokens_where = f"WHERE t <> '' AND {keep}"
+    else:
+        terms = sorted(set(tokenize_text(query)))
+        tokens_sel = "t AS term"
+        tokens_where = "WHERE t <> ''"
     terms_values = ", ".join(f"('{t}')" for t in terms)
     conds = []
     if filter_term:
@@ -265,12 +285,12 @@ def bm25_topk_oracle_sql(
     filter_clause = f"WHERE {' AND '.join(conds)}" if conds else ""
     return f"""
 WITH tokens AS (
-    SELECT doc_id, t AS term
+    SELECT doc_id, {tokens_sel}
     FROM (
         SELECT doc_id,
                unnest(regexp_split_to_array(lower({text_col}), '{SPLIT_RE_DUCKDB}')) AS t
         FROM {doc_table}
-    ) WHERE t <> ''
+    ) {tokens_where}
 ),
 postings AS (
     SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tokens GROUP BY term, doc_id

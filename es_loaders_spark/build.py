@@ -196,7 +196,9 @@ def release_doc_id_caches(result: DataFrame | None = None) -> None:
         _ID_PERSISTS.pop().unpersist()
 
 
-def _build_shard_fn(doclens_dir: str | None = None, positions: bool = True):
+def _build_shard_fn(
+    doclens_dir: str | None = None, positions: bool = True, chain=None
+):
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
@@ -204,6 +206,25 @@ def _build_shard_fn(doclens_dir: str | None = None, positions: bool = True):
         doc_ids = doc_ids[order]
         offsets, flat = tokenize_texts(pdf["text"].iloc[order].reset_index(drop=True))
         lens = np.diff(offsets)
+        if chain is not None:
+            # analysis chain (analyze.AnalysisChain): positions are
+            # assigned BEFORE the stop filter (Lucene gap semantics),
+            # dl counts survivors (Lucene norms), survivors are
+            # synonym/stem mapped — all vectorized in the same fused pass
+            raw_lens = lens
+            docidx = np.repeat(
+                np.arange(raw_lens.size, dtype=np.int64), raw_lens
+            )
+            pos_all = np.arange(flat.size, dtype=np.int64) - np.repeat(
+                offsets[:-1], raw_lens
+            )
+            keep, mapped = chain.apply_numpy(flat)
+            flat = mapped
+            docidx = docidx[keep]
+            _chain_pos = pos_all[keep]
+            lens = np.bincount(
+                docidx, minlength=raw_lens.size
+            ).astype(np.int64)
         if doclens_dir is not None:
             # side-write this shard's doc lengths from the SAME tokenization
             # the postings use (one text pass total). Write to an attempt-
@@ -254,10 +275,15 @@ def _build_shard_fn(doclens_dir: str | None = None, positions: bool = True):
         if positions:
             # in-document token position (0-based) — the positional index
             # payload (Lucene .prx analogue); lexsort is stable, so within
-            # a (term, doc) run tokens keep document order = asc position
-            tok_pos = np.arange(flat.size, dtype=np.int64) - np.repeat(
-                offsets[:-1], lens
-            )
+            # a (term, doc) run tokens keep document order = asc position.
+            # Under a chain, positions were assigned pre-stop-filter
+            # (gaps preserved, Lucene stop filter semantics).
+            if chain is not None:
+                tok_pos = _chain_pos
+            else:
+                tok_pos = np.arange(flat.size, dtype=np.int64) - np.repeat(
+                    offsets[:-1], lens
+                )
             pos_sorted = tok_pos[ordr]
         else:
             # BM25-only table: skip the positional encode + storage tax
@@ -311,8 +337,16 @@ def build_index(
     positions: bool = True,
     align_shards: bool = False,
     warm: bool = False,
+    analysis: dict | None = None,
 ) -> dict:
     """Build the sharded compressed index under ``index_dir``.
+
+    ``analysis`` configures an opt-in analysis chain (stopwords /
+    synonyms / stemmer — see analyze.AnalysisChain.from_config for the
+    config shape). It is recorded in stats.json and inherited by
+    ``append_documents`` and every query path; queries analyze their
+    terms with the SAME chain, so a stemmed index answers "tables" and
+    "table" identically, like an ES index with a custom analyzer.
 
     ``warm=True`` eagerly builds the serving cache (wand._WarmIndex) as
     the last step, so the FIRST interactive query after the build runs at
@@ -354,8 +388,21 @@ def build_index(
         if batch_tag and batch_tag in prior.get("applied_batches", []):
             return prior
         positions = bool(prior.get("positions", True))
+        analysis = prior.get("analysis")  # resume: the index's chain wins
+
+    from .analyze import AnalysisChain
+
+    chain = AnalysisChain.from_config(analysis)
+    analysis = chain.to_config() if chain else None  # canonical form
 
     has_dl = "dl" in docs.columns  # precomputed token counts from ingest
+    if has_dl and chain is not None:
+        raise ValueError(
+            "build_index(analysis=...): a precomputed 'dl' column counts "
+            "RAW tokens, but the analysis chain changes doc lengths "
+            "(stopwords drop) — drop the dl column and let the build "
+            "count surviving tokens"
+        )
     cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
     docs = docs.select(*cols + ([F.col("dl")] if has_dl else []))
     if align_shards:
@@ -397,15 +444,12 @@ def build_index(
     if prior is not None:
         stats = prior
     else:
+        from .analyze import terms_array as _terms_array
+
         dl_col = (
             F.col("dl")
             if has_dl
-            else F.size(
-                F.filter(
-                    F.split(F.lower(F.col("text")), r"[^\p{L}\p{N}]+"),
-                    lambda t: t != F.lit(""),
-                )
-            )
+            else F.size(_terms_array(F.col("text"), chain=chain))
         )
         agg = docs.select("doc_id", dl_col.alias("dl")).agg(
             F.count("*").alias("n"),
@@ -421,6 +465,7 @@ def build_index(
             "applied_batches": [],
             "batch_bases": {},
             "positions": bool(positions),
+            "analysis": analysis,
         }
 
     # --- stage 2: per-shard posting build — THE one heavy pass over text.
@@ -436,7 +481,7 @@ def build_index(
         cat.clean_uncommitted("doclens", id_divisor=div)
         os.makedirs(doclens_dir, exist_ok=True)
         t0 = time.time()
-        kernel = _build_shard_fn(doclens_dir, positions=positions)
+        kernel = _build_shard_fn(doclens_dir, positions=positions, chain=chain)
         if align_shards:
             # zero-shuffle path: shards are carved out of each scan split
             # in-task. A split can be arbitrarily fat (128 MB parquet files
@@ -723,6 +768,11 @@ def append_documents(
     n_shards = int(props["n_shards"])
     gen = int(stats.get("generations", 1))
     positions = bool(stats.get("positions", True))
+    # the index's analysis chain (stats.json) is inherited — appends
+    # tokenize exactly like the original build did
+    from .analyze import AnalysisChain
+
+    chain = AnalysisChain.from_config(stats.get("analysis"))
 
     docs = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
@@ -756,7 +806,8 @@ def append_documents(
             .repartition(len(missing), "shard")
             .groupBy("shard")
             .applyInPandas(
-                _build_shard_fn(doclens_dir, positions=positions), INDEX_SCHEMA
+                _build_shard_fn(doclens_dir, positions=positions, chain=chain),
+                INDEX_SCHEMA,
             )
         )
         built.write.partitionBy("shard").mode("append").parquet(shards_dir)
@@ -843,6 +894,7 @@ def append_documents(
         "applied_batches": applied,
         "batch_bases": bases,
         "positions": positions,
+        "analysis": stats.get("analysis"),
     }
     _write_json_atomic(stats_path, stats)
     return stats

@@ -371,6 +371,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         "generations": 1,
         "applied_batches": list(stats.get("applied_batches", [])),
         "batch_bases": dict(stats.get("batch_bases", {})),
+        "analysis": stats.get("analysis"),
         "positions": bool(stats.get("positions", True)),
     }
     _write_json_atomic(stats_path, stats)

@@ -141,6 +141,22 @@ def tf_postings(
     return idx.mapInPandas(decode, "term string, doc_id long, tf long")
 
 
+def _phrase_terms(index_dir: str, phrase: str) -> list[tuple[int, str]]:
+    """(query_position, analyzed_term) pairs honoring the index's
+    analysis chain. Stop tokens drop but keep their position slot
+    (Lucene PhraseQuery gap semantics): "data the tables" over a
+    stop+stem index becomes [(0, 'data'), (2, 'table')], so the doc
+    must contain 'table' exactly 2 positions after 'data' — the same
+    gap the index's stop filter left in the doc's positions."""
+    from .analyze import AnalysisChain
+    from .build import load_stats
+
+    chain = AnalysisChain.from_config(load_stats(index_dir).get("analysis"))
+    if chain is None:
+        return list(enumerate(tokenize_text(phrase)))
+    return chain.tokens_pos(phrase)
+
+
 def phrase_docs(
     spark: SparkSession, index_dir: str, phrase: str, table: str = "shards"
 ) -> DataFrame:
@@ -150,16 +166,24 @@ def phrase_docs(
     carried ``positions`` are the end positions of length-(i+1) phrase
     matches; a doc survives while the intersection is non-empty.
     """
-    terms = tokenize_text(phrase)
-    if not terms:
+    qtoks = _phrase_terms(index_dir, phrase)
+    if not qtoks:
         return spark.createDataFrame([], "doc_id long")
+    terms = [t for _, t in qtoks]
     pp = positional_postings(spark, index_dir, sorted(set(terms)), table)
     if len(set(terms)) > 1:
         pp = pp.cache()  # one decode pass shared by all phrase-term filters
     cur = pp.filter(F.col("term") == terms[0]).select(
         "doc_id", F.col("positions").alias("cur")
     )
-    for t in terms[1:]:
+    prev_pos = qtoks[0][0]
+    for qpos, t in qtoks[1:]:
+        # position delta between successive analyzed query tokens: 1 in
+        # the default grammar; >1 when the index's stop filter removed a
+        # query token (gap) — Lucene PhraseQuery keeps the gap, so the
+        # doc must have the surviving terms at the SAME spacing
+        delta = qpos - prev_pos
+        prev_pos = qpos
         nxt = pp.filter(F.col("term") == t).select(
             "doc_id", F.col("positions").alias("nxt")
         )
@@ -168,7 +192,7 @@ def phrase_docs(
             .select(
                 "doc_id",
                 F.array_intersect(
-                    F.transform("cur", lambda p: p + 1), F.col("nxt")
+                    F.transform("cur", lambda p: p + delta), F.col("nxt")
                 ).alias("cur"),
             )
             .filter(F.size("cur") > 0)
@@ -228,15 +252,16 @@ def phrase_prefix_docs(
     """
     from .deletes import filter_deleted
 
-    terms = tokenize_text(phrase)
-    if not terms:
+    qtoks = _phrase_terms(index_dir, phrase)
+    if not qtoks:
         return spark.createDataFrame([], "doc_id long")
-    head, last = terms[:-1], terms[-1]
+    head, (last_pos, last) = qtoks[:-1], qtoks[-1]
     exps = expand_prefix(spark, index_dir, last, max_expansions, table)
     if not exps:
         return spark.createDataFrame([], "doc_id long")
+    head_terms = [t for _, t in head]
     pp = positional_postings(
-        spark, index_dir, sorted(set(head) | set(exps)), table
+        spark, index_dir, sorted(set(head_terms) | set(exps)), table
     )
     if head or len(exps) > 1:
         pp = pp.cache()
@@ -245,10 +270,13 @@ def phrase_prefix_docs(
             spark, index_dir,
             pp.filter(F.col("term").isin(exps)).select("doc_id").distinct(),
         )
-    cur = pp.filter(F.col("term") == head[0]).select(
+    cur = pp.filter(F.col("term") == head_terms[0]).select(
         "doc_id", F.col("positions").alias("cur")
     )
-    for t in head[1:]:
+    prev_pos = head[0][0]
+    for qpos, t in head[1:]:
+        delta = qpos - prev_pos
+        prev_pos = qpos
         nxt = pp.filter(F.col("term") == t).select(
             "doc_id", F.col("positions").alias("nxt")
         )
@@ -257,7 +285,7 @@ def phrase_prefix_docs(
             .select(
                 "doc_id",
                 F.array_intersect(
-                    F.transform("cur", lambda p: p + 1), F.col("nxt")
+                    F.transform("cur", lambda p: p + delta), F.col("nxt")
                 ).alias("cur"),
             )
             .filter(F.size("cur") > 0)
@@ -265,12 +293,13 @@ def phrase_prefix_docs(
     tail = pp.filter(F.col("term").isin(exps)).select(
         "doc_id", F.col("positions").alias("nxt")
     )
+    last_delta = last_pos - prev_pos
     hits = (
         cur.join(tail, "doc_id")
         .filter(
             F.size(
                 F.array_intersect(
-                    F.transform("cur", lambda p: p + 1), F.col("nxt")
+                    F.transform("cur", lambda p: p + last_delta), F.col("nxt")
                 )
             )
             > 0

@@ -24,22 +24,39 @@ K1 = 1.2
 B = 0.75
 
 
-def postings_long(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(term, doc_id, tf) — one row per distinct (term, doc)."""
+def postings_long(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chain=None,
+) -> DataFrame:
+    """(term, doc_id, tf) — one row per distinct (term, doc).
+
+    ``chain`` (analyze.AnalysisChain) applies the index's configured
+    stop/synonym/stem filters — scan-path twin of a chained index build.
+    """
     return (
-        tokens_df(docs, text_col, id_col)
+        tokens_df(docs, text_col, id_col, chain=chain)
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
 
 
-def doc_lengths(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, dl) — token count per document (Lucene's field length)."""
+def doc_lengths(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chain=None,
+) -> DataFrame:
+    """(doc_id, dl) — token count per document (Lucene's field length).
+
+    With ``chain``, dl counts SURVIVING tokens (stopwords removed), the
+    Lucene norm semantics."""
+    from .analyze import terms_array
+
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(
-            F.filter(F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+"), lambda t: t != F.lit(""))
-        ).alias("dl"),
+        F.size(terms_array(F.col(text_col), chain=chain)).alias("dl"),
     )
 
 

@@ -3511,3 +3511,91 @@ for _n in _PROMOTED_R6:
     QUERIES[_n] = EXTRA_QUERIES.pop(_n)
     if _n in EXTRA_ORACLES:
         ORACLES[_n] = EXTRA_ORACLES.pop(_n)
+
+
+# ---------------------------------------------------------------------------
+# r6: configurable analysis chain (stopwords / synonyms / stemmer) —
+# VERDICT r05 "What's missing" #1. The index is built with an ES-style
+# analysis config (analyze.AnalysisChain); queries analyze their terms
+# with the SAME chain, so "the tbl queries sparks" retrieves docs
+# containing "table"/"query"/"spark". The DuckDB oracle re-renders the
+# identical chain in SQL (bm25_topk_oracle_sql(chain=...)): doc lengths
+# count SURVIVING tokens (Lucene norm semantics), synonym/stem mapping
+# applies to both sides. Rank identity scan==served is additionally
+# pytest-gated (tests/test_analysis_chain.py).
+# ---------------------------------------------------------------------------
+from .analyze import AnalysisChain  # noqa: E402
+
+CHAIN_CFG = {
+    "stopwords": "_english_",
+    "stemmer": "minimal_english",
+    "synonyms": ["tbl => table"],
+}
+_CHAIN = AnalysisChain.from_config(CHAIN_CFG)
+# surface forms exercise all three stages: "the" drops (stop), "tbl"
+# maps (synonym), "queries"/"sparks" stem to index terms
+CHAIN_QUERY = "the tbl queries sparks data"
+_CHAIN_IDX_CACHE: dict = {}
+
+
+def _ensure_chain_index(spark, sf_dir):
+    """Build (once per sf_dir) the compressed index WITH the analysis
+    chain recorded in stats.json (build_index(analysis=...))."""
+    import tempfile
+
+    from .build import build_index
+
+    if sf_dir not in _CHAIN_IDX_CACHE:
+        d = tempfile.mkdtemp(prefix="chain_idx_")
+        build_index(
+            spark, _T(spark, sf_dir, "documents"), d, n_shards=8,
+            analysis=CHAIN_CFG,
+        )
+        _CHAIN_IDX_CACHE[sf_dir] = d
+    return _CHAIN_IDX_CACHE[sf_dir]
+
+
+@q(
+    "bm25_topk_stemmed",
+    bm25_topk_oracle_sql(CHAIN_QUERY, k=BM25_K, chain=_CHAIN),
+)
+def bm25_topk_stemmed(spark, sf_dir):
+    """X4/X5 over a chained index: block-max WAND serves a stopworded +
+    stemmed + synonym-mapped index; the query is analyzed by the index's
+    own chain (wand._query_terms reads stats.json "analysis")."""
+    from .wand import topk
+
+    return topk(spark, _ensure_chain_index(spark, sf_dir), CHAIN_QUERY, k=BM25_K)
+
+
+@q(
+    "dsl_match_stemmed",
+    bm25_topk_oracle_sql(CHAIN_QUERY, k=15, chain=_CHAIN),
+)
+def dsl_match_stemmed(spark, sf_dir):
+    """ES match over an index with a custom analyzer: dsl.search routes
+    the match to the chained index (wand path) and the DSL layer needs
+    no chain knowledge — analysis is an index property (stats.json)."""
+    from . import dsl
+
+    docs = _T(spark, sf_dir, "documents")
+    body = {"query": {"match": {"text": CHAIN_QUERY}}, "size": 15}
+    return dsl.search(spark, docs, body, index_dir=_ensure_chain_index(spark, sf_dir))
+
+
+@q(
+    "bm25_topk_stemmed_scan",
+    bm25_topk_oracle_sql(CHAIN_QUERY, k=BM25_K, chain=_CHAIN),
+    extra=True,  # rank-identity scan twin of bm25_topk_stemmed (same oracle)
+)
+def bm25_topk_stemmed_scan(spark, sf_dir):
+    """Scan-path twin: chained postings_long/doc_lengths + exact join
+    scorer over pre-analyzed query terms — proves the compressed chained
+    build is rank-identical to first-principles chained scoring."""
+    docs = _T(spark, sf_dir, "documents")
+    p = postings_long(docs, chain=_CHAIN)
+    dl = doc_lengths(docs, chain=_CHAIN)
+    return bm25_topk(
+        spark, p, dl, term_df(p), corpus_stats(dl), _CHAIN.tokens(CHAIN_QUERY),
+        k=BM25_K,
+    )

@@ -538,6 +538,18 @@ def evict_index(index_dir: str) -> None:
         cached._unpersist()
 
 
+def _query_terms(stats: dict, query: str) -> list[str]:
+    """Sorted distinct analyzed query terms, honoring the index's
+    analysis chain (stats.json "analysis") so a stemmed/stopworded index
+    is queried with the SAME chain it was built with."""
+    from .analyze import AnalysisChain
+
+    chain = AnalysisChain.from_config(stats.get("analysis"))
+    toks = chain.tokens(query) if chain else tokenize_text(query)
+    return sorted(set(toks))
+
+
+
 def topk(
     spark: SparkSession, index_dir: str, query: str, k: int = 10,
     mode: str = "serve",
@@ -559,7 +571,7 @@ def topk(
     """
     warm = _WarmIndex.get(spark, index_dir)
     stats = warm.stats
-    terms = sorted(set(tokenize_text(query)))
+    terms = _query_terms(stats, query)
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     n_docs = int(stats["n_docs"])
@@ -712,7 +724,7 @@ def topk_merged(
 
     warm = _WarmIndex.get(spark, index_dir)
     stats = warm.stats
-    terms = sorted(set(tokenize_text(query)))
+    terms = _query_terms(stats, query)
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     n_docs = int(stats["n_docs"])
@@ -795,7 +807,7 @@ def topk_batch(
     stats = warm.stats
     n_docs = int(stats["n_docs"])
     avgdl = float(stats["avgdl"])
-    qterms = {qid: sorted(set(tokenize_text(text))) for qid, text in queries.items()}
+    qterms = {qid: _query_terms(stats, text) for qid, text in queries.items()}
     all_terms = sorted({t for ts in qterms.values() for t in ts})
     if not all_terms:
         return spark.createDataFrame([], "query_id string, rank int, doc_id long, score double")

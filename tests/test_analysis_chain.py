@@ -1,0 +1,289 @@
+"""Configurable analysis chain (VERDICT r05 "What's missing" #1).
+
+The chain (stopwords → synonyms → minimal-english stemmer,
+analyze.AnalysisChain) is rendered FOUR equivalent ways — python
+(query analysis / oracles), numpy (the fused posting build kernel),
+Catalyst (scan-path token arrays), DuckDB SQL (oracle twins) — and this
+module property-tests that all four agree token-for-token, then checks
+the index-level contract: stats.json records the chain, appends and
+compaction inherit it, queries analyze with it, doc lengths count
+survivors (Lucene norm semantics), and phrase matching honors stopword
+position GAPS (Lucene stop-filter default).
+
+ES analogue: a custom analyzer in index settings — the mapping hook the
+reference's utils/elasticsearch.py:42-56 would carry.
+"""
+
+from __future__ import annotations
+
+import string
+
+import duckdb
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from es_loaders_spark.analyze import (
+    ENGLISH_STOPWORDS,
+    AnalysisChain,
+    terms_array,
+    tokens_df,
+)
+
+CFG = {
+    "stopwords": "_english_",
+    "stemmer": "minimal_english",
+    "synonyms": ["tbl => table", "query, qry"],  # class contracts to FIRST term
+}
+CHAIN = AnalysisChain.from_config(CFG)
+
+
+# ---------------------------------------------------------------------------
+# config parsing
+# ---------------------------------------------------------------------------
+
+def test_from_config_none_is_identity():
+    assert AnalysisChain.from_config(None) is None
+    assert AnalysisChain.from_config({}) is None
+
+
+def test_from_config_rejects_unknown_keys():
+    with pytest.raises(ValueError, match="unknown analysis config"):
+        AnalysisChain.from_config({"tokenizer": "whitespace"})
+
+
+def test_from_config_rejects_unknown_stemmer():
+    with pytest.raises(ValueError, match="unsupported stemmer"):
+        AnalysisChain.from_config({"stemmer": "porter"})
+
+
+def test_synonym_rule_forms():
+    c = AnalysisChain.from_config(
+        {"synonyms": ["a1, b1, c1", "x1, y1 => z1"]}
+    )
+    # equivalence class: all map to the first
+    assert c.map_term("b1") == "a1" and c.map_term("c1") == "a1"
+    # explicit rule: sources map to the target
+    assert c.map_term("x1") == "z1" and c.map_term("y1") == "z1"
+    with pytest.raises(ValueError, match="ONE target"):
+        AnalysisChain.from_config({"synonyms": ["a => b, c"]})
+    with pytest.raises(ValueError, match=">= 2 terms"):
+        AnalysisChain.from_config({"synonyms": ["lonely"]})
+
+
+def test_config_roundtrip():
+    assert AnalysisChain.from_config(CHAIN.to_config()).to_config() == CHAIN.to_config()
+
+
+# ---------------------------------------------------------------------------
+# stemmer unit semantics (Lucene EnglishMinimalStemmer)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    ("word", "stem"),
+    [
+        ("tables", "table"),     # plain plural strip
+        ("queries", "query"),    # -ies → -y
+        ("sparks", "spark"),
+        ("class", "class"),      # -ss kept
+        ("focus", "focus"),      # -us kept
+        ("as", "as"),            # too short
+        ("goes", "goes"),        # -oes kept (c3 'o' in i,a,o,e)
+        ("dies", "dies"),        # len 4, ies but c4 guard n>3 fails? len=4>3, c4='d' not a/e → "dy"? Lucene: dies→dy
+        ("data", "data"),        # no trailing s
+    ],
+)
+def test_minimal_english_stemmer(word, stem):
+    c = AnalysisChain(stemmer="minimal_english")
+    if word == "dies":
+        # pin the actual Lucene rule outcome rather than intuition
+        assert c.map_term(word) == "dy"
+    else:
+        assert c.map_term(word) == stem
+
+
+# ---------------------------------------------------------------------------
+# four-renderer parity (python / numpy / Catalyst / DuckDB)
+# ---------------------------------------------------------------------------
+
+_words = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=9)
+_texts = st.lists(_words, min_size=0, max_size=25).map(" ".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_texts)
+def test_python_vs_numpy_parity(text):
+    toks = text.split()
+    flat = np.array(toks, dtype=object)
+    keep, mapped = CHAIN.apply_numpy(flat)
+    py_survivors = [CHAIN.map_term(t) for t in toks if t not in set(ENGLISH_STOPWORDS)]
+    assert list(mapped) == py_survivors
+    assert [t for t, k in zip(toks, keep) if k] == [
+        t for t in toks if t not in set(ENGLISH_STOPWORDS)
+    ]
+
+
+@settings(max_examples=60, deadline=None)
+@given(_texts)
+def test_python_vs_duckdb_parity(text):
+    toks = [t for t in text.split() if t]
+    con = duckdb.connect()
+    got = []
+    for t in toks:
+        keep, term = con.execute(
+            f"SELECT {CHAIN.sql_keep('t')}, {CHAIN.sql_term('t')} FROM (SELECT ? AS t)",
+            [t],
+        ).fetchone()
+        if keep:
+            got.append(term)
+    assert got == CHAIN.tokens(" ".join(toks))
+
+
+def test_python_vs_catalyst_parity(spark):
+    rows = [
+        ("the tables and tbl queries",),
+        ("a qry goes into focus class dies data",),
+        ("sparks will be sparks",),
+        ("",),
+        ("the a of to",),  # all stopwords
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r[0] for r in df.select(terms_array(F.col("text"), chain=CHAIN)).collect()]
+    want = [CHAIN.tokens(t) for (t,) in rows]
+    assert got == want
+
+
+def test_tokens_pos_gaps():
+    # stopwords drop AFTER position assignment: gaps preserved
+    assert CHAIN.tokens_pos("the tables and tbl") == [
+        (1, "table"),
+        (3, "table"),
+    ]
+
+
+def test_tokens_df_gap_positions(spark):
+    df = spark.createDataFrame([(7, "the tables and tbl")], "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in tokens_df(df, chain=CHAIN).collect()
+    )
+    assert got == [(7, 1, "table"), (7, 3, "table")]
+
+
+# ---------------------------------------------------------------------------
+# index-level contract
+# ---------------------------------------------------------------------------
+
+DOCS = [
+    (0, "the tables hold the data rows"),
+    (1, "a tbl of queries and tables"),
+    (2, "sparks query tables quickly"),
+    (3, "plain text with no mapped words"),
+    (4, "query query query tables"),
+]
+
+
+@pytest.fixture(scope="module")
+def chain_idx(spark, tmp_path_factory):
+    from es_loaders_spark.build import build_index
+
+    d = str(tmp_path_factory.mktemp("chain_idx"))
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_index(spark, docs, d, n_shards=2, analysis=CFG)
+    return d
+
+
+def test_stats_records_canonical_analysis(chain_idx):
+    from es_loaders_spark.build import load_stats
+
+    st_ = load_stats(chain_idx)
+    assert st_["analysis"]["stemmer"] == "minimal_english"
+    assert "the" in st_["analysis"]["stopwords"]
+    # canonical rule form, both synonym syntaxes normalized to "a => b"
+    assert "tbl => table" in st_["analysis"]["synonyms"]
+    assert "qry => query" in st_["analysis"]["synonyms"]
+
+
+def test_dl_counts_survivors(spark, chain_idx):
+    # doc 0: "the ... the" drop → dl 4; doc 1: "a"/"of"/"and" drop → dl 3
+    from es_loaders_spark.build import read_generations
+
+    dl = {
+        r["doc_id"]: r["dl"]
+        for r in read_generations(spark, chain_idx, "doclens").collect()
+    }
+    assert dl[0] == 4 and dl[1] == 3 and dl[4] == 4
+
+
+def test_query_side_chain_rank_identity(spark, chain_idx):
+    """Index-served top-k over the chained index == scan-path exact scorer
+    over chain-applied postings with chain-analyzed query terms."""
+    from es_loaders_spark.bm25 import bm25_topk
+    from es_loaders_spark.postings import (
+        corpus_stats,
+        doc_lengths,
+        postings_long,
+        term_df,
+    )
+    from es_loaders_spark.wand import topk
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    query = "the tbl queries"  # analyzed → [table, query]
+    served = [(r["doc_id"], r["score"]) for r in topk(spark, chain_idx, query, k=5).collect()]
+    p = postings_long(docs, chain=CHAIN)
+    dl = doc_lengths(docs, chain=CHAIN)
+    scan = bm25_topk(
+        spark, p, dl, term_df(p), corpus_stats(dl), CHAIN.tokens(query), k=5
+    )
+    assert served == [(r["doc_id"], r["score"]) for r in scan.collect()]
+    # the chain genuinely matters: doc 1 ("tbl", "queries", "tables")
+    # matches only through synonym+stem mapping
+    assert 1 in {d for d, _ in served}
+    assert 3 not in {d for d, _ in served}
+
+
+def test_phrase_honors_stop_gaps(spark, chain_idx):
+    """"tables hold the data" over the chained index: 'the' drops from
+    the query but keeps its position slot, so doc 0 (whose own 'the' left
+    the same gap) matches — Lucene PhraseQuery stop-gap semantics."""
+    from es_loaders_spark.phrase import phrase_docs
+
+    hits = sorted(
+        r["doc_id"] for r in phrase_docs(spark, chain_idx, "tables hold the data").collect()
+    )
+    assert hits == [0]
+    # gap must be EXACT: "tables hold data" (no gap) does NOT match doc 0
+    assert phrase_docs(spark, chain_idx, "tables hold data").count() == 0
+
+
+def test_append_inherits_chain(spark, chain_idx):
+    from es_loaders_spark.build import append_documents, load_stats
+    from es_loaders_spark.wand import evict_index, topk
+
+    extra = spark.createDataFrame(
+        [(10, "the freshest tables of queries")], "doc_id long, text string"
+    )
+    append_documents(spark, extra, chain_idx, batch_tag="chain-app-1")
+    assert load_stats(chain_idx)["analysis"]["stemmer"] == "minimal_english"
+    evict_index(chain_idx)
+    got = {r["doc_id"] for r in topk(spark, chain_idx, "tbl", k=10).collect()}
+    assert 10 in got  # appended doc matched via synonym→stem chain
+
+
+def test_compact_preserves_chain(spark, chain_idx):
+    from es_loaders_spark.build import load_stats
+    from es_loaders_spark.deletes import compact_index
+
+    compact_index(spark, chain_idx)
+    assert load_stats(chain_idx)["analysis"]["stemmer"] == "minimal_english"
+
+
+def test_build_refuses_precomputed_dl_with_chain(spark, tmp_path):
+    from es_loaders_spark.build import build_index
+
+    docs = spark.createDataFrame(
+        [(0, "the tables", 2)], "doc_id long, text string, dl long"
+    )
+    with pytest.raises(ValueError, match="analysis chain changes doc lengths"):
+        build_index(spark, docs, str(tmp_path / "idx"), n_shards=1, analysis=CFG)
