@@ -1393,6 +1393,7 @@ def search(
     text_col: str = "text",
     id_col: str = "doc_id",
     lookups: dict[str, DataFrame] | None = None,
+    ann_index_dir: str | None = None,
 ) -> DataFrame:
     """``es.search(body=...)`` analogue over a documents-shaped table.
 
@@ -1400,6 +1401,9 @@ def search(
     is given (block-max WAND), else the exact join scorer; pure filters
     return the matching rows; ``aggs`` return aggregation rows
     (``size: 0`` bodies, as the reference always uses for aggs).
+    ``knn`` bodies ride a built ANN index (similarity.build_ivf_index /
+    build_ann_index) when ``ann_index_dir`` is given — the same
+    indexed-serving posture ``index_dir`` gives text.
 
     SCALE WARNING: a ``match`` on a field other than the indexed
     ``text_col`` (or with no ``index_dir``) is correct ES-parity
@@ -1422,26 +1426,47 @@ def search(
         # whole-stage codegen (never a Python UDF).
         docs = _apply_runtime_mappings(docs, body["runtime_mappings"])
     if "knn" in body:
-        # ES knn search section: exact cosine top-k (the brute-force
-        # baseline; at scale serve via similarity.ivf_topk_indexed /
-        # lsh_topk_indexed over a built ANN index). `filter` is a
-        # PRE-filter, as in ES. Score = (1+cosine)/2, the documented ES
-        # transform for cosine similarity. num_candidates is accepted
-        # and ignored — the exact path examines every (filtered) vector.
-        from .similarity import _dot, _norm
-
+        # ES knn search section. With `ann_index_dir`: approximate
+        # serving from a built ANN index (similarity.ann_topk — IVF or
+        # LSH, partition-pruned probes, live tombstones), num_candidates
+        # sizing the probe set exactly as ES sizes its candidate pool;
+        # probing everything reproduces the exact path over the live set
+        # (parity-gated in tests/test_similarity.py). Without it: exact
+        # cosine top-k (the brute-force baseline and the DuckDB oracle
+        # twin), num_candidates accepted and ignored. `filter` is a
+        # PRE-filter in both paths, as in ES. Score = (1+cosine)/2, the
+        # documented ES transform for cosine similarity.
         knn = body["knn"]
         qv = [float(x) for x in knn["query_vector"]]
         k = int(knn.get("k", body.get("size", 10)))
-        base = docs
         flt_clauses = _as_list(knn.get("filter"))
+        cond = None
         if flt_clauses:
             cond = F.lit(True)
             for c in flt_clauses:
                 cond = cond & F.coalesce(filter_expr(c, id_col), F.lit(False))
-            base = docs.filter(cond)
+        from .similarity import _dot, _norm
+
+        vec_field = knn["field"]
+        if ann_index_dir is not None:
+            from .similarity import ann_candidates
+
+            base, vec_field = ann_candidates(
+                spark, ann_index_dir, qv, k=k,
+                num_candidates=(
+                    int(knn["num_candidates"])
+                    if knn.get("num_candidates") is not None else None
+                ),
+                nprobe=knn.get("nprobe"),
+                probe_hamming=knn.get("probe_hamming"),
+                id_col=id_col,
+                vec_col=vec_field,
+                pre_filter=cond,
+            )
+        else:
+            base = docs if cond is None else docs.filter(cond)
         q = F.array(*[F.lit(x) for x in qv])
-        vec = F.transform(F.col(knn["field"]), lambda x: x.cast("double"))
+        vec = F.transform(F.col(vec_field), lambda x: x.cast("double"))
         sim = _dot(vec, q) / (_norm(vec) * _norm(q))
         score = (F.lit(1.0) + sim) / F.lit(2.0)
         return (

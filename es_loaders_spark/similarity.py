@@ -90,6 +90,8 @@ def lsh_bucket_col(vec_col, planes: np.ndarray):
 
 
 def _probe_buckets(query_vec: list[float], planes: np.ndarray, probe_hamming: int) -> list[int]:
+    from itertools import combinations
+
     qv = np.asarray(query_vec, dtype=np.float64)
     qbucket = 0
     for i, plane in enumerate(planes):
@@ -97,14 +99,15 @@ def _probe_buckets(query_vec: list[float], planes: np.ndarray, probe_hamming: in
             qbucket |= 1 << i
     probes = {qbucket}
     n_planes = planes.shape[0]
-    if probe_hamming >= 1:
-        probes |= {qbucket ^ (1 << i) for i in range(n_planes)}
-    if probe_hamming >= 2:
-        probes |= {
-            qbucket ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        }
+    # ring r = buckets at Hamming distance exactly r (C(n_planes, r) of
+    # them); probe_hamming >= n_planes therefore probes EVERY bucket,
+    # which ann_topk uses as its exact-over-live-set mode
+    for r in range(1, min(probe_hamming, n_planes) + 1):
+        for bits in combinations(range(n_planes), r):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            probes.add(qbucket ^ mask)
     return sorted(probes)
 
 
@@ -175,6 +178,7 @@ def append_ann_index(df_new: DataFrame, index_dir: str) -> int:
         .partitionBy("bucket")
         .parquet(index_dir)
     )
+    evict_ann_counts(index_dir)
     return int(n)
 
 
@@ -486,6 +490,7 @@ def append_ivf_index(
         .partitionBy("list_id")
         .parquet(index_dir)
     )
+    evict_ann_counts(index_dir)
     return int(n)
 
 
@@ -553,3 +558,138 @@ def lsh_topk(
         id_col,
         vec_col,
     )
+
+
+# --- unified indexed kNN entry (r6: the ES `knn` body's scale path) ---------
+
+# per-index partition row counts (list_id/bucket → rows), cached so the
+# num_candidates → probe-set mapping costs one tiny agg job per index,
+# not one per query. Parquet footers make the count a metadata-weight
+# scan; the result is O(n_partitions) rows on the driver (query
+# metadata, not data — the wand.py query-term-collect pattern).
+_ANN_PART_COUNTS: dict = {}
+
+
+def _ann_part_counts(spark, index_dir: str, part_col: str) -> dict[int, int]:
+    key = (index_dir, part_col)
+    if key not in _ANN_PART_COUNTS:
+        rows = (
+            spark.read.parquet(index_dir)
+            .groupBy(part_col)
+            .count()
+            .collect()
+        )
+        _ANN_PART_COUNTS[key] = {int(r[part_col]): int(r["count"]) for r in rows}
+    return _ANN_PART_COUNTS[key]
+
+
+def evict_ann_counts(index_dir: str) -> None:
+    """Drop cached partition counts (call after append/delete/rebuild)."""
+    for key in [k for k in _ANN_PART_COUNTS if k[0] == index_dir]:
+        _ANN_PART_COUNTS.pop(key)
+
+
+def ann_candidates(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    num_candidates: int | None = None,
+    nprobe: int | None = None,
+    probe_hamming: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pre_filter=None,
+) -> tuple[DataFrame, str]:
+    """The LIVE candidate relation for a kNN query over a BUILT ANN
+    index — IVF (build_ivf_index, detected by ``_centroids``) or LSH
+    (build_ann_index, detected by ``_meta.json``). Returns
+    (candidates, vec_col): a partition-pruned, pre-filtered,
+    tombstone-anti-joined DataFrame the caller scores with its own
+    expression (ann_topk ranks by cosine; dsl.search by (1+cos)/2 —
+    sharing THIS relation makes probe-everything literally identical to
+    the exact scorer, same expression over the same rows).
+
+    ES ``knn`` semantics: ``num_candidates`` sizes the candidate pool —
+    here it maps to the probe set by accumulating partitions (IVF lists
+    in centroid-similarity order; LSH buckets by Hamming ring) until the
+    cumulative row count reaches it, so a bigger num_candidates
+    monotonically widens recall exactly as in ES. Explicit ``nprobe`` /
+    ``probe_hamming`` override the mapping; both defaulting to None with
+    no num_candidates probes EVERYTHING (exact over the live set).
+    ``pre_filter`` (a boolean Column over the index table's columns)
+    restricts candidates BEFORE the top-k — ES pre-filter semantics.
+    """
+    import os
+
+    qv = [float(x) for x in query_vec]
+    is_ivf = os.path.exists(os.path.join(index_dir.rstrip("/"), "_centroids"))
+    meta = _ann_meta(index_dir)
+    if is_ivf:
+        centroids = _ivf_centroid_matrix(spark, index_dir)
+        n_lists = centroids.shape[0]
+        if nprobe is None:
+            if num_candidates is None:
+                nprobe = n_lists  # default: exact over the live set
+            else:
+                counts = _ann_part_counts(spark, index_dir, "list_id")
+                ordered = _probe_lists(qv, centroids, n_lists)
+                cum, nprobe = 0, 0
+                for lid in ordered:
+                    nprobe += 1
+                    cum += counts.get(lid, 0)
+                    if cum >= max(num_candidates, k):
+                        break
+        probes = _probe_lists(qv, centroids, nprobe)
+        scan = spark.read.parquet(index_dir).filter(F.col("list_id").isin(probes))
+    elif meta is not None:
+        planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+        vec_col = meta["vec_col"]
+        if probe_hamming is None:
+            if num_candidates is None:
+                probe_hamming = meta["n_planes"]  # all buckets = exact
+            else:
+                counts = _ann_part_counts(spark, index_dir, "bucket")
+                probe_hamming, cum = 0, 0
+                for h in range(meta["n_planes"] + 1):
+                    cum = sum(
+                        counts.get(b, 0) for b in _probe_buckets(qv, planes, h)
+                    )
+                    probe_hamming = h
+                    if cum >= max(num_candidates, k):
+                        break
+        probes = _probe_buckets(qv, planes, probe_hamming)
+        scan = spark.read.parquet(index_dir).filter(F.col("bucket").isin(probes))
+    else:
+        raise ValueError(
+            f"no ANN index at {index_dir}: expected an IVF table "
+            "(_centroids) or an LSH table (_meta.json) — build one with "
+            "build_ivf_index / build_ann_index"
+        )
+    if pre_filter is not None:
+        scan = scan.filter(pre_filter)
+    live = _filter_ann_deleted(spark, index_dir, scan, id_col)
+    return live, vec_col
+
+
+def ann_topk(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    num_candidates: int | None = None,
+    nprobe: int | None = None,
+    probe_hamming: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pre_filter=None,
+) -> DataFrame:
+    """Approximate cosine top-k over a built ANN index (IVF or LSH) —
+    :func:`ann_candidates` for the probe-set semantics. Returns
+    (id_col, cosine), ties → id ascending."""
+    live, vcol = ann_candidates(
+        spark, index_dir, query_vec, k=k, num_candidates=num_candidates,
+        nprobe=nprobe, probe_hamming=probe_hamming, id_col=id_col,
+        vec_col=vec_col, pre_filter=pre_filter,
+    )
+    return cosine_topk(live, [float(x) for x in query_vec], k, id_col, vcol)

@@ -243,3 +243,142 @@ def test_ivf_index_append_delete_cycle(spark, emb, tmp_path_factory):
     want = [(r["vec_id"], r["cosine"])
             for r in cosine_topk(emb.filter(~F.col("vec_id").isin(victims)), q, k=10).collect()]
     assert after == want
+
+
+# ---------------------------------------------------------------------------
+# r6: unified indexed kNN (ann_candidates/ann_topk) + dsl.search routing
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivf_dir(spark, emb, tmp_path_factory):
+    from es_loaders_spark.similarity import build_ivf_index
+
+    d = str(tmp_path_factory.mktemp("ivf_knn"))
+    build_ivf_index(emb, d, n_centroids=8, n_iters=3, seed=5)
+    return d
+
+
+@pytest.fixture(scope="module")
+def lsh_dir(spark, emb, tmp_path_factory):
+    from es_loaders_spark.similarity import build_ann_index
+
+    dim = len(emb.select("embedding").first()[0])
+    d = str(tmp_path_factory.mktemp("lsh_knn"))
+    build_ann_index(emb, d, dim=dim, n_planes=6, seed=9)
+    return d
+
+
+def _qvec(emb):
+    return [float(x) for x in emb.filter("vec_id = 3").select("embedding").first()[0]]
+
+
+def test_ann_topk_default_is_exact(spark, emb, ivf_dir, lsh_dir):
+    """No num_candidates / no probe knob → probe everything == brute force."""
+    from es_loaders_spark.similarity import ann_topk
+
+    q = _qvec(emb)
+    want = [(r["vec_id"], r["cosine"]) for r in cosine_topk(emb, q, k=10).collect()]
+    for d in (ivf_dir, lsh_dir):
+        got = [(r["vec_id"], r["cosine"]) for r in ann_topk(spark, d, q, k=10).collect()]
+        assert got == want
+
+
+def test_ann_topk_num_candidates_monotone_recall(spark, emb, ivf_dir):
+    """Recall@10 is non-decreasing in num_candidates, reaching 1.0 when
+    num_candidates covers the corpus (the ES accuracy knob), and is
+    reported so the trade-off is visible in the test log."""
+    from es_loaders_spark.similarity import ann_topk
+
+    q = _qvec(emb)
+    n = emb.count()
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    recalls = []
+    for nc in (10, n // 4, n):
+        got = {r["vec_id"] for r in ann_topk(spark, ivf_dir, q, k=10, num_candidates=nc).collect()}
+        recalls.append(len(got & exact) / len(exact))
+    print(f"IVF recall@10 by num_candidates {[10, n // 4, n]}: {recalls}")
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+
+
+def test_ann_topk_honors_tombstones(spark, emb, tmp_path):
+    # private index: the tombstone must not leak into the shared fixture
+    from es_loaders_spark.similarity import (
+        ann_topk,
+        build_ivf_index,
+        delete_ann_ids,
+    )
+
+    idx = str(tmp_path / "ivf_tomb")
+    build_ivf_index(emb, idx, n_centroids=8, n_iters=3, seed=5)
+    q = _qvec(emb)
+    top = [r["vec_id"] for r in ann_topk(spark, idx, q, k=5).collect()]
+    victim = top[0]
+    delete_ann_ids(spark, idx, spark.createDataFrame([(victim,)], "vec_id long"))
+    after = [r["vec_id"] for r in ann_topk(spark, idx, q, k=5).collect()]
+    assert victim not in after
+    # live-set identity: indexed full-probe == brute force over survivors
+    want = [
+        r["vec_id"]
+        for r in cosine_topk(emb.filter(f"vec_id <> {victim}"), q, k=5).collect()
+    ]
+    assert after == want
+
+
+def test_ann_topk_missing_index_raises(spark, tmp_path):
+    from es_loaders_spark.similarity import ann_topk
+
+    with pytest.raises(ValueError, match="no ANN index"):
+        ann_topk(spark, str(tmp_path / "nope"), [0.1, 0.2], k=3)
+
+
+def test_dsl_knn_ann_routing_matches_exact(spark, emb, lsh_dir):
+    """dsl.search(knn=..., ann_index_dir=) at full probe == the exact knn
+    path: same ids AND same rounded scores (shared candidate relation +
+    the same (1+cos)/2 scoring expression)."""
+    from es_loaders_spark import dsl
+
+    q = _qvec(emb)
+    body = {"knn": {"field": "embedding", "query_vector": q, "k": 8}}
+    exact = [(r["vec_id"], r["score"]) for r in dsl.search(spark, emb, body, id_col="vec_id").collect()]
+    served = [
+        (r["vec_id"], r["score"])
+        for r in dsl.search(spark, emb, body, id_col="vec_id", ann_index_dir=lsh_dir).collect()
+    ]
+    assert served == exact
+
+
+def test_dsl_knn_ann_prefilter(spark, emb, ivf_dir):
+    """ES pre-filter semantics on the ANN path: the filter restricts
+    candidates BEFORE the top-k, so every hit satisfies it and equals
+    the exact pre-filtered result."""
+    from es_loaders_spark import dsl
+
+    q = _qvec(emb)
+    body = {"knn": {
+        "field": "embedding", "query_vector": q, "k": 8,
+        "filter": {"range": {"label": {"gte": 3}}},
+    }}
+    exact = [(r["vec_id"], r["score"]) for r in dsl.search(spark, emb, body, id_col="vec_id").collect()]
+    served = [
+        (r["vec_id"], r["score"])
+        for r in dsl.search(spark, emb, body, id_col="vec_id", ann_index_dir=ivf_dir).collect()
+    ]
+    assert served == exact
+    labels = {r["label"] for r in emb.join(
+        spark.createDataFrame([(d,) for d, _ in served], "vec_id long"), "vec_id"
+    ).select("label").collect()}
+    assert all(lb >= 3 for lb in labels)
+
+
+def test_ann_candidates_plan_is_partition_pruned(spark, emb, ivf_dir):
+    """The probe scan must show PartitionFilters on list_id — the pruned
+    IO that makes the ANN path the 100-TB serving posture."""
+    from es_loaders_spark.similarity import ann_candidates
+
+    q = _qvec(emb)
+    live, _ = ann_candidates(spark, ivf_dir, q, k=5, nprobe=2)
+    plan = live._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "list_id" in plan.split("PartitionFilters", 1)[1][:200]
