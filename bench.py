@@ -279,6 +279,34 @@ def main() -> None:
             spark, docs.filter(F.col("doc_id") >= cut), sd
         ).write.format("noop").mode("overwrite").save()
         samples["dedup_incremental_append"].append(time.time() - t0)
+
+        # generation-flatness probe (r6 bucket-partitioned store): tiny
+        # appends at gen2 vs gen5 on the SAME store — with the pruned
+        # bk_gen* lookup the recurring cost must stay flat as
+        # generations (and stored docs) accumulate, the 100-TB shape
+        def _tiny_batch(base_id: int):
+            return spark.range(base_id, base_id + 200).select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.lit("probe batch text"),
+                    *[
+                        F.concat(F.lit(f"g{i}w"), (F.col("id") * (i + 7) % 997))
+                        for i in range(30)
+                    ],
+                ).alias("text"),
+            )
+
+        t0 = time.time()
+        append_dedup_store(spark, _tiny_batch(n_docs), sd).write.format(
+            "noop").mode("overwrite").save()
+        samples["dedup_append_tiny_gen2"].append(time.time() - t0)
+        for j in (1, 2):
+            append_dedup_store(spark, _tiny_batch(n_docs + 200 * j), sd)
+        t0 = time.time()
+        append_dedup_store(spark, _tiny_batch(n_docs + 600), sd).write.format(
+            "noop").mode("overwrite").save()
+        samples["dedup_append_tiny_gen5"].append(time.time() - t0)
         shutil.rmtree(sd, ignore_errors=True)
 
         # keep only the latest web index for the next pass's queries;

@@ -26,12 +26,24 @@ outgrew the cap; one-shot star-caps them) — groups stay at least as
 connected, never less.
 
 Scale notes: per-batch work is (a) a full tokenize of the NEW docs
-only, (b) a columnar scan of the store's (doc_id, buckets) — signatures
-are ~100 bytes/doc, ~1000× smaller than web text — restricted to
-buckets the new batch touches before any counting, and (c) candidate
-joins proportional to candidates. Nothing re-reads old text. The next
-step at extreme scale is bucketing the store by LSH bucket so step (b)
-becomes a pruned lookup instead of a columnar scan.
+only, (b) a PRUNED lookup of the store's bucket membership, and (c)
+candidate joins proportional to candidates. Nothing re-reads old text.
+
+Step (b) is served by a bucket-PARTITIONED side table (r6, VERDICT r05
+"What's missing" #4): one ``bk`` table of exploded (doc_id, band,
+bucket) partitioned by (generation, ``bp = pmod(bucket,
+bucket_prefixes)``), and an append reads only the partitions whose
+prefixes the new batch touches — PartitionFilters in the plan
+(pytest-asserted), so append IO is bounded by the batch's bucket
+spread, not the store size. The pruning factor is ~exp(-touched/P): a
+micro-batch touching t buckets hits ≤ t of the P prefix partitions, so
+P should be sized ~(store buckets / expected batch buckets) at deploy
+time (the default 64 demonstrates pruning at test scale; at 100 TB with
+1k-doc micro-batches, P in the thousands keeps appends reading <1% of
+the membership table). Exact Jaccard verification still joins the
+columnar (doc_id, hs64) store — candidate-proportional, ~1000× smaller
+than text. Stores built before r6 (no ``bucket_prefixes`` in meta.json)
+fall back to the unpartitioned explode-and-filter path.
 
 Batch idempotence mirrors the index's (build.append_documents
 ``batch_tag``): a ``batch_tag`` already recorded in meta.json makes the
@@ -100,24 +112,75 @@ def _gen_dirs(store_dir: str, table: str, generations: int) -> list[str]:
 
 
 def store_signatures(spark: SparkSession, store_dir: str) -> DataFrame:
-    """All generations of the signature store, unioned."""
+    """All generations of the signature store — ONE multi-root scan."""
     meta = load_store_meta(store_dir)
-    out = None
-    for d in _gen_dirs(store_dir, "sig", meta["generations"]):
-        part = spark.read.parquet(d)
-        out = part if out is None else out.unionByName(part)
-    return out
+    return spark.read.parquet(*_gen_dirs(store_dir, "sig", meta["generations"]))
 
 
 def store_pairs(spark: SparkSession, store_dir: str) -> DataFrame:
     """Cumulative verified near-dup pairs (a, b, jaccard) across all
     generations (a generation with zero pairs writes an empty table)."""
     meta = load_store_meta(store_dir)
-    out = None
-    for d in _gen_dirs(store_dir, "pairs", meta["generations"]):
-        part = spark.read.parquet(d)
-        out = part if out is None else out.unionByName(part)
-    return out
+    return spark.read.parquet(*_gen_dirs(store_dir, "pairs", meta["generations"]))
+
+
+def _write_bk_table(
+    sig: DataFrame, store_dir: str, bucket_prefixes: int, gen: int
+) -> None:
+    """Exploded (doc_id, band, bucket) membership in ONE ``bk`` table,
+    PARTITIONED by (gen, bucket prefix ``bp``) so append lookups prune
+    to the partitions their batch touches (the dedup analogue of the ANN
+    index's list_id partitioning). One physical root keeps the lookup a
+    single FileSourceScan however many generations accumulate; dynamic
+    partition overwrite makes a replayed generation write idempotent
+    (it replaces exactly its own gen=G partitions)."""
+    (
+        sig.select("doc_id", F.posexplode("buckets").alias("band", "bucket"))
+        .withColumn("gen", F.lit(int(gen)))
+        .withColumn("bp", F.pmod(F.col("bucket"), F.lit(bucket_prefixes)))
+        # ONE file per (gen, bp) partition: without this, every write
+        # partition dir gets shuffle-partition-many small files and the
+        # per-append listing cost grows ~8× faster than it needs to
+        .repartition("bp")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen", "bp")
+        .parquet(os.path.join(store_dir, "bk"))
+    )
+
+
+def store_members(
+    spark: SparkSession, store_dir: str, generations: int | None = None
+) -> DataFrame:
+    """(doc_id, band, bucket) of every stored doc in a bucket the LATEST
+    generation touches — the pruned append lookup. The store-side read
+    filters on the batch's touched bucket PREFIXES, which Spark pushes
+    into PartitionFilters (plan-asserted in test_dedup_store), so the IO
+    is bounded by the batch's bucket spread, not the store size.
+    ``generations`` overrides meta.json's count (append passes g+1: its
+    own bk_gen{g} exists before meta commits)."""
+    meta = load_store_meta(store_dir)
+    g_total = int(generations if generations is not None else meta["generations"])
+    bk = spark.read.parquet(os.path.join(store_dir, "bk"))
+    bk_new = bk.filter(F.col("gen") == g_total - 1)  # partition-pruned
+    touched_rows = bk_new.select("band", "bucket", "bp").distinct()
+    # O(P) prefix values — query metadata, not data rows
+    prefixes = sorted(
+        {int(r["bp"]) for r in touched_rows.select("bp").distinct().collect()}
+    )
+    # ONE scan over the single bk root (however many generations exist):
+    # a single FileSourceScan keeps PartitionFilters and parallel listing,
+    # so per-append planning cost stays flat as generations accumulate
+    bk_all = bk.filter(
+        (F.col("gen") < g_total) & F.col("bp").isin(prefixes)
+    )
+    return (
+        bk_all.join(
+            F.broadcast(touched_rows.select("band", "bucket")),
+            ["band", "bucket"],
+        )
+        .select("doc_id", "band", "bucket")
+    )
 
 
 def build_dedup_store(
@@ -131,10 +194,12 @@ def build_dedup_store(
     threshold: float = 0.5,
     max_bucket: int = 64,
     text_col: str = "text",
+    bucket_prefixes: int = 64,
 ) -> dict:
-    """One-shot base build: persist the signature relation and the base
-    corpus's own verified pairs; meta.json (written last, atomically) is
-    the visibility point."""
+    """One-shot base build: persist the signature relation, the
+    bucket-membership table (partitioned by bucket prefix — the pruned
+    append lookup), and the base corpus's own verified pairs; meta.json
+    (written last, atomically) is the visibility point."""
     assert num_hashes % bands == 0
     os.makedirs(store_dir, exist_ok=True)
     release_dedup_caches()
@@ -144,6 +209,7 @@ def build_dedup_store(
     )
     rel.write.mode("overwrite").parquet(os.path.join(store_dir, "sig_gen0"))
     stored = spark.read.parquet(os.path.join(store_dir, "sig_gen0"))
+    _write_bk_table(stored, store_dir, bucket_prefixes, gen=0)
     cand = _lsh_candidates(
         stored.select("doc_id", "sig"), num_hashes, bands,
         portable=False, max_bucket=max_bucket,
@@ -163,6 +229,7 @@ def build_dedup_store(
         "generations": 1,
         "max_doc_id": int(max_id if max_id is not None else -1),
         "applied_tags": [],
+        "bucket_prefixes": int(bucket_prefixes),
     }
     _write_json_atomic(_meta_path(store_dir), meta)
     release_dedup_caches()
@@ -209,24 +276,30 @@ def append_dedup_store(
     rel = _signature_relation(docs, n, num_hashes, bands, seed)
     sig_dir = os.path.join(store_dir, f"sig_gen{g}")
     rel.write.mode("overwrite").parquet(sig_dir)
+    new_sig = spark.read.parquet(sig_dir)
 
-    # all generations' (doc_id, buckets) — a pruned columnar scan of the
-    # signature store, NOT the documents' text
-    all_sigs = None
-    for d in _gen_dirs(store_dir, "sig", g + 1):
-        part = spark.read.parquet(d)
-        all_sigs = part if all_sigs is None else all_sigs.unionByName(part)
-    bk_all = all_sigs.select(
-        "doc_id", F.posexplode("buckets").alias("band", "bucket")
-    )
-    # restrict to buckets the new batch touches BEFORE any counting: the
-    # touched-bucket set is batch-sized, broadcast into the store scan
-    touched = (
-        bk_all.filter(F.col("doc_id") > prev_max)
-        .select("band", "bucket")
-        .distinct()
-    )
-    members = bk_all.join(F.broadcast(touched), ["band", "bucket"])
+    all_sigs = spark.read.parquet(*_gen_dirs(store_dir, "sig", g + 1))
+
+    if meta.get("bucket_prefixes") is not None:
+        # pruned lookup: the new batch's membership lands as bk_gen{g},
+        # and the store-side read pushes the batch's touched PREFIXES
+        # into PartitionFilters — IO bounded by the batch's bucket
+        # spread, never the store size (module notes / test_dedup_store)
+        _write_bk_table(new_sig, store_dir, meta["bucket_prefixes"], gen=g)
+        members = store_members(spark, store_dir, generations=g + 1)
+    else:
+        # pre-r6 store (no bk_gen* tables): explode the signature store
+        bk_all = all_sigs.select(
+            "doc_id", F.posexplode("buckets").alias("band", "bucket")
+        )
+        touched = (
+            bk_all.filter(F.col("doc_id") > prev_max)
+            .select("band", "bucket")
+            .distinct()
+        )
+        # restrict to buckets the new batch touches BEFORE any counting:
+        # the touched set is batch-sized, broadcast into the store scan
+        members = bk_all.join(F.broadcast(touched), ["band", "bucket"])
     bmeta = members.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("n_in_bucket"), F.min("doc_id").alias("min_doc")
     )

@@ -168,3 +168,43 @@ def test_streaming_index_with_dedup_store(spark, tmp_path_factory):
     time.sleep(0.5)
     pairs = _pairset(store_pairs(spark, store))
     assert (50, 60) in pairs, f"cross-batch near-dup missed: {sorted(pairs)}"
+
+
+def test_store_lookup_is_partition_pruned(spark, built_store):
+    """r6 (VERDICT r05 missing #4): the append's store-side membership
+    read must push the batch's touched bucket prefixes into
+    PartitionFilters — a pruned lookup, not a store-wide scan."""
+    from es_loaders_spark.dedup_store import store_members
+
+    d, _ = built_store
+    members = store_members(spark, d)
+    plan = members._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert "bp" in seg, seg
+
+
+def test_pre_r6_store_fallback(spark, corpus_parts, tmp_path_factory):
+    """A store built before the bk_gen* tables existed (no
+    bucket_prefixes in meta.json) must keep appending correctly through
+    the explode-and-filter path."""
+    import json
+    import os
+    import shutil
+
+    from es_loaders_spark.dedup_store import load_store_meta
+    from es_loaders_spark.build import _write_json_atomic
+
+    old, new = corpus_parts
+    d = str(tmp_path_factory.mktemp("legacy_store"))
+    build_dedup_store(spark, old, d, threshold=0.5)
+    # strip the r6 surface: drop the bk table and the meta key
+    shutil.rmtree(os.path.join(d, "bk"))
+    meta = load_store_meta(d)
+    del meta["bucket_prefixes"]
+    _write_json_atomic(os.path.join(d, "meta.json"), meta)
+
+    append_dedup_store(spark, new, d)
+    got = _pairset(store_pairs(spark, d))
+    want = _pairset(lsh_verified_pairs(old.unionByName(new), threshold=0.5))
+    assert got == want
