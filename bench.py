@@ -242,12 +242,38 @@ def main() -> None:
         qs_body = {
             "query": {"query_string": {
                 "query": '(spark OR "key order")^2 AND batch* -lang:zh '
-                         'source:src3^1.5 n_chars:[120 TO 400]'}},
+                         'source:src3^1.5 n_chars:[120 TO 400]',
+                "serve": "index"}},  # forced: r1-r5-comparable row
             "size": 15,
         }
         t0 = time.time()
         _dsl.search(spark, docs, qs_body, index_dir=d3).collect()
         samples["dsl_query_string_indexed"].append(time.time() - t0)
+
+        # auto-crossover (r6): same body, serve unset — the engine picks
+        # the side from stats.json N. documents sits below the knee →
+        # auto ≈ the scan row; the web rows below sit above it → auto ≈
+        # the indexed side. Both recorded so the pick is visible.
+        qs_auto = {"query": {"query_string": {
+            "query": qs_body["query"]["query_string"]["query"]}}, "size": 15}
+        t0 = time.time()
+        _dsl.search(spark, docs, qs_auto, index_dir=d3).collect()
+        samples["dsl_query_string_auto"].append(time.time() - t0)
+
+        # web-scale boolean tree over the n_pages corpus (text-only
+        # leaves: the web index is BM25-only, no positions): the ingest
+        # table the build materialized is the docs side
+        web_docs = spark.read.parquet(os.path.join(idx_dir, "ingest"))
+        wq = "spark AND (crawl* OR index) page web"
+        for mode in ("auto", "scan"):
+            t0 = time.time()
+            _dsl.search(
+                spark, web_docs,
+                {"query": {"query_string": {"query": wq, "serve": mode}},
+                 "size": 15},
+                index_dir=idx_dir,
+            ).collect()
+            samples[f"dsl_query_string_web_{mode}"].append(time.time() - t0)
 
         # --- representative operator suite (SURVEY §2 + pipeline ops) ---
         for name in suite:

@@ -395,7 +395,11 @@ def query_string_topk(
     k: int = 10,
     index_dir: str | None = None,
 ) -> DataFrame:
-    """Top-k (doc_id, score) for an ES ``query_string`` clause."""
+    """Top-k (doc_id, score) for an ES ``query_string`` clause.
+
+    ``serve`` in the clause body ("auto" default | "index" | "scan")
+    picks how text leaves are scored when ``index_dir`` is given — see
+    execute_tree's crossover notes."""
     if isinstance(sub, str):
         sub = {"query": sub}
     default_field = sub.get("default_field") or text_col
@@ -404,7 +408,18 @@ def query_string_topk(
         str(sub.get("default_operator", "or")).lower(), text_field=text_col,
     )
     return execute_tree(spark, docs, tree, filters, id_col, text_col, k,
-                        index_dir=index_dir)
+                        index_dir=index_dir,
+                        serve=str(sub.get("serve", "auto")).lower())
+
+
+INDEX_SERVE_MIN_DOCS = 20_000
+"""Auto-crossover knee for index-served boolean trees: below this corpus
+size the scan path wins (one tokenize pass beats per-leaf posting-block
+jobs whose fixed latency dominates tiny corpora — measured 3.13 s scan vs
+3.93 s indexed at 5k docs, and 2.46× the other way at 60k pages, VERDICT
+r05 "What's wrong" #3); above it, decoded posting blocks are
+O(query terms), not O(corpus). Explicit ``serve="index"|"scan"``
+overrides."""
 
 
 def execute_tree(
@@ -416,6 +431,7 @@ def execute_tree(
     text_col: str = "text",
     k: int = 10,
     index_dir: str | None = None,
+    serve: str = "auto",
 ) -> DataFrame:
     """Execute a parsed boolean tree (shared by query_string and
     match_bool_prefix, which IS a bool of term clauses + one prefix).
@@ -430,12 +446,18 @@ def execute_tree(
     Lucene, not-yet-compacted deletes still count in df/avgdl until
     ``compact_index``. Without ``index_dir`` the leaves score from raw
     token arrays — correct, but a corpus scan per query (the documented
-    anti-pattern at scale; SURVEY scale warning)."""
+    anti-pattern at scale; SURVEY scale warning).
+
+    ``serve="auto"`` (default) picks the faster side from the index's
+    own stats.json N (INDEX_SERVE_MIN_DOCS); tombstones are honored
+    either way. ``"index"`` / ``"scan"`` force a side."""
     from .dsl import filter_expr
     from .postings import (
         CorpusStats, corpus_stats, doc_lengths, postings_long, term_df,
     )
 
+    if serve not in ("auto", "index", "scan"):
+        raise ValueError(f"serve must be auto|index|scan, got {serve!r}")
     leaves: list[Leaf] = []
     _collect_leaves(tree, leaves)
     if len(leaves) > MAX_LEAVES:
@@ -445,7 +467,30 @@ def execute_tree(
                    if l.kind in ("term", "phrase", "prefix", "wildcard",
                                  "fuzzy")]
     need_text = bool(text_leaves)
+    # tombstones apply whichever side scores (the scan fallback must not
+    # resurrect docs the index deleted)
+    deletes_dir = index_dir
     p = None
+    if need_text and index_dir is not None:
+        from .analyze import AnalysisChain
+        from .build import load_stats, read_generations
+
+        st = load_stats(index_dir)
+        if AnalysisChain.from_config(st.get("analysis")) is not None:
+            # boolean-tree leaves (prefix/wildcard/fuzzy expansion,
+            # phrase adjacency) are not chain-mapped yet — refuse loudly
+            # rather than mix default-grammar query terms with a
+            # stemmed/stopworded index (match/match_phrase DO support
+            # chains: dsl.search routes them through wand/phrase)
+            raise ValueError(
+                "query_string over an index with an analysis chain is "
+                "not supported — query via match/match_phrase, or build "
+                "the index without `analysis`"
+            )
+        if serve == "scan" or (
+            serve == "auto" and int(st["n_docs"]) < INDEX_SERVE_MIN_DOCS
+        ):
+            index_dir = None  # crossover: scan side is faster down here
     if need_text and index_dir is not None:
         from .build import load_stats, read_generations
 
@@ -677,10 +722,10 @@ def execute_tree(
         .filter(F.col("_m"))
         .select("doc_id", F.round(F.col("_s"), 4).alias("score"))
     )
-    if index_dir is not None:
+    if deletes_dir is not None:
         from .deletes import filter_deleted
 
-        out = filter_deleted(spark, index_dir, out)
+        out = filter_deleted(spark, deletes_dir, out)
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

@@ -220,7 +220,9 @@ def test_index_served_plan_never_tokenizes_corpus(spark, qs_index):
     docs, idx = qs_index
     tree = parse_query_string(QS_FULL, "text", "or", text_field="text")
     plan = (
-        execute_tree(spark, docs, tree, None, index_dir=idx)
+        # serve="index": the fixture corpus sits below the auto-crossover
+        # knee (INDEX_SERVE_MIN_DOCS), where auto correctly picks scan
+        execute_tree(spark, docs, tree, None, index_dir=idx, serve="index")
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     # the scan path's signature operators: regexp tokenize + posexplode
@@ -360,3 +362,67 @@ def test_count_index_served_matches_scan(spark, web_pages, tmp_path):
     delete_ids(spark, idx, spark.createDataFrame([(int(victim),)], "doc_id long"))
     after = dsl.count(spark, docs, q, index_dir=idx).collect()[0].n
     assert after == before - 1
+
+
+def test_auto_crossover_picks_scan_below_knee(spark, qs_index):
+    """serve='auto' (default) over a small index scores from the scan
+    path (plan shows tokenize operators), while serve='index' forces
+    posting blocks — both rank-identical (r6 auto-crossover)."""
+    from es_loaders_spark.querystring import (
+        INDEX_SERVE_MIN_DOCS,
+        execute_tree,
+        parse_query_string,
+    )
+    from es_loaders_spark.build import load_stats
+
+    docs, idx = qs_index
+    assert int(load_stats(idx)["n_docs"]) < INDEX_SERVE_MIN_DOCS
+    tree = parse_query_string(QS_FULL, "text", "or", text_field="text")
+    auto_df = execute_tree(spark, docs, tree, None, index_dir=idx)
+    plan = auto_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "split(" in plan or "posexplode" in plan  # scan side chosen
+    forced = execute_tree(spark, docs, tree, None, index_dir=idx, serve="index")
+    assert [(r.doc_id, r.score) for r in auto_df.collect()] == \
+           [(r.doc_id, r.score) for r in forced.collect()]
+
+
+def test_auto_crossover_scan_side_honors_tombstones(spark, qs_index, tmp_path):
+    """The scan fallback must not resurrect docs the index deleted."""
+    import shutil
+
+    from es_loaders_spark import dsl
+    from es_loaders_spark.build import build_index
+    from es_loaders_spark.deletes import delete_ids
+    from es_loaders_spark.wand import evict_index
+
+    docs, _ = qs_index
+    idx = str(tmp_path / "qs_tomb_idx")
+    build_index(spark, docs, idx, n_shards=2)
+    body = {"query": {"query_string": {"query": "spark"}}, "size": 10}
+    before = [r.doc_id for r in dsl.search(spark, docs, body, index_dir=idx).collect()]
+    assert before
+    delete_ids(spark, idx, spark.createDataFrame([(before[0],)], "doc_id long"))
+    after = [r.doc_id for r in dsl.search(spark, docs, body, index_dir=idx).collect()]
+    assert before[0] not in after
+    evict_index(idx)
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_querystring_refuses_chained_index(spark, qs_index, tmp_path):
+    import shutil
+
+    from es_loaders_spark import dsl
+    from es_loaders_spark.build import build_index
+    from es_loaders_spark.wand import evict_index
+
+    docs, _ = qs_index
+    idx = str(tmp_path / "qs_chain_idx")
+    build_index(spark, docs, idx, n_shards=2,
+                analysis={"stopwords": "_english_"})
+    body = {"query": {"query_string": {"query": "spark", "serve": "index"}},
+            "size": 5}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="analysis chain"):
+        dsl.search(spark, docs, body, index_dir=idx).collect()
+    evict_index(idx)
+    shutil.rmtree(idx, ignore_errors=True)
