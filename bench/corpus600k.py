@@ -117,7 +117,7 @@ def main() -> None:
     out["dedup_append_1pct_sec"] = round(time.time() - t0, 2)
     print(json.dumps(out), flush=True)
 
-    for d in (idx, pq_dir, sd):
+    for d in (idx, sd):
         shutil.rmtree(d, ignore_errors=True)
 
 

@@ -406,7 +406,10 @@ def filter_expr(
         # tokens contain any query term (operator=or, ES default) or all
         # of them (operator=and). Scoring `match` lives in search();
         # this branch is what ES's filter context computes (scores
-        # ignored → 'does it match' only).
+        # ignored → 'does it match' only). Known limitation: filter_expr
+        # has no index context, so this always uses the DEFAULT analyzer
+        # grammar — on a chained index, put the match in the scoring
+        # position (chain-aware) and keep filters to term/range.
         from .analyze import terms_array, tokenize_text
 
         (field, v), = body.items()
@@ -495,6 +498,28 @@ def _as_list(x) -> list:
     if x is None:
         return []
     return x if isinstance(x, list) else [x]
+
+
+def _index_chain(index_dir: str | None):
+    """The index's analysis chain (stats.json "analysis"), or None.
+
+    Every index-served path that turns query TEXT into index terms must
+    analyze with the index's own chain — a stemmed/stopworded index
+    answers default-grammar terms with silent misses otherwise."""
+    if index_dir is None:
+        return None
+    from .analyze import AnalysisChain
+    from .build import load_stats
+
+    return AnalysisChain.from_config(load_stats(index_dir).get("analysis"))
+
+
+def _index_query_terms(index_dir: str | None, text: str) -> list[str]:
+    """Analyzed query tokens for an index-served path (chain-aware)."""
+    from .analyze import tokenize_text
+
+    chain = _index_chain(index_dir)
+    return chain.tokens(text) if chain is not None else tokenize_text(text)
 
 
 def _split_scoring(query: dict | None) -> tuple[dict | None, dict]:
@@ -1526,11 +1551,10 @@ def search(
                 op = str(v.get("operator", "or")).lower()
                 v = v["query"]
             if fld == text_col:
-                from .analyze import tokenize_text as _tok
                 from .deletes import filter_deleted
                 from .phrase import tf_postings
 
-                qterms = _tok(str(v))
+                qterms = _index_query_terms(index_dir, str(v))
                 if qterms:
                     tp = tf_postings(spark, index_dir, sorted(set(qterms)))
                     if op == "and":
@@ -1806,6 +1830,16 @@ def search(
                         "matching is just match operator=and)"
                     )
                 in_order = bool(m.get("ordered", False))
+            if _index_chain(index_dir) is not None:
+                # span/interval gap arithmetic is not chain-mapped
+                # (stop-gap + synonym/stem interplay is ambiguous for
+                # slop windows) — refuse rather than silently mix
+                # default-grammar terms with a chained index
+                raise ValueError(
+                    f"{kind} over an index with an analysis chain is not "
+                    "supported — use match_phrase (chain-aware) or build "
+                    "the index without `analysis`"
+                )
             hits = _proximity_docs(
                 spark, docs, terms, slop, in_order, id_col, text_col,
                 index_dir=index_dir,
@@ -1946,9 +1980,17 @@ def search(
         # ES filter-context semantics: corpus stats / dfs / avgdl come from
         # the UNFILTERED corpus; the filter only restricts the candidate
         # set (ADVICE r02 — stats over the filtered set shifted idf/avgdl
-        # and diverged from ES; same shape as bm25_topk_filtered)
-        p = postings_long(docs.select(id_col, field), text_col=field, id_col=id_col)
-        dl = doc_lengths(docs.select(id_col, field), text_col=field, id_col=id_col)
+        # and diverged from ES; same shape as bm25_topk_filtered).
+        # A chained index's analysis applies to THIS scan fallback too
+        # (filters / operator=and route here even with an index): the
+        # indexed column scores with the index's own chain, so the or-
+        # path (wand, chain-aware) and this path rank identically.
+        chain = _index_chain(index_dir) if field == text_col else None
+        p = postings_long(docs.select(id_col, field), text_col=field,
+                          id_col=id_col, chain=chain)
+        dl = doc_lengths(docs.select(id_col, field), text_col=field,
+                         id_col=id_col, chain=chain)
+        q_input = chain.tokens(text) if chain is not None else text
         cand = p
         if filters:
             allowed = docs.filter(filter_expr(filters, id_col)).select(
@@ -1962,7 +2004,9 @@ def search(
             # query terms per doc == number of distinct query terms; a
             # term absent from the corpus therefore yields zero hits,
             # exactly ES's behavior.
-            qterms = sorted(set(tokenize_text(text)))
+            qterms = sorted(set(
+                q_input if isinstance(q_input, list) else tokenize_text(text)
+            ))
             have_all = (
                 p.filter(F.col("term").isin(qterms))
                 .groupBy("doc_id")
@@ -1973,7 +2017,8 @@ def search(
             cand = cand.join(have_all, "doc_id", "left_semi")
         return page(
             bm25_topk(
-                spark, cand, dl, term_df(p), corpus_stats(dl), text, k=offset + size
+                spark, cand, dl, term_df(p), corpus_stats(dl), q_input,
+                k=offset + size,
             ),
             hl_terms=_hl_tokens(text),
         )
@@ -2116,9 +2161,7 @@ def count(
                 op = str(v.get("operator", "or")).lower()
                 v = v["query"]
             if fld == text_col:
-                from .analyze import tokenize_text
-
-                terms_q = tokenize_text(str(v))
+                terms_q = _index_query_terms(index_dir, str(v))
         if terms_q is not None:
             if not terms_q:
                 return spark.range(0).agg(F.count(F.lit(1)).alias("n"))
@@ -3844,8 +3887,12 @@ def more_like_this(
             / (F.col("df") + F.lit(0.5))
         )
         seed_tf = (
+            # the seed doc analyzes with the index's own chain, so its
+            # terms land in the index's (possibly stemmed) vocabulary
             docs.filter(F.col(id_col) == F.lit(seed_id))
-            .select(F.explode(terms_array(F.col(text_col))).alias("term"))
+            .select(F.explode(
+                terms_array(F.col(text_col), chain=_index_chain(index_dir))
+            ).alias("term"))
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("tf"))
         )

@@ -87,7 +87,11 @@ def topk_as_of(
         raise ValueError(
             f"generations must be in [1, {cur}] (current count); got {g}"
         )
-    terms = sorted(set(tokenize_text(query)))
+    # the index's analysis chain applies as-of any generation (the chain
+    # is immutable index config, recorded at build time in stats.json)
+    from .wand import _query_terms
+
+    terms = _query_terms(stats, query)
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     shards = _gen_subset(spark, index_dir, "shards", g).filter(
@@ -127,4 +131,6 @@ def topk_as_of(
     dls = _gen_subset(spark, index_dir, "doclens", g).select("doc_id", "dl")
     agg = dls.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     cstats = CorpusStats(n_docs=int(agg["n"]), avgdl=float(agg["avgdl"] or 0.0))
-    return bm25_topk(spark, postings, dls, tdf, cstats, query, k)
+    # pass the ANALYZED terms (chain-aware), not the raw string — bm25's
+    # own tokenizer is the default grammar
+    return bm25_topk(spark, postings, dls, tdf, cstats, terms, k)

@@ -287,3 +287,112 @@ def test_build_refuses_precomputed_dl_with_chain(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="analysis chain changes doc lengths"):
         build_index(spark, docs, str(tmp_path / "idx"), n_shards=1, analysis=CFG)
+
+
+# ---------------------------------------------------------------------------
+# chain consistency across every index-served DSL path (r6 audit)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def chain_idx_ro(spark, tmp_path_factory):
+    """Immutable chained index — the append/compact tests above MUTATE
+    chain_idx (doc 10 lands), so exact-set assertions need their own."""
+    from es_loaders_spark.build import build_index
+
+    d = str(tmp_path_factory.mktemp("chain_idx_ro"))
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_index(spark, docs, d, n_shards=2, analysis=CFG)
+    return d
+
+
+def test_dsl_count_uses_index_chain(spark, chain_idx_ro):
+    """_count's posting-block fast path analyzes with the index's chain:
+    'tbl queries' must count docs containing table/query."""
+    from es_loaders_spark import dsl
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    body = {"query": {"match": {"text": "tbl queries"}}}
+    n = dsl.count(spark, docs, body, index_dir=chain_idx_ro).first()["n"]
+    assert n == 4  # docs 0,1,2,4 contain table/query post-chain
+
+
+def test_dsl_aggs_fastpath_uses_index_chain(spark, chain_idx_ro):
+    from es_loaders_spark import dsl
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    body = {
+        "query": {"match": {"text": "tbl"}},
+        "aggs": {"n": {"value_count": {"field": "doc_id"}}},
+        "size": 0,
+    }
+    n = dsl.search(spark, docs, body, index_dir=chain_idx_ro).first()[0]
+    assert n >= 4  # every doc with 'table'/'tables'/'tbl' matches
+
+
+def test_dsl_match_and_operator_chain_consistent(spark, chain_idx_ro):
+    """operator=and routes to the scan fallback even with an index —
+    it must apply the index's chain so or/and differ only by the
+    conjunction, not by analyzer grammar."""
+    from es_loaders_spark import dsl
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = dsl.search(
+        spark, docs,
+        {"query": {"match": {"text": {
+            "query": "the tbl queries", "operator": "and"}}}, "size": 10},
+        index_dir=chain_idx_ro,
+    ).collect()
+    ids = [r["doc_id"] for r in got]
+    # docs containing BOTH table and query post-chain: 1, 2, 4
+    assert set(ids) == {1, 2, 4}
+    # and-scores equal the or-path scores for the same docs (same sums)
+    or_scores = {
+        r["doc_id"]: r["score"]
+        for r in dsl.search(
+            spark, docs,
+            {"query": {"match": {"text": "the tbl queries"}}, "size": 10},
+            index_dir=chain_idx_ro,
+        ).collect()
+    }
+    for r in got:
+        assert r["score"] == or_scores[r["doc_id"]]
+
+
+def test_timetravel_uses_index_chain(spark, chain_idx_ro):
+    from es_loaders_spark.timetravel import topk_as_of
+    from es_loaders_spark.wand import topk
+
+    got = [(r["doc_id"], r["score"])
+           for r in topk_as_of(spark, chain_idx_ro, "tbl queries", k=5).collect()]
+    want = [(r["doc_id"], r["score"])
+            for r in topk(spark, chain_idx_ro, "tbl queries", k=5).collect()]
+    assert got == want and got
+
+
+def test_more_like_this_indexed_chain_seed(spark, chain_idx_ro):
+    from es_loaders_spark import dsl
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = dsl.more_like_this(
+        spark, docs,
+        {"query": {"more_like_this": {
+            "like": {"doc_id": 4}, "min_term_freq": 1, "min_doc_freq": 1,
+        }}, "size": 5},
+        index_dir=chain_idx_ro,
+    ).collect()
+    # seed doc 4 ("query query query tables") must find docs sharing
+    # the STEMMED terms (1 and 2 contain query/table variants)
+    assert {r["doc_id"] for r in out} >= {1, 2}
+
+
+def test_span_near_refuses_chained_index(spark, chain_idx_ro):
+    from es_loaders_spark import dsl
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    body = {"query": {"span_near": {
+        "clauses": [{"span_term": {"text": "table"}},
+                    {"span_term": {"text": "data"}}],
+        "slop": 2, "in_order": True}}, "size": 5}
+    with pytest.raises(ValueError, match="analysis chain"):
+        dsl.search(spark, docs, body, index_dir=chain_idx_ro).collect()
