@@ -60,9 +60,12 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 
 
 def test_q1_uses_partial_aggregation(spark, sf_dir):
-    from es_loaders_spark.queries import QUERIES
+    from es_loaders_spark.queries import EXTRA_QUERIES, QUERIES
 
-    plan = explain_str(QUERIES["groupby_sum_q1"](spark, sf_dir))
+    # rotation-stable: the entry moves between the driver gate and the
+    # local-gate EXTRA registry across rounds
+    fn = QUERIES.get("groupby_sum_q1") or EXTRA_QUERIES["groupby_sum_q1"]
+    plan = explain_str(fn(spark, sf_dir))
     # partial (map-side) + final hash aggregate pair, filter pushed to scan
     assert plan.count("HashAggregate") >= 2
     assert "partial_sum" in plan
