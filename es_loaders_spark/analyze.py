@@ -366,3 +366,24 @@ class AnalysisChain:
        AND substr({e}, length({e})-2, 1) IN ('i','a','o','e') THEN {e}
   ELSE substr({e}, 1, length({e})-1) END)"""
         return e
+
+
+def _chain_surface_forms(chain: "AnalysisChain", term: str) -> list[str]:
+    """Every surface token that analyzes to ``term`` under ``chain`` —
+    the highlighter's inverse map (ES's plain highlighter re-analyzes
+    the field text; regex highlighting needs the surface forms
+    enumerated instead). Exact by construction: candidates are generated
+    (synonym sources from the rule map; plural variants for the minimal
+    stemmer) and each is VERIFIED by running the chain forward."""
+    cands = {term}
+    for frm, to in chain.synonyms:
+        if to == term:
+            cands.add(frm)
+    if chain.stemmer:
+        for base in list(cands):
+            cands.add(base + "s")
+            cands.add(base + "es")
+            if base.endswith("y"):
+                cands.add(base[:-1] + "ies")
+    return sorted(c for c in cands if chain.map_term(c) == term
+                  and c not in chain._stop_set)

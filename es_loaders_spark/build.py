@@ -898,3 +898,68 @@ def append_documents(
     }
     _write_json_atomic(stats_path, stats)
     return stats
+
+
+def reindex(
+    spark: SparkSession,
+    docs: DataFrame,
+    src_dir: str,
+    dst_dir: str,
+    n_shards: int | None = None,
+    analysis: dict | None | type(...) = ...,
+    positions: bool | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """ES ``_reindex`` analogue: rebuild the index into ``dst_dir`` with
+    (possibly) CHANGED settings — the only way to switch an analyzer in
+    ES, and the same here (the analysis chain in stats.json is immutable
+    index config, baked into every posting).
+
+    ``docs`` is the source corpus table (this engine stores no _source;
+    the reference's loaders likewise re-read their upstream tables).
+    Tombstoned ids from ``src_dir`` are EXCLUDED — reindex materializes
+    the live set, like ES reindexing from a source with deletes applied.
+    Settings default to the source index's (positions, shard count);
+    ``analysis`` defaults to the source's chain — pass a new config (or
+    None for the default grammar) to change it. Returns dst stats.
+
+    Scale shape: one full build over the live corpus (the unavoidable
+    cost of re-analyzing — same as ES), map-only via the aligned build;
+    the tombstone anti-join is a broadcast against the tiny delete set.
+    """
+    from .deletes import filter_deleted
+
+    src = load_stats(src_dir)
+    if os.path.abspath(src_dir) == os.path.abspath(dst_dir):
+        raise ValueError(
+            "reindex needs a fresh destination directory (in-place "
+            "analyzer changes would corrupt readers mid-build)"
+        )
+    if os.path.exists(os.path.join(dst_dir, "stats.json")):
+        raise ValueError(f"destination {dst_dir} already holds an index")
+    live = filter_deleted(
+        spark,
+        src_dir,
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text")),
+    )
+    if "dl" in docs.columns:
+        # a precomputed dl belongs to the OLD analysis; never carry it
+        live = live.select("doc_id", "text")
+    from .catalog import ManifestCatalog
+
+    try:
+        src_shards = int(
+            ManifestCatalog(src_dir).load("shards").props.get("n_shards", 0)
+        ) or None
+    except Exception:
+        src_shards = None
+    return build_index(
+        spark,
+        live,
+        dst_dir,
+        n_shards=int(n_shards or src_shards or 8),
+        positions=bool(src.get("positions", True)) if positions is None else positions,
+        analysis=src.get("analysis") if analysis is ... else analysis,
+    )

@@ -522,6 +522,24 @@ def _index_query_terms(index_dir: str | None, text: str) -> list[str]:
     return chain.tokens(text) if chain is not None else tokenize_text(text)
 
 
+def _hl_terms_for(index_dir: str | None, text: str) -> list[str]:
+    """Highlight terms for a match over a possibly-chained index. ES's
+    plain highlighter re-analyzes the field text, so a stemmed query
+    highlights every surface form; regex highlighting gets the same
+    effect by enumerating the (chain-verified) surface forms of each
+    analyzed query term — 'tables' in the query highlights 'table',
+    'tables' and synonym sources like 'tbl' in the hit text."""
+    from .analyze import _chain_surface_forms, tokenize_text
+
+    chain = _index_chain(index_dir)
+    if chain is None:
+        return tokenize_text(text)
+    out: list[str] = []
+    for t in chain.tokens(text):
+        out.extend(_chain_surface_forms(chain, t))
+    return sorted(set(out))
+
+
 def _split_scoring(query: dict | None) -> tuple[dict | None, dict]:
     """Separate the scoring clause (match / match_phrase) from filters.
 
@@ -1971,7 +1989,7 @@ def search(
 
             return page(
                 topk(spark, index_dir, text, k=offset + size),
-                hl_terms=_hl_tokens(text),
+                hl_terms=_hl_terms_for(index_dir, text),
             )
         from .analyze import tokenize_text
         from .bm25 import bm25_topk
@@ -2020,7 +2038,10 @@ def search(
                 spark, cand, dl, term_df(p), corpus_stats(dl), q_input,
                 k=offset + size,
             ),
-            hl_terms=_hl_tokens(text),
+            hl_terms=(
+                _hl_terms_for(index_dir, text)
+                if chain is not None else _hl_tokens(text)
+            ),
         )
 
     if body.get("highlight"):

@@ -396,3 +396,80 @@ def test_span_near_refuses_chained_index(spark, chain_idx_ro):
         "slop": 2, "in_order": True}}, "size": 5}
     with pytest.raises(ValueError, match="analysis chain"):
         dsl.search(spark, docs, body, index_dir=chain_idx_ro).collect()
+
+
+def test_highlight_surface_forms_over_chained_index(spark, chain_idx_ro):
+    """A stemmed query highlights every surface form in the hit text —
+    'tbl queries' marks 'tables', 'queries', 'tbl', 'query' (ES's plain
+    highlighter re-analyzes; we enumerate chain-verified forms)."""
+    from es_loaders_spark import dsl
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    body = {
+        "query": {"match": {"text": "tbl queries"}},
+        "highlight": {"fields": {"text": {}}},
+        "size": 10,
+    }
+    rows = dsl.search(spark, docs, body, index_dir=chain_idx_ro).collect()
+    hl = {r["doc_id"]: r["highlight_text"] for r in rows}
+    assert "<em>tbl</em>" in hl[1] and "<em>queries</em>" in hl[1]
+    assert "<em>tables</em>" in hl[1]
+    assert "<em>query</em>" in hl[4] and "<em>tables</em>" in hl[4]
+    # doc 0 matched via 'tables' only — highlighted, not NULL
+    assert hl[0] is not None and "<em>tables</em>" in hl[0]
+
+
+def test_reindex_switches_analyzer(spark, tmp_path):
+    """ES _reindex analogue: plain index → reindex with a chain —
+    deletes applied, settings inherited-then-overridden, and the new
+    index answers stemmed queries rank-identically to a fresh chained
+    build over the live set."""
+    from es_loaders_spark.build import build_index, load_stats, reindex
+    from es_loaders_spark.deletes import delete_ids
+    from es_loaders_spark.wand import evict_index, topk
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    src = str(tmp_path / "plain_idx")
+    build_index(spark, docs, src, n_shards=2)
+    # plain index: only doc 1's literal "queries" matches (no chain)
+    assert {r["doc_id"] for r in topk(spark, src, "tbl queries", k=5).collect()} == {1}
+    delete_ids(spark, src, spark.createDataFrame([(2,)], "doc_id long"))
+
+    dst = str(tmp_path / "chained_idx")
+    stats = reindex(spark, docs, src, dst, analysis=CFG)
+    assert stats["analysis"]["stemmer"] == "minimal_english"
+    assert stats["n_docs"] == 4  # tombstoned doc 2 excluded
+    got = [(r["doc_id"], r["score"]) for r in topk(spark, dst, "tbl queries", k=5).collect()]
+    # fresh chained build over the live set must agree exactly
+    ref = str(tmp_path / "ref_idx")
+    build_index(spark, docs.filter("doc_id <> 2"), ref, n_shards=2, analysis=CFG)
+    want = [(r["doc_id"], r["score"]) for r in topk(spark, ref, "tbl queries", k=5).collect()]
+    assert got == want and got
+    assert 2 not in {d for d, _ in got}
+
+    # guards: same dir, existing destination
+    with pytest.raises(ValueError, match="fresh destination"):
+        reindex(spark, docs, src, src)
+    with pytest.raises(ValueError, match="already holds"):
+        reindex(spark, docs, src, dst)
+    for d in (src, dst, ref):
+        evict_index(d)
+
+
+def test_reindex_inherits_source_settings(spark, tmp_path):
+    from es_loaders_spark.build import build_index, load_stats, reindex
+    from es_loaders_spark.wand import evict_index
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    src = str(tmp_path / "src_chain")
+    build_index(spark, docs, src, n_shards=2, analysis=CFG, positions=False)
+    dst = str(tmp_path / "dst_inherit")
+    stats = reindex(spark, docs, src, dst)  # no overrides
+    assert stats["analysis"] == load_stats(src)["analysis"]
+    assert stats["positions"] is False
+    # explicit analysis=None strips the chain
+    dst2 = str(tmp_path / "dst_plain")
+    stats2 = reindex(spark, docs, src, dst2, analysis=None)
+    assert stats2["analysis"] is None
+    for d in (src, dst, dst2):
+        evict_index(d)
