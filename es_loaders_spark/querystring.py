@@ -322,6 +322,54 @@ def parse_query_string(
     return g
 
 
+_DROP = object()  # sentinel: clause removed by the query-time stop filter
+
+
+def _chain_tree(node, chain, text_field: str):
+    """Apply an index's analysis chain to a parsed boolean tree — the
+    query-time half of a chained index's analyzer, with Lucene's
+    documented per-leaf behavior:
+
+    - ``term`` leaves on the analyzed field: synonym→stem mapped; a
+      stopword leaf's CLAUSE is removed entirely (Lucene's query-time
+      stop filter emits an empty clause, which BooleanQuery drops —
+      so ``the AND spark`` degrades to ``spark``, exactly as in ES);
+    - ``prefix`` / ``wildcard`` / ``fuzzy`` leaves pass through
+      unchanged: Lucene multi-term queries BYPASS analysis chains
+      (lowercase normalization only, already applied by the parser);
+      their expansions then run against the chained vocabulary;
+    - ``phrase`` leaves raise — stop-gap position arithmetic inside the
+      boolean engine is not implemented; ``match_phrase`` (chain-aware,
+      phrase.py) covers phrase search on chained indexes;
+    - keyword/range leaves untouched (not analyzed, as in ES).
+
+    A group whose clauses all drop is itself dropped; returns _DROP in
+    that case (callers return zero hits for an all-stopword query).
+    """
+    if isinstance(node, Group):
+        out = []
+        for cl in node.clauses:
+            new = _chain_tree(cl.node, chain, text_field)
+            if new is _DROP:
+                continue
+            out.append(Clause(cl.occur, new, cl.boost))
+        return Group(out) if out else _DROP
+    leaf = node
+    if leaf.field != text_field:
+        return leaf
+    if leaf.kind == "phrase":
+        raise ValueError(
+            "query_string phrases over an index with an analysis chain "
+            "are not supported — use match_phrase (chain-aware), or "
+            "build the index without `analysis`"
+        )
+    if leaf.kind == "term":
+        if leaf.value in chain._stop_set:
+            return _DROP
+        return Leaf("term", leaf.field, chain.map_term(leaf.value))
+    return leaf
+
+
 def _collect_leaves(node, out: list[Leaf]) -> None:
     if isinstance(node, Leaf):
         # share one column across identical leaves (a AND a)
@@ -458,6 +506,21 @@ def execute_tree(
 
     if serve not in ("auto", "index", "scan"):
         raise ValueError(f"serve must be auto|index|scan, got {serve!r}")
+    chain = None
+    if index_dir is not None:
+        from .analyze import AnalysisChain
+        from .build import load_stats
+
+        chain = AnalysisChain.from_config(
+            load_stats(index_dir).get("analysis")
+        )
+        if chain is not None:
+            # query-time half of the index's analyzer: term leaves map,
+            # stopword clauses drop, phrase leaves raise (_chain_tree)
+            tree = _chain_tree(tree, chain, text_col)
+            if tree is _DROP:
+                # every clause was a stopword — zero hits, like ES
+                return spark.createDataFrame([], "doc_id long, score double")
     leaves: list[Leaf] = []
     _collect_leaves(tree, leaves)
     if len(leaves) > MAX_LEAVES:
@@ -472,21 +535,9 @@ def execute_tree(
     deletes_dir = index_dir
     p = None
     if need_text and index_dir is not None:
-        from .analyze import AnalysisChain
-        from .build import load_stats, read_generations
+        from .build import load_stats
 
         st = load_stats(index_dir)
-        if AnalysisChain.from_config(st.get("analysis")) is not None:
-            # boolean-tree leaves (prefix/wildcard/fuzzy expansion,
-            # phrase adjacency) are not chain-mapped yet — refuse loudly
-            # rather than mix default-grammar query terms with a
-            # stemmed/stopworded index (match/match_phrase DO support
-            # chains: dsl.search routes them through wand/phrase)
-            raise ValueError(
-                "query_string over an index with an analysis chain is "
-                "not supported — query via match/match_phrase, or build "
-                "the index without `analysis`"
-            )
         if serve == "scan" or (
             serve == "auto" and int(st["n_docs"]) < INDEX_SERVE_MIN_DOCS
         ):
@@ -501,9 +552,13 @@ def execute_tree(
 
         tdf = spark.read.parquet(_os.path.join(index_dir, "terms"))
     elif need_text:
+        # the scan side of a CHAINED index analyzes with the same chain
+        # (postings/dl/vocab all chained), so crossover stays invisible
         text_side = docs.select(id_col, text_col)
-        p = postings_long(text_side, text_col=text_col, id_col=id_col)
-        dl = doc_lengths(text_side, text_col=text_col, id_col=id_col)
+        p = postings_long(text_side, text_col=text_col, id_col=id_col,
+                          chain=chain)
+        dl = doc_lengths(text_side, text_col=text_col, id_col=id_col,
+                         chain=chain)
         stats = corpus_stats(dl)
         tdf = term_df(p)
 

@@ -408,8 +408,14 @@ def test_auto_crossover_scan_side_honors_tombstones(spark, qs_index, tmp_path):
     shutil.rmtree(idx, ignore_errors=True)
 
 
-def test_querystring_refuses_chained_index(spark, qs_index, tmp_path):
+def test_querystring_over_chained_index(spark, qs_index, tmp_path):
+    """r6 second wave: term/prefix leaves work over a chained index —
+    term leaves chain-map, stopword clauses drop (Lucene query-time stop
+    filter), multi-term leaves expand against the chained vocab; the
+    index and scan sides stay rank-identical. Phrase leaves refuse."""
     import shutil
+
+    import pytest as _pytest
 
     from es_loaders_spark import dsl
     from es_loaders_spark.build import build_index
@@ -418,11 +424,35 @@ def test_querystring_refuses_chained_index(spark, qs_index, tmp_path):
     docs, _ = qs_index
     idx = str(tmp_path / "qs_chain_idx")
     build_index(spark, docs, idx, n_shards=2,
-                analysis={"stopwords": "_english_"})
-    body = {"query": {"query_string": {"query": "spark", "serve": "index"}},
-            "size": 5}
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="analysis chain"):
-        dsl.search(spark, docs, body, index_dir=idx).collect()
+                analysis={"stopwords": "_english_",
+                          "stemmer": "minimal_english"})
+
+    # stemmed term + dropped stopword clause + prefix expansion
+    q = "the AND sparks AND crawl*"
+    res = {}
+    for mode in ("index", "scan"):
+        body = {"query": {"query_string": {"query": q, "serve": mode}},
+                "size": 15}
+        res[mode] = [(r.doc_id, r.score)
+                     for r in dsl.search(spark, docs, body, index_dir=idx).collect()]
+    assert res["index"] == res["scan"] and res["index"]
+
+    # all-stopword query → zero hits, no error (clauses all dropped)
+    empty = dsl.search(
+        spark, docs,
+        {"query": {"query_string": {"query": "the AND a", "serve": "index"}},
+         "size": 5},
+        index_dir=idx,
+    ).collect()
+    assert empty == []
+
+    # phrase leaves refuse loudly over a chain
+    with _pytest.raises(ValueError, match="match_phrase"):
+        dsl.search(
+            spark, docs,
+            {"query": {"query_string": {"query": '"key order"',
+                                        "serve": "index"}}, "size": 5},
+            index_dir=idx,
+        ).collect()
     evict_index(idx)
     shutil.rmtree(idx, ignore_errors=True)
