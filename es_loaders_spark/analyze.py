@@ -115,11 +115,17 @@ def oracle_tokens_sql(doc_table: str = "documents", text_col: str = "text") -> s
     """
 
 
-def analyze_api(text: str) -> list[dict]:
+def analyze_api(text: str, chain: "AnalysisChain | None" = None) -> list[dict]:
     """ES ``_analyze`` response shape: tokens with character offsets and
-    positions, under the engine's single analyzer grammar (the same
-    regex tokenize_text uses — parity asserted in tests)."""
-    return [
+    positions, under the engine's analyzer grammar (the same regex
+    tokenize_text uses — parity asserted in tests).
+
+    With ``chain`` (the ES ``?analyzer=`` / index-settings equivalent):
+    stop tokens are OMITTED but keep their position slot (the gaps the
+    index stores), offsets stay those of the ORIGINAL surface form, and
+    the emitted token is the synonym/stem-mapped index term — exactly
+    what ES's _analyze shows for a custom analyzer."""
+    out = [
         {
             "token": m.group(0).lower(),
             "start_offset": m.start(),
@@ -128,6 +134,15 @@ def analyze_api(text: str) -> list[dict]:
         }
         for i, m in enumerate(_TOKEN_RE_PY.finditer(text))
     ]
+    if chain is None:
+        return out
+    kept = []
+    for tok in out:
+        if tok["token"] in chain._stop_set:
+            continue
+        tok["token"] = chain.map_term(tok["token"])
+        kept.append(tok)
+    return kept
 
 
 # ---------------------------------------------------------------------------

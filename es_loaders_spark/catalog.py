@@ -224,6 +224,7 @@ def index_stats(index_dir: str) -> dict:
         "avgdl": stats.get("avgdl"),
         "generations": int(stats.get("generations", 1)),
         "positions": bool(stats.get("positions", True)),
+        "analysis": stats.get("analysis"),
         "format": stats.get("format"),
         "applied_batches": list(stats.get("applied_batches", [])),
         "tables": {},

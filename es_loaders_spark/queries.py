@@ -3599,3 +3599,26 @@ def bm25_topk_stemmed_scan(spark, sf_dir):
         spark, p, dl, term_df(p), corpus_stats(dl), _CHAIN.tokens(CHAIN_QUERY),
         k=BM25_K,
     )
+
+
+from .querystring import query_string_oracle_sql as _qs_chain_sql  # noqa: E402
+
+CHAIN_QS = "the AND tbl AND batch* -windows"
+
+
+@q(
+    "dsl_query_string_stemmed",
+    _qs_chain_sql(CHAIN_QS, k=15, chain=_CHAIN),
+    extra=True,  # local gate: driver gate is at its 50-row cap
+)
+def dsl_query_string_stemmed(spark, sf_dir):
+    """query_string over a chained index (r6 second wave): 'the' clause
+    drops (query-time stop filter), 'tbl' synonym-maps to 'table',
+    'windows' stems to 'window' for the prohibit clause, 'batch*'
+    expands against the chained vocabulary. Oracle replays the same
+    tree transform + chain in SQL."""
+    from . import dsl
+
+    docs = _T(spark, sf_dir, "documents")
+    body = {"query": {"query_string": {"query": CHAIN_QS}}, "size": 15}
+    return dsl.search(spark, docs, body, index_dir=_ensure_chain_index(spark, sf_dir))

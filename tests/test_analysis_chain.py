@@ -473,3 +473,22 @@ def test_reindex_inherits_source_settings(spark, tmp_path):
     assert stats2["analysis"] is None
     for d in (src, dst, dst2):
         evict_index(d)
+
+
+def test_analyze_api_with_chain():
+    from es_loaders_spark.analyze import analyze_api
+
+    got = analyze_api("The Tables and tbl", chain=CHAIN)
+    assert got == [
+        {"token": "table", "start_offset": 4, "end_offset": 10, "position": 1},
+        {"token": "table", "start_offset": 15, "end_offset": 18, "position": 3},
+    ]
+    # chain=None keeps the default grammar untouched
+    assert [t["token"] for t in analyze_api("The Tables")] == ["the", "tables"]
+
+
+def test_index_stats_reports_analysis(spark, chain_idx_ro):
+    from es_loaders_spark.catalog import index_stats
+
+    st_ = index_stats(chain_idx_ro)
+    assert st_["analysis"]["stemmer"] == "minimal_english"

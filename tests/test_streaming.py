@@ -214,3 +214,61 @@ def test_stream_index_updates_tiered_merge_bounds_generations(spark, tmp_path):
         a = [(r["doc_id"], r["score"]) for r in topk(spark, idx_m, q, k=10).collect()]
         b = [(r["doc_id"], r["score"]) for r in topk(spark, idx_u, q, k=10).collect()]
         assert a == b
+
+
+def test_stream_ann_updates(spark, tmp_path):
+    """Vector streaming (r6): first batch builds the IVF index, later
+    batches append with the stored quantizer; probes see appends
+    immediately; a double-applied batch cannot duplicate vectors
+    (idempotent partition-pruned anti-join)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from es_loaders_spark.similarity import ann_topk, cosine_topk
+    from es_loaders_spark.streaming.pipeline import stream_ann_updates
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    src_dir = str(tmp_path / "vec_src")
+    # two "arrivals": maxFilesPerTrigger=1 → two micro-batches
+    emb.filter(F.col("vec_id") < n // 2).coalesce(1).write.parquet(
+        f"{src_dir}/a.parquet")
+    emb.filter(F.col("vec_id") >= n // 2).coalesce(1).write.parquet(
+        f"{src_dir}/b.parquet")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*")
+    )
+    idx = str(tmp_path / "vec_idx")
+    ckpt = str(tmp_path / "vec_ckpt")
+    q = stream_ann_updates(stream, idx, ckpt, kind="ivf", n_centroids=4)
+    q.awaitTermination(120)
+
+    assert spark.read.parquet(idx).count() == n  # no loss, no dup
+    qv = [float(x) for x in emb.filter("vec_id = 1").select("embedding").first()[0]]
+    got = [(r["vec_id"], r["cosine"]) for r in ann_topk(spark, idx, qv, k=5).collect()]
+    want = [(r["vec_id"], r["cosine"]) for r in cosine_topk(emb, qv, k=5).collect()]
+    assert got == want
+
+    # crash-window replay: re-appending batch b's rows must be a no-op
+    from es_loaders_spark.similarity import evict_ann_counts
+    from es_loaders_spark.streaming.pipeline import stream_ann_updates as _s
+
+    # simulate by deleting the marker and re-running the same source
+    import json, os
+    mp = os.path.join(idx, "_applied_batches.json")
+    with open(mp) as f:
+        tags = json.load(f)["batches"]
+    os.remove(mp)
+    ckpt2 = str(tmp_path / "vec_ckpt2")
+    stream2 = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*")
+    )
+    q2 = _s(stream2, idx, ckpt2, kind="ivf", n_centroids=4)
+    q2.awaitTermination(120)
+    evict_ann_counts(idx)
+    assert spark.read.parquet(idx).count() == n, "replay duplicated vectors"
