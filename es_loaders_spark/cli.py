@@ -31,6 +31,11 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--shards", type=int, default=64)
     b.add_argument("--no-resume", action="store_true")
     b.add_argument(
+        "--analysis", default=None,
+        help='analysis-chain JSON, e.g. \'{"stopwords": "_english_", '
+             '"stemmer": "minimal_english"}\' (ES custom analyzer)',
+    )
+    b.add_argument(
         "--no-positions", action="store_true",
         help="BM25-only index: skip positional payloads (phrase queries unavailable)",
     )
@@ -107,6 +112,21 @@ def main(argv: list[str] | None = None) -> None:
         help="expire all but the newest N snapshots before listing",
     )
 
+    ri = sub.add_parser(
+        "reindex",
+        help="rebuild into a fresh dir with changed settings (ES _reindex "
+             "— the way to switch an analyzer; source tombstones applied)",
+    )
+    ri.add_argument("--input", required=True, help="parquet dir of (doc_id, text)")
+    ri.add_argument("--src-index-dir", required=True)
+    ri.add_argument("--dst-index-dir", required=True)
+    ri.add_argument("--shards", type=int, default=None)
+    ri.add_argument(
+        "--analysis", default=None,
+        help="new analysis-chain JSON; omit to inherit the source's, "
+             "pass 'null' to strip it",
+    )
+
     d = sub.add_parser("demo", help="synthesize a corpus, build, query (smoke)")
     d.add_argument("--pages", type=int, default=5000)
     d.add_argument("--index-dir", default="/tmp/es_loaders_spark_demo")
@@ -155,8 +175,22 @@ def main(argv: list[str] | None = None) -> None:
             resume=not args.no_resume,
             positions=not args.no_positions,
             align_shards=args.align_shards,
+            analysis=json.loads(args.analysis) if args.analysis else None,
         )
         print(json.dumps({"built": args.index_dir, **stats}))
+    elif args.cmd == "reindex":
+        from .build import reindex
+
+        stats = reindex(
+            spark,
+            spark.read.parquet(args.input),
+            args.src_index_dir,
+            args.dst_index_dir,
+            n_shards=args.shards,
+            analysis=(... if args.analysis is None
+                      else json.loads(args.analysis)),
+        )
+        print(json.dumps({"reindexed": args.dst_index_dir, **stats}))
     elif args.cmd == "append":
         from .build import append_documents
 
