@@ -244,11 +244,18 @@ class AnalysisChain:
             for s in srcs:
                 if s and s != to:
                     pairs.append((s, to))
-        return cls(
+        chain = cls(
             stopwords=tuple(sw),
             synonyms=tuple(pairs),
             stemmer=cfg.get("stemmer"),
         )
+        if not (chain.stopwords or chain.synonyms or chain.stemmer):
+            # {"stopwords": []}-style configs are the default grammar —
+            # returning an active no-op chain would permanently trigger
+            # chain-only refusals (span/intervals, qs phrases) on an
+            # index whose analysis changes nothing (review r6)
+            return None
+        return chain
 
     def to_config(self) -> dict:
         return {

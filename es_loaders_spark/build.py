@@ -938,15 +938,14 @@ def reindex(
         )
     if os.path.exists(os.path.join(dst_dir, "stats.json")):
         raise ValueError(f"destination {dst_dir} already holds an index")
+    # projecting to (doc_id, text) also drops any precomputed dl column —
+    # it belongs to the OLD analysis and must never carry into the rebuild
     live = filter_deleted(
         spark,
         src_dir,
         docs.select(F.col(id_col).alias("doc_id"),
                     F.col(text_col).alias("text")),
     )
-    if "dl" in docs.columns:
-        # a precomputed dl belongs to the OLD analysis; never carry it
-        live = live.select("doc_id", "text")
     from .catalog import ManifestCatalog
 
     try:

@@ -202,6 +202,14 @@ def build_dedup_store(
     (written last, atomically) is the visibility point."""
     assert num_hashes % bands == 0
     os.makedirs(store_dir, exist_ok=True)
+    # rebuilding into an existing store dir: the bk table's gen/bp
+    # partitions outlive meta.json's generation count (dynamic overwrite
+    # replaces only the partitions THIS build touches), so stale gen>=1
+    # rows from the previous store would read as phantom members on the
+    # next append — clear the whole table first (review r6)
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.join(store_dir, "bk"), ignore_errors=True)
     release_dedup_caches()
     docs = df.select("doc_id", F.col(text_col).alias("text"))
     rel = _persist_tracked(

@@ -522,16 +522,20 @@ def _index_query_terms(index_dir: str | None, text: str) -> list[str]:
     return chain.tokens(text) if chain is not None else tokenize_text(text)
 
 
-def _hl_terms_for(index_dir: str | None, text: str) -> list[str]:
+def _hl_terms_for(index_dir: str | None, text: str, chain=...) -> list[str]:
     """Highlight terms for a match over a possibly-chained index. ES's
     plain highlighter re-analyzes the field text, so a stemmed query
     highlights every surface form; regex highlighting gets the same
     effect by enumerating the (chain-verified) surface forms of each
     analyzed query term — 'tables' in the query highlights 'table',
-    'tables' and synonym sources like 'tbl' in the hit text."""
+    'tables' and synonym sources like 'tbl' in the hit text.
+
+    ``chain``: pass the already-loaded chain to skip the stats.json
+    re-parse (search() loads it once per request)."""
     from .analyze import _chain_surface_forms, tokenize_text
 
-    chain = _index_chain(index_dir)
+    if chain is ...:
+        chain = _index_chain(index_dir)
     if chain is None:
         return tokenize_text(text)
     out: list[str] = []
@@ -600,6 +604,7 @@ def _multi_match_topk(
     id_col: str,
     text_col: str,
     k: int,
+    chain=None,
 ) -> DataFrame:
     """ES ``multi_match`` (type best_fields, the default): BM25 per field,
     a document's score is its BEST single-field score.
@@ -643,13 +648,21 @@ def _multi_match_topk(
         )
     per_field = []
     for fld, boost in fields:
-        p = postings_long(docs.select(id_col, fld), text_col=fld, id_col=id_col)
-        dl = doc_lengths(docs.select(id_col, fld), text_col=fld, id_col=id_col)
+        # the index's analysis chain covers ONLY the indexed column;
+        # other fields keep the default grammar (unmapped-field parity)
+        ch = chain if (chain is not None and fld == text_col) else None
+        p = postings_long(docs.select(id_col, fld), text_col=fld,
+                          id_col=id_col, chain=ch)
+        dl = doc_lengths(docs.select(id_col, fld), text_col=fld,
+                         id_col=id_col, chain=ch)
         cand = (
             p if allowed is None
             else p.join(allowed.hint("broadcast"), "doc_id", "left_semi")
         )
-        scored = bm25_topk(spark, cand, dl, term_df(p), corpus_stats(dl), text, k=k)
+        scored = bm25_topk(
+            spark, cand, dl, term_df(p), corpus_stats(dl),
+            ch.tokens(text) if ch is not None else text, k=k,
+        )
         if boost != 1.0:
             scored = scored.withColumn(
                 "score", F.round(F.col("score") * F.lit(boost), 4)
@@ -834,6 +847,8 @@ def _match_scores(
     id_col: str,
     field: str | None = None,
     rounded: bool = True,
+    chain=None,
+    chain_field: str | None = None,
 ) -> DataFrame:
     """Full (doc_id, score) relation for one ``match`` clause — every doc
     containing ≥1 query term, UN-truncated.
@@ -848,6 +863,11 @@ def _match_scores(
     the transform must run on raw sums and round once at the end, or
     constant multipliers put a systematic fraction of docs on decimal
     round-half boundaries where engines disagree (see bm25.bm25_scores).
+
+    ``chain``/``chain_field``: the index's analysis chain applies when
+    the scored field IS the indexed column — compound scorers over a
+    chained index must analyze exactly like plain match does (review
+    r6: they silently used the default grammar).
     """
     from .bm25 import bm25_scores
     from .postings import corpus_stats, doc_lengths, postings_long, term_df
@@ -858,16 +878,21 @@ def _match_scores(
         text = sub
     if isinstance(text, dict):
         text = text["query"]
-    p = postings_long(docs.select(id_col, field), text_col=field, id_col=id_col)
-    dl = doc_lengths(docs.select(id_col, field), text_col=field, id_col=id_col)
+    ch = chain if (chain is not None and field == chain_field) else None
+    p = postings_long(docs.select(id_col, field), text_col=field,
+                      id_col=id_col, chain=ch)
+    dl = doc_lengths(docs.select(id_col, field), text_col=field,
+                     id_col=id_col, chain=ch)
     cand = p
     if filters:
         allowed = docs.filter(filter_expr(filters, id_col)).select(
             F.col(id_col).alias("doc_id")
         )
         cand = p.join(allowed.hint("broadcast"), "doc_id", "left_semi")
+    q_input = ch.tokens(text) if ch is not None else text
     return bm25_scores(
-        spark, cand, dl, term_df(p), corpus_stats(dl), text, rounded=rounded
+        spark, cand, dl, term_df(p), corpus_stats(dl), q_input,
+        rounded=rounded,
     )
 
 
@@ -877,6 +902,8 @@ def _sub_scores(
     q: dict,
     filters: dict[str, Any],
     id_col: str,
+    chain=None,
+    chain_field: str | None = None,
 ) -> DataFrame:
     """Scored relation for a dis_max / function_score / boosting subquery:
     ``match`` → BM25 over the named field; ``constant_score`` → its
@@ -884,7 +911,8 @@ def _sub_scores(
     (k, sub), = q.items()
     if k == "match":
         # raw scores: the caller combines/transforms, then rounds once
-        return _match_scores(spark, docs, sub, filters, id_col, rounded=False)
+        return _match_scores(spark, docs, sub, filters, id_col, rounded=False,
+                             chain=chain, chain_field=chain_field)
     if k == "constant_score":
         boost = float(sub.get("boost", 1.0))
         merged = {"bool": {"filter": [sub["filter"]] + ([filters] if filters else [])}}
@@ -904,6 +932,8 @@ def _dis_max_topk(
     filters: dict[str, Any],
     id_col: str,
     k: int,
+    chain=None,
+    chain_field: str | None = None,
 ) -> DataFrame:
     """ES ``dis_max``: score = best subquery score + tie_breaker × (sum of
     the other matching subqueries' scores) = max + t·(sum − max).
@@ -915,7 +945,11 @@ def _dis_max_topk(
     queries = list(sub.get("queries") or [])
     if not queries:
         raise ValueError("dis_max needs a non-empty queries list")
-    scored = [_sub_scores(spark, docs, q, filters, id_col) for q in queries]
+    scored = [
+        _sub_scores(spark, docs, q, filters, id_col,
+                    chain=chain, chain_field=chain_field)
+        for q in queries
+    ]
     union = scored[0]
     for x in scored[1:]:
         union = union.unionByName(x)
@@ -941,6 +975,8 @@ def _function_score_topk(
     filters: dict[str, Any],
     id_col: str,
     k: int,
+    chain=None,
+    chain_field: str | None = None,
 ) -> DataFrame:
     """ES ``function_score`` (documented subset): base query score
     transformed per document.
@@ -958,7 +994,9 @@ def _function_score_topk(
     base_q = sub.get("query") or {"match_all": {}}
     (bk, bsub), = base_q.items()
     if bk == "match":
-        scored = _match_scores(spark, docs, bsub, filters, id_col, rounded=False)
+        scored = _match_scores(spark, docs, bsub, filters, id_col,
+                               rounded=False, chain=chain,
+                               chain_field=chain_field)
     elif bk == "match_all":
         scored = docs.filter(
             filter_expr(filters, id_col) if filters else F.lit(True)
@@ -1068,6 +1106,8 @@ def _boosting_topk(
     filters: dict[str, Any],
     id_col: str,
     k: int,
+    chain=None,
+    chain_field: str | None = None,
 ) -> DataFrame:
     """ES ``boosting``: positive-query score, multiplied by
     ``negative_boost`` for docs also matching the negative clause (a
@@ -1078,7 +1118,8 @@ def _boosting_topk(
     if pk != "match":
         raise ValueError(f"boosting positive {pk!r} not supported (match)")
     nb = float(sub.get("negative_boost", 0.5))
-    scored = _match_scores(spark, docs, psub, filters, id_col, rounded=False)
+    scored = _match_scores(spark, docs, psub, filters, id_col, rounded=False,
+                           chain=chain, chain_field=chain_field)
     neg = docs.filter(
         F.coalesce(filter_expr(sub["negative"], id_col), F.lit(False))
     ).select(F.col(id_col).alias("doc_id"), F.lit(True).alias("_neg"))
@@ -1104,6 +1145,8 @@ def _script_score_topk(
     filters: dict[str, Any],
     id_col: str,
     k: int,
+    chain=None,
+    chain_field: str | None = None,
 ) -> DataFrame:
     """ES ``script_score``: the base query's score replaced by a script
     over ``_score``, ``doc['field'].value`` and ``params.*`` references —
@@ -1117,7 +1160,9 @@ def _script_score_topk(
     base_q = sub.get("query") or {"match_all": {}}
     (bk, bsub), = base_q.items()
     if bk == "match":
-        scored = _match_scores(spark, docs, bsub, filters, id_col, rounded=False)
+        scored = _match_scores(spark, docs, bsub, filters, id_col,
+                               rounded=False, chain=chain,
+                               chain_field=chain_field)
     elif bk == "match_all":
         scored = docs.filter(
             filter_expr(filters, id_col) if filters else F.lit(True)
@@ -1660,6 +1705,11 @@ def search(
 
         from .analyze import tokenize_text as _hl_tokens
 
+        # ONE stats.json parse per search: every scoring path below that
+        # touches the analyzed column needs the index's chain (compound
+        # scorers must analyze exactly like plain match — review r6)
+        idx_chain = _index_chain(index_dir)
+
         (kind, sub), = scoring.items()
         if body.get("highlight") and kind in _COMPOUND_KINDS:
             # the highlighted terms would be ambiguous across subqueries /
@@ -1676,7 +1726,9 @@ def search(
             if body.get("collapse") is not None:
                 # no score transform — the rounded relation is the tie
                 # surface AND the output, exactly like plain match
-                scored_all = _match_scores(spark, docs, sub, filters, id_col)
+                scored_all = _match_scores(spark, docs, sub, filters, id_col,
+                                           chain=idx_chain,
+                                           chain_field=text_col)
                 # ES field collapsing: keep each collapse-key's single
                 # best hit (score desc, doc_id asc), then the global
                 # top-k over the survivors. One window over the full
@@ -1727,7 +1779,8 @@ def search(
             # (cross-engine-stable), but the combined score is computed
             # from the RAW base/rescore sums and rounded once
             raw_all = _match_scores(
-                spark, docs, sub, filters, id_col, rounded=False
+                spark, docs, sub, filters, id_col, rounded=False,
+                chain=idx_chain, chain_field=text_col,
             )
             window = (
                 raw_all.orderBy(
@@ -1737,7 +1790,8 @@ def search(
                 .withColumnRenamed("score", "_base")
             )
             resc = _match_scores(
-                spark, docs, rsub, filters, id_col, rounded=False
+                spark, docs, rsub, filters, id_col, rounded=False,
+                chain=idx_chain, chain_field=text_col,
             )
             combined = window.join(
                 resc.withColumnRenamed("score", "_resc"), "doc_id", "left"
@@ -1757,28 +1811,35 @@ def search(
             )
         if kind == "dis_max":
             return page(
-                _dis_max_topk(spark, docs, sub, filters, id_col, k=offset + size)
+                _dis_max_topk(spark, docs, sub, filters, id_col,
+                              k=offset + size,
+                              chain=idx_chain, chain_field=text_col)
             )
         if kind == "constant_score":
             return page(
-                _sub_scores(spark, docs, {kind: sub}, filters, id_col)
+                _sub_scores(spark, docs, {kind: sub}, filters, id_col,
+                            chain=idx_chain, chain_field=text_col)
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(offset + size)
             )
         if kind == "boosting":
             return page(
-                _boosting_topk(spark, docs, sub, filters, id_col, k=offset + size)
+                _boosting_topk(spark, docs, sub, filters, id_col,
+                               k=offset + size,
+                               chain=idx_chain, chain_field=text_col)
             )
         if kind == "function_score":
             return page(
                 _function_score_topk(
-                    spark, docs, sub, filters, id_col, k=offset + size
+                    spark, docs, sub, filters, id_col, k=offset + size,
+                    chain=idx_chain, chain_field=text_col,
                 )
             )
         if kind == "multi_match":
             return page(
                 _multi_match_topk(
-                    spark, docs, sub, filters, id_col, text_col, k=offset + size
+                    spark, docs, sub, filters, id_col, text_col,
+                    k=offset + size, chain=idx_chain,
                 ),
                 hl_terms=_hl_tokens(sub["query"]),
             )
@@ -1787,7 +1848,8 @@ def search(
                 raise ValueError("highlight is not supported with script_score")
             return page(
                 _script_score_topk(spark, docs, sub, filters, id_col,
-                                   k=offset + size)
+                                   k=offset + size,
+                                   chain=idx_chain, chain_field=text_col)
             )
         if kind == "rank_feature":
             return page(
@@ -1965,11 +2027,22 @@ def search(
             out = docs.join(hits, id_col, "left_semi").filter(filter_expr(filters, id_col))
             # deterministic paging: order by doc_id (ES orders phrase hits
             # by score; an unordered limit/offset would give overlapping /
-            # skipping pages across jobs)
+            # skipping pages across jobs).
+            # Highlighting: default grammar marks the literal contiguous
+            # phrase; over a CHAINED index the hit text may carry stem/
+            # synonym variants and stop-gap words the literal pattern
+            # cannot represent, so chain-verified surface forms are
+            # marked term-wise instead (ES's re-analyzing highlighter
+            # marks the same tokens).
+            if idx_chain is not None:
+                hl_terms, hl_phrase_flag = (
+                    _hl_terms_for(index_dir, text, chain=idx_chain), False)
+            else:
+                hl_terms, hl_phrase_flag = _hl_tokens(text), True
             return page(
                 out.orderBy(id_col).limit(offset + size),
-                hl_terms=_hl_tokens(text),
-                hl_phrase=True,
+                hl_terms=hl_terms,
+                hl_phrase=hl_phrase_flag,
             )
         # match → BM25 top-k (deep enough for the requested page).
         # ES scores the field NAMED in the clause; the compressed index
@@ -1989,7 +2062,7 @@ def search(
 
             return page(
                 topk(spark, index_dir, text, k=offset + size),
-                hl_terms=_hl_terms_for(index_dir, text),
+                hl_terms=_hl_terms_for(index_dir, text, chain=idx_chain),
             )
         from .analyze import tokenize_text
         from .bm25 import bm25_topk
@@ -2003,7 +2076,7 @@ def search(
         # (filters / operator=and route here even with an index): the
         # indexed column scores with the index's own chain, so the or-
         # path (wand, chain-aware) and this path rank identically.
-        chain = _index_chain(index_dir) if field == text_col else None
+        chain = idx_chain if field == text_col else None
         p = postings_long(docs.select(id_col, field), text_col=field,
                           id_col=id_col, chain=chain)
         dl = doc_lengths(docs.select(id_col, field), text_col=field,
@@ -2039,7 +2112,7 @@ def search(
                 k=offset + size,
             ),
             hl_terms=(
-                _hl_terms_for(index_dir, text)
+                _hl_terms_for(index_dir, text, chain=chain)
                 if chain is not None else _hl_tokens(text)
             ),
         )

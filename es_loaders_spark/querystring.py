@@ -507,13 +507,15 @@ def execute_tree(
     if serve not in ("auto", "index", "scan"):
         raise ValueError(f"serve must be auto|index|scan, got {serve!r}")
     chain = None
+    st = None
     if index_dir is not None:
+        # ONE stats.json parse per query (chain + crossover + corpus
+        # stats all read from it)
         from .analyze import AnalysisChain
         from .build import load_stats
 
-        chain = AnalysisChain.from_config(
-            load_stats(index_dir).get("analysis")
-        )
+        st = load_stats(index_dir)
+        chain = AnalysisChain.from_config(st.get("analysis"))
         if chain is not None:
             # query-time half of the index's analyzer: term leaves map,
             # stopword clauses drop, phrase leaves raise (_chain_tree)
@@ -535,17 +537,13 @@ def execute_tree(
     deletes_dir = index_dir
     p = None
     if need_text and index_dir is not None:
-        from .build import load_stats
-
-        st = load_stats(index_dir)
         if serve == "scan" or (
             serve == "auto" and int(st["n_docs"]) < INDEX_SERVE_MIN_DOCS
         ):
             index_dir = None  # crossover: scan side is faster down here
     if need_text and index_dir is not None:
-        from .build import load_stats, read_generations
+        from .build import read_generations
 
-        st = load_stats(index_dir)
         stats = CorpusStats(n_docs=int(st["n_docs"]), avgdl=float(st["avgdl"]))
         dl = read_generations(spark, index_dir, "doclens").select("doc_id", "dl")
         import os as _os

@@ -492,3 +492,64 @@ def test_index_stats_reports_analysis(spark, chain_idx_ro):
 
     st_ = index_stats(chain_idx_ro)
     assert st_["analysis"]["stemmer"] == "minimal_english"
+
+
+# ---------------------------------------------------------------------------
+# r6 review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_noop_config_is_no_chain():
+    """{'stopwords': []}-style configs are the default grammar — an
+    active no-op chain would permanently trigger chain-only refusals."""
+    assert AnalysisChain.from_config({"stopwords": []}) is None
+    assert AnalysisChain.from_config({"synonyms": []}) is None
+    assert AnalysisChain.from_config({"stopwords": [], "stemmer": None}) is None
+    assert AnalysisChain.from_config({"stemmer": "minimal_english"}) is not None
+
+
+def test_compound_scoring_uses_index_chain(spark, chain_idx_ro):
+    """function_score/dis_max over a chained index analyze like plain
+    match (review r6: they silently used the default grammar)."""
+    from es_loaders_spark import dsl
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plain = {r["doc_id"]: r["score"] for r in dsl.search(
+        spark, docs, {"query": {"match": {"text": "tbl queries"}}, "size": 10},
+        index_dir=chain_idx_ro).collect()}
+    assert plain  # stemmed/synonym matching works on the plain path
+
+    fs = dsl.search(
+        spark, docs,
+        {"query": {"function_score": {
+            "query": {"match": {"text": "tbl queries"}},
+            "boost_mode": "sum", "functions": []}}, "size": 10},
+        index_dir=chain_idx_ro,
+    ).collect()
+    # neutral function component (sum → +0): same docs, same scores
+    assert {r["doc_id"]: r["score"] for r in fs} == plain
+
+    dm = dsl.search(
+        spark, docs,
+        {"query": {"dis_max": {"queries": [
+            {"match": {"text": "tbl queries"}}]}}, "size": 10},
+        index_dir=chain_idx_ro,
+    ).collect()
+    assert {r["doc_id"]: r["score"] for r in dm} == plain
+
+
+def test_match_phrase_highlight_over_chain(spark, chain_idx_ro):
+    """Chain-matched phrase hits get surface-form highlights, not NULL
+    (review r6: the literal phrase pattern missed stem variants)."""
+    from es_loaders_spark import dsl
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    body = {
+        "query": {"match_phrase": {"text": "tables hold the data"}},
+        "highlight": {"fields": {"text": {}}},
+        "size": 5,
+    }
+    rows = dsl.search(spark, docs, body, index_dir=chain_idx_ro).collect()
+    assert [r["doc_id"] for r in rows] == [0]
+    hl = rows[0]["highlight_text"]
+    assert hl is not None and "<em>tables</em>" in hl and "<em>data</em>" in hl

@@ -208,3 +208,22 @@ def test_pre_r6_store_fallback(spark, corpus_parts, tmp_path_factory):
     got = _pairset(store_pairs(spark, d))
     want = _pairset(lsh_verified_pairs(old.unionByName(new), threshold=0.5))
     assert got == want
+
+
+def test_rebuild_into_existing_dir_clears_bk(spark, corpus_parts, tmp_path_factory):
+    """Rebuilding a store in the SAME directory must not leave stale bk
+    generations behind (review r6: dynamic partition overwrite only
+    replaces the partitions the new build touches)."""
+    old, new = corpus_parts
+    d = str(tmp_path_factory.mktemp("rebuild_store"))
+    build_dedup_store(spark, old, d, threshold=0.5)
+    append_dedup_store(spark, new, d)          # bk now has gen 0 and 1
+    build_dedup_store(spark, old, d, threshold=0.5)   # rebuild, gen 0 only
+    import os
+    gens = {g for g in os.listdir(os.path.join(d, "bk")) if g.startswith("gen=")}
+    assert gens == {"gen=0"}, f"stale bk generations survived: {gens}"
+    # and the rebuilt store still appends correctly
+    append_dedup_store(spark, new, d)
+    got = _pairset(store_pairs(spark, d))
+    want = _pairset(lsh_verified_pairs(old.unionByName(new), threshold=0.5))
+    assert got == want
