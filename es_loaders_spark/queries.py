@@ -3622,3 +3622,27 @@ def dsl_query_string_stemmed(spark, sf_dir):
     docs = _T(spark, sf_dir, "documents")
     body = {"query": {"query_string": {"query": CHAIN_QS}}, "size": 15}
     return dsl.search(spark, docs, body, index_dir=_ensure_chain_index(spark, sf_dir))
+
+
+CHAIN_QS_PH = '"hash the query" OR tbl'
+
+
+@q(
+    "dsl_query_string_phrase_stemmed",
+    _qs_chain_sql(CHAIN_QS_PH, k=15, chain=_CHAIN),
+    extra=True,  # local gate: driver gate is at its 50-row cap
+)
+def dsl_query_string_phrase_stemmed(spark, sf_dir):
+    """query_string PHRASE over a chained index (r6 third wave, the
+    former loud refusal): 'the' inside the quoted phrase drops but keeps
+    its position slot, so the leaf becomes [(0,hash),(2,query)] and a doc
+    needs 'query' exactly 2 positions after 'hash' — the same gap the
+    index-side stop filter left. serve="index" pins the positional-
+    postings path (auto would pick scan at this corpus size); the oracle
+    replays the gapped join + chain in SQL."""
+    from . import dsl
+
+    docs = _T(spark, sf_dir, "documents")
+    body = {"query": {"query_string": {"query": CHAIN_QS_PH,
+                                       "serve": "index"}}, "size": 15}
+    return dsl.search(spark, docs, body, index_dir=_ensure_chain_index(spark, sf_dir))

@@ -338,9 +338,14 @@ def _chain_tree(node, chain, text_field: str):
       unchanged: Lucene multi-term queries BYPASS analysis chains
       (lowercase normalization only, already applied by the parser);
       their expansions then run against the chained vocabulary;
-    - ``phrase`` leaves raise — stop-gap position arithmetic inside the
-      boolean engine is not implemented; ``match_phrase`` (chain-aware,
-      phrase.py) covers phrase search on chained indexes;
+    - ``phrase`` leaves analyze each word through the chain with
+      Lucene PhraseQuery gap semantics (``chain.tokens_pos``): stop
+      words drop but keep their position slot, survivors synonym/stem
+      map — ``"tables hold the data"`` over a stop+stem index becomes
+      [(0,'table'), (1,'hold'), (3,'data')], so a matching doc needs
+      'data' exactly 2 positions after 'hold' (the same gap the
+      index-side stop filter left in the doc's positions). An
+      all-stopword phrase drops its clause, like an all-stopword term;
     - keyword/range leaves untouched (not analyzed, as in ES).
 
     A group whose clauses all drop is itself dropped; returns _DROP in
@@ -358,16 +363,28 @@ def _chain_tree(node, chain, text_field: str):
     if leaf.field != text_field:
         return leaf
     if leaf.kind == "phrase":
-        raise ValueError(
-            "query_string phrases over an index with an analysis chain "
-            "are not supported — use match_phrase (chain-aware), or "
-            "build the index without `analysis`"
-        )
+        pairs = chain.tokens_pos(" ".join(leaf.value))
+        if not pairs:
+            return _DROP  # every phrase word was a stopword
+        return Leaf("phrase", leaf.field, tuple(pairs))
     if leaf.kind == "term":
         if leaf.value in chain._stop_set:
             return _DROP
         return Leaf("term", leaf.field, chain.map_term(leaf.value))
     return leaf
+
+
+def _phrase_pairs(value) -> list[tuple[int, str]]:
+    """Normalize a phrase leaf's value to (query_position, term) pairs.
+
+    Unchained parses store a flat word tuple (adjacent positions);
+    _chain_tree rewrites it to explicit (pos, term) pairs so stopword
+    GAPS survive into the positional joins. Execution and the SQL twin
+    only ever use position DELTAS, so a leading dropped stopword is
+    harmless."""
+    if value and isinstance(value[0], tuple):
+        return list(value)
+    return list(enumerate(value))
 
 
 def _collect_leaves(node, out: list[Leaf]) -> None:
@@ -518,7 +535,8 @@ def execute_tree(
         chain = AnalysisChain.from_config(st.get("analysis"))
         if chain is not None:
             # query-time half of the index's analyzer: term leaves map,
-            # stopword clauses drop, phrase leaves raise (_chain_tree)
+            # stopword clauses drop, phrase leaves become gapped
+            # (position, term) pairs (_chain_tree)
             tree = _chain_tree(tree, chain, text_col)
             if tree is _DROP:
                 # every clause was a stopword — zero hits, like ES
@@ -598,13 +616,18 @@ def execute_tree(
     toks = None
     for l in leaves:
         if l.kind == "phrase":
+            # (query_position, term) pairs — adjacent for plain parses,
+            # gapped when _chain_tree dropped stopword slots; both paths
+            # (and the SQL twin) join on position DELTAS between
+            # successive surviving terms, the Lucene PhraseQuery rule
+            pairs = _phrase_pairs(l.value)
+            words = [t for _, t in pairs]
             if index_dir is not None:
                 # index-served phrase tf: positional-postings adjacency
                 # intersection (phrase.py shape); the surviving array's
                 # size IS the occurrence count the scan path tallies
                 from .phrase import positional_postings
 
-                words = list(l.value)
                 pp = positional_postings(
                     spark, index_dir, sorted(set(words))
                 )
@@ -612,7 +635,10 @@ def execute_tree(
                     pp = pp.cache()
                 cur = pp.filter(F.col("term") == words[0]).select(
                     "doc_id", F.col("positions").alias("cur"))
-                for w in words[1:]:
+                prev_pos = pairs[0][0]
+                for qpos, w in pairs[1:]:
+                    delta = qpos - prev_pos
+                    prev_pos = qpos
                     nxt = pp.filter(F.col("term") == w).select(
                         "doc_id", F.col("positions").alias("nxt"))
                     cur = (
@@ -620,7 +646,7 @@ def execute_tree(
                         .select(
                             "doc_id",
                             F.array_intersect(
-                                F.transform("cur", lambda x: x + 1),
+                                F.transform("cur", lambda x: x + delta),
                                 F.col("nxt"),
                             ).alias("cur"),
                         )
@@ -630,13 +656,17 @@ def execute_tree(
                     "doc_id", F.size("cur").cast("double").alias("tf"))
             else:
                 if toks is None:
+                    # chained scan side keeps the chain's position GAPS
+                    # (tokens_df drops stop tokens after posexplode)
                     toks = tokens_df(docs.select(id_col, text_col),
-                                     text_col=text_col, id_col=id_col)
-                cur = toks.filter(F.col("term") == l.value[0]).select(
+                                     text_col=text_col, id_col=id_col,
+                                     chain=chain)
+                qpos0 = pairs[0][0]
+                cur = toks.filter(F.col("term") == words[0]).select(
                     "doc_id", F.col("pos").alias("p"))
-                for j, w in enumerate(l.value[1:], start=1):
+                for qpos, w in pairs[1:]:
                     nxt = toks.filter(F.col("term") == w).select(
-                        "doc_id", (F.col("pos") - j).alias("p"))
+                        "doc_id", (F.col("pos") - (qpos - qpos0)).alias("p"))
                     cur = cur.join(nxt, ["doc_id", "p"])
                 tf_rel = cur.groupBy("doc_id").agg(
                     F.count(F.lit(1)).cast("double").alias("tf"))
@@ -898,7 +928,7 @@ def tree_oracle_sql(
         cols += [f"tc._qs{l.id}" for l in term_leaves]
 
     if any(l.kind == "phrase" for l in leaves):
-        ctes.append(f"""pos AS (
+        raw_pos = f"""(
     SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
                           i -> {{'term': toks[i], 'pos': i - 1}}),
                           recursive := true)
@@ -906,14 +936,26 @@ def tree_oracle_sql(
                  list_filter(regexp_split_to_array(lower({text_col}),
                                                    '{SPLIT_RE_DUCKDB}'),
                              x -> x <> '') AS toks
-          FROM {doc_table}))""")
+          FROM {doc_table}))"""
+        if chain is not None:
+            # chain-aware positional tokens: positions assigned BEFORE
+            # the stop filter (gaps), survivors synonym/stem mapped —
+            # the SQL render of tokens_df(chain=...)
+            ctes.append(
+                f"pos AS (SELECT doc_id, {chain.sql_term('term')} AS term, "
+                f"pos FROM {raw_pos} WHERE {chain.sql_keep('term')})"
+            )
+        else:
+            ctes.append(f"pos AS {raw_pos}")
     for l in leaves:
         if l.kind == "phrase":
-            conds = [f"a0.term = {_sql_quote(l.value[0])}"]
+            pairs = _phrase_pairs(l.value)
+            conds = [f"a0.term = {_sql_quote(pairs[0][1])}"]
             frm = "pos a0"
-            for j, w in enumerate(l.value[1:], start=1):
+            qpos0 = pairs[0][0]
+            for j, (qpos, w) in enumerate(pairs[1:], start=1):
                 frm += (f" JOIN pos a{j} ON a{j}.doc_id = a0.doc_id "
-                        f"AND a{j}.pos = a0.pos + {j}")
+                        f"AND a{j}.pos = a0.pos + {qpos - qpos0}")
                 conds.append(f"a{j}.term = {_sql_quote(w)}")
             ctes.append(
                 f"ph{l.id}_tf AS (SELECT a0.doc_id, count(*)::DOUBLE AS tf "

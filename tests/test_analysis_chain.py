@@ -553,3 +553,76 @@ def test_match_phrase_highlight_over_chain(spark, chain_idx_ro):
     assert [r["doc_id"] for r in rows] == [0]
     hl = rows[0]["highlight_text"]
     assert hl is not None and "<em>tables</em>" in hl and "<em>data</em>" in hl
+
+
+# ---------------------------------------------------------------------------
+# r6 third wave: query_string phrases over a chained index
+# ---------------------------------------------------------------------------
+
+
+def test_query_string_phrase_over_chain_both_sides(spark, chain_idx_ro):
+    """A quoted phrase inside query_string analyzes through the index's
+    chain with stop-GAP semantics (the former loud refusal): "tables
+    hold the data" becomes [(0,table),(1,hold),(3,data)] and matches
+    doc 0 only — identically on the index-served and scan sides."""
+    from es_loaders_spark import dsl
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+
+    def run(q, serve):
+        body = {"query": {"query_string": {"query": q, "serve": serve}},
+                "size": 10}
+        return [(r["doc_id"], r["score"]) for r in dsl.search(
+            spark, docs, body, index_dir=chain_idx_ro).collect()]
+
+    q = '"tables hold the data" OR sparks'
+    served, scanned = run(q, "index"), run(q, "scan")
+    assert served == scanned and served
+    ids = [d for d, _ in served]
+    assert 0 in ids and 2 in ids  # phrase hit + 'sparks'→'spark' term hit
+    # doc 0 scores the phrase leaf, so it must beat its own term-only twin
+    # gap must be EXACT: no-gap variant loses doc 0
+    nogap = run('"tables hold data" OR sparks', "index")
+    assert 0 not in [d for d, _ in nogap]
+    assert nogap == run('"tables hold data" OR sparks', "scan")
+
+
+def test_query_string_all_stopword_phrase_drops_clause(spark, chain_idx_ro):
+    """An all-stopword phrase drops its CLAUSE (like a stopword term):
+    '"the of" OR sparks' degrades to 'sparks'; a query that was ONLY the
+    stopword phrase returns zero hits."""
+    from es_loaders_spark import dsl
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+
+    def run(q):
+        return [(r["doc_id"], r["score"]) for r in dsl.search(
+            spark, docs,
+            {"query": {"query_string": {"query": q}}, "size": 10},
+            index_dir=chain_idx_ro).collect()]
+
+    assert run('"the of" OR sparks') == run("sparks")
+    assert run('"the of"') == []
+
+
+def test_query_string_phrase_chain_oracle_parity(spark, chain_idx_ro):
+    """query_string_oracle_sql(chain=...) replays the gapped-phrase
+    compilation in DuckDB — same doc_ids AND scores as both Spark
+    sides."""
+    import pandas as pd
+
+    from es_loaders_spark import dsl
+    from es_loaders_spark.querystring import query_string_oracle_sql
+
+    q = '"tables hold the data" OR sparks OR tbl'
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = [(r["doc_id"], r["score"]) for r in dsl.search(
+        spark, docs,
+        {"query": {"query_string": {"query": q, "serve": "index"}}, "size": 10},
+        index_dir=chain_idx_ro).collect()]
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+    sql = query_string_oracle_sql(q, k=10, chain=CHAIN)
+    want = [(int(r[0]), float(r[1])) for r in con.execute(sql).fetchall()]
+    assert got == want and got

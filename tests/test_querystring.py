@@ -446,13 +446,16 @@ def test_querystring_over_chained_index(spark, qs_index, tmp_path):
     ).collect()
     assert empty == []
 
-    # phrase leaves refuse loudly over a chain
-    with _pytest.raises(ValueError, match="match_phrase"):
-        dsl.search(
+    # phrase leaves analyze through the chain (r6 third wave — this was
+    # a loud refusal); index and scan sides agree over the web corpus
+    ph = {}
+    for mode in ("index", "scan"):
+        ph[mode] = [(r.doc_id, r.score) for r in dsl.search(
             spark, docs,
-            {"query": {"query_string": {"query": '"key order"',
-                                        "serve": "index"}}, "size": 5},
+            {"query": {"query_string": {"query": '"the key order"',
+                                        "serve": mode}}, "size": 15},
             index_dir=idx,
-        ).collect()
+        ).collect()]
+    assert ph["index"] == ph["scan"]
     evict_index(idx)
     shutil.rmtree(idx, ignore_errors=True)
