@@ -1367,6 +1367,8 @@ def _proximity_docs(
     id_col: str,
     text_col: str,
     index_dir: str | None = None,
+    chain=None,
+    serve: str = "index",
 ) -> DataFrame:
     """Doc-ids where the (distinct) terms co-occur within a window —
     the shared engine for ``span_near`` and ``intervals.match``.
@@ -1378,7 +1380,11 @@ def _proximity_docs(
     Lucene's SpanNearQuery. With ``index_dir`` each join leg explodes
     the terms' POSITIONAL POSTINGS (one pushdown-pruned decode of just
     these terms' blocks — r5); otherwise each leg is a term-filtered
-    tokenization of the corpus (the scan path).
+    tokenization of the corpus (the scan path; ``serve="scan"`` forces
+    it with ``index_dir`` kept for chain + tombstone fidelity). With
+    ``chain`` the scan side tokenizes through the index's analysis
+    chain, keeping stop-GAPPED positions so slop windows agree with the
+    chained index exactly.
     """
     from .analyze import tokens_df
 
@@ -1389,7 +1395,7 @@ def _proximity_docs(
         )
     if len(terms) < 2:
         raise ValueError("span_near/intervals needs at least two terms")
-    if index_dir is not None:
+    if index_dir is not None and serve != "scan":
         from .phrase import positional_postings
 
         pp = positional_postings(spark, index_dir, sorted(set(terms))).cache()
@@ -1400,8 +1406,10 @@ def _proximity_docs(
             for i, t in enumerate(terms)
         ]
     else:
+        # chain=... keeps the index's stop-GAPPED positions on the scan
+        # side so slop windows agree with the chained index exactly
         toks = tokens_df(docs.select(id_col, text_col), text_col=text_col,
-                         id_col=id_col)
+                         id_col=id_col, chain=chain)
         legs = [
             toks.filter(F.col("term") == t).select(
                 "doc_id", F.col("pos").alias(f"p{i}")
@@ -1868,6 +1876,9 @@ def search(
             # span/interval scores are proximity-weighted and are not
             # reproduced here)
             if kind == "span_near":
+                # non-ES extension key (query_string convention): force
+                # the scan twin of an index-served proximity query
+                serve = sub.get("serve", "index")
                 terms = []
                 for cl in sub.get("clauses") or []:
                     (ck, cs), = cl.items()
@@ -1900,7 +1911,16 @@ def search(
                 m = ispec["match"]
                 from .analyze import tokenize_text as _tt
 
-                terms = _tt(m["query"])
+                serve = m.get("serve", "index")
+                _ch = _index_chain(index_dir)
+                # intervals.match analyzes its query with the search
+                # analyzer (ES parity): over a chained index the chain
+                # maps stems/synonyms and DROPS stopwords — doc-side
+                # gap counting then runs over the index's stop-GAPPED
+                # positions, so "hold the data" max_gaps=0 does NOT
+                # match its own source text (the classic Lucene
+                # stop-filter gotcha, reproduced deliberately)
+                terms = _ch.tokens(m["query"]) if _ch else _tt(m["query"])
                 slop = int(m.get("max_gaps", -1))
                 if slop < 0:
                     # ES default max_gaps=-1 = unlimited; that is a bag-of-
@@ -1910,19 +1930,19 @@ def search(
                         "matching is just match operator=and)"
                     )
                 in_order = bool(m.get("ordered", False))
-            if _index_chain(index_dir) is not None:
-                # span/interval gap arithmetic is not chain-mapped
-                # (stop-gap + synonym/stem interplay is ambiguous for
-                # slop windows) — refuse rather than silently mix
-                # default-grammar terms with a chained index
-                raise ValueError(
-                    f"{kind} over an index with an analysis chain is not "
-                    "supported — use match_phrase (chain-aware) or build "
-                    "the index without `analysis`"
-                )
+            # Over a chained index: span_term values stay VERBATIM
+            # (ES parity — span_term is a term-level query against the
+            # index vocabulary, so users pass already-stemmed terms; a
+            # surface form or stopword simply matches nothing), while
+            # intervals.match analyzed its query above. Both sides walk
+            # the index's stop-GAPPED positions, exactly Lucene's
+            # SpanNearQuery over a position-increment-preserving stop
+            # filter; the scan twin reproduces those positions via
+            # tokens_df(chain=...).
             hits = _proximity_docs(
                 spark, docs, terms, slop, in_order, id_col, text_col,
-                index_dir=index_dir,
+                index_dir=index_dir, chain=_index_chain(index_dir),
+                serve=serve,
             )
             out = docs.join(
                 hits.withColumnRenamed("doc_id", id_col), id_col, "left_semi"

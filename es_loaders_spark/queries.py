@@ -3646,3 +3646,44 @@ def dsl_query_string_phrase_stemmed(spark, sf_dir):
     body = {"query": {"query_string": {"query": CHAIN_QS_PH,
                                        "serve": "index"}}, "size": 15}
     return dsl.search(spark, docs, body, index_dir=_ensure_chain_index(spark, sf_dir))
+
+
+_CHAIN_POS_CTE = f"""rawpos AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+                            i -> {{'term': toks[i], 'pos': i - 1}}),
+                            recursive := true)
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '{SPLIT_RE_DUCKDB}'),
+                               x -> x <> '') AS toks
+            FROM documents)),
+    pos AS (SELECT doc_id, {_CHAIN.sql_term('term')} AS term, pos
+            FROM rawpos WHERE {_CHAIN.sql_keep('term')})"""
+
+
+@q(
+    "dsl_span_near_stemmed",
+    f"""WITH {_CHAIN_POS_CTE}
+    SELECT DISTINCT a.doc_id
+    FROM pos a JOIN pos b USING (doc_id)
+    WHERE a.term = 'hash' AND b.term = 'query'
+      AND a.pos < b.pos AND b.pos - a.pos - 1 <= 1
+    ORDER BY a.doc_id LIMIT 50""",
+    extra=True,  # local gate: driver gate is at its 50-row cap
+)
+def dsl_span_near_stemmed(spark, sf_dir):
+    """span_near over a chained index (r6 fourth wave, the last chain
+    refusal): span_term values are verbatim index-vocabulary terms and
+    slop windows run over the stop-GAPPED positions the index stores —
+    'hash ... query' within one gap catches the "hash the query" docs
+    whose 'the' dropped. The oracle replays the gapped self-join over
+    chain-filtered positional tokens."""
+    from . import dsl
+
+    body = {"query": {"span_near": {
+        "clauses": [{"span_term": {"text": "hash"}},
+                    {"span_term": {"text": "query"}}],
+        "slop": 1, "in_order": True}}, "size": 50}
+    out = dsl.search(spark, _T(spark, sf_dir, "documents"), body,
+                     index_dir=_ensure_chain_index(spark, sf_dir))
+    return out.select("doc_id")

@@ -386,7 +386,10 @@ def test_more_like_this_indexed_chain_seed(spark, chain_idx_ro):
     assert {r["doc_id"] for r in out} >= {1, 2}
 
 
-def test_span_near_refuses_chained_index(spark, chain_idx_ro):
+def test_span_near_over_chain_basic(spark, chain_idx_ro):
+    """span_near works over a chained index (r6 fourth wave — this was
+    a loud refusal): doc 0 stores table@1, data@4 → gap 2 fits slop=2;
+    the gapped-position suite below pins the exact arithmetic."""
     from es_loaders_spark import dsl
 
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
@@ -394,8 +397,8 @@ def test_span_near_refuses_chained_index(spark, chain_idx_ro):
         "clauses": [{"span_term": {"text": "table"}},
                     {"span_term": {"text": "data"}}],
         "slop": 2, "in_order": True}}, "size": 5}
-    with pytest.raises(ValueError, match="analysis chain"):
-        dsl.search(spark, docs, body, index_dir=chain_idx_ro).collect()
+    rows = dsl.search(spark, docs, body, index_dir=chain_idx_ro).collect()
+    assert [r["doc_id"] for r in rows] == [0]
 
 
 def test_highlight_surface_forms_over_chained_index(spark, chain_idx_ro):
@@ -626,3 +629,104 @@ def test_query_string_phrase_chain_oracle_parity(spark, chain_idx_ro):
     sql = query_string_oracle_sql(q, k=10, chain=CHAIN)
     want = [(int(r[0]), float(r[1])) for r in con.execute(sql).fetchall()]
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# r6 fourth wave: span_near / intervals over a chained index (the last
+# chain refusal — gap arithmetic now runs over stop-GAPPED positions)
+# ---------------------------------------------------------------------------
+
+
+def _span_body(terms, slop, serve, in_order=True):
+    return {"query": {"span_near": {
+        "clauses": [{"span_term": {"text": t}} for t in terms],
+        "slop": slop, "in_order": in_order, "serve": serve}}, "size": 10}
+
+
+def test_span_near_over_chain_counts_stop_gaps(spark, chain_idx_ro):
+    """span_term values are VERBATIM index-vocabulary terms (ES parity:
+    term-level, not analyzed) and slop windows run over the index's
+    stop-gapped positions: doc 0 'the tables hold the data rows' stores
+    hold@2, data@4 (gap 1 where 'the' dropped), so [hold,data] needs
+    slop>=1 — identically index-served and on the chained scan twin."""
+    from es_loaders_spark import dsl
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+
+    def run(terms, slop):
+        out = {}
+        for mode in ("index", "scan"):
+            out[mode] = [r["doc_id"] for r in dsl.search(
+                spark, docs, _span_body(terms, slop, mode),
+                index_dir=chain_idx_ro).collect()]
+        assert out["index"] == out["scan"], (terms, slop, out)
+        return out["index"]
+
+    assert run(["hold", "data"], 1) == [0]
+    assert run(["hold", "data"], 0) == []
+    # table@1 .. row@5 in doc 0: gap = 3
+    assert run(["table", "row"], 3) == [0]
+    assert run(["table", "row"], 2) == []
+    # surface form 'tables' is not in the chained vocabulary -> no hits
+    assert run(["tables", "row"], 9) == []
+
+
+def test_intervals_match_over_chain(spark, chain_idx_ro):
+    """intervals.match analyzes its query through the chain ('the'
+    drops, no extra gap REQUIREMENT from the query side) but doc-side
+    gaps count — the classic Lucene stop-filter gotcha: 'hold the data'
+    with max_gaps=0 does NOT match its own source text."""
+    from es_loaders_spark import dsl
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+
+    def run(q, max_gaps, serve):
+        body = {"query": {"intervals": {"text": {"match": {
+            "query": q, "max_gaps": max_gaps, "ordered": True,
+            "serve": serve}}}}, "size": 10}
+        return [r["doc_id"] for r in dsl.search(
+            spark, docs, body, index_dir=chain_idx_ro).collect()]
+
+    for q, gaps, want in [("hold the data", 1, [0]),
+                          ("hold the data", 0, []),
+                          ("tbl of queries", 1, [1])]:
+        got = run(q, gaps, "index")
+        assert got == want, (q, gaps, got)
+        assert got == run(q, gaps, "scan")
+
+
+def test_span_near_chain_oracle_parity(spark, chain_idx_ro):
+    """DuckDB twin: positions assigned BEFORE the stop filter (gaps),
+    survivors chain-mapped — the gapped 2-way self-join must agree with
+    both Spark sides."""
+    import pandas as pd
+
+    from es_loaders_spark import dsl
+    from es_loaders_spark.analyze import SPLIT_RE_DUCKDB
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = [r["doc_id"] for r in dsl.search(
+        spark, docs, _span_body(["table", "row"], 3, "index"),
+        index_dir=chain_idx_ro).collect()]
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+    sql = f"""
+    WITH rawpos AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+                            i -> {{'term': toks[i], 'pos': i - 1}}),
+                            recursive := true)
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '{SPLIT_RE_DUCKDB}'),
+                               x -> x <> '') AS toks
+            FROM documents)),
+    pos AS (SELECT doc_id, {CHAIN.sql_term('term')} AS term, pos
+            FROM rawpos WHERE {CHAIN.sql_keep('term')})
+    SELECT DISTINCT a.doc_id
+    FROM pos a JOIN pos b USING (doc_id)
+    WHERE a.term = 'table' AND b.term = 'row'
+      AND a.pos < b.pos AND b.pos - a.pos - 1 <= 3
+    ORDER BY a.doc_id"""
+    want = [int(r[0]) for r in con.execute(sql).fetchall()]
+    assert got == want == [0]
