@@ -556,6 +556,7 @@ def _split_scoring(query: dict | None) -> tuple[dict | None, dict]:
     (kind, body), = query.items()
     if kind in (
         "match", "match_phrase", "match_phrase_prefix", "multi_match",
+        "combined_fields",
         "match_bool_prefix", "simple_query_string", "query_string",
         "dis_max", "constant_score", "boosting", "function_score",
         "script_score", "rank_feature", "terms_set", "span_near",
@@ -570,7 +571,8 @@ def _split_scoring(query: dict | None) -> tuple[dict | None, dict]:
             (k, _), = sub.items()
             if k in (
                 "match", "match_phrase", "match_phrase_prefix",
-                "multi_match", "match_bool_prefix", "simple_query_string",
+                "multi_match", "combined_fields",
+                "match_bool_prefix", "simple_query_string",
                 "query_string", "dis_max", "constant_score", "boosting",
                 "function_score", "script_score", "rank_feature",
                 "terms_set", "span_near", "intervals",
@@ -677,6 +679,172 @@ def _multi_match_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def _combined_fields_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    sub: dict[str, Any],
+    filters: dict[str, Any],
+    id_col: str,
+    text_col: str,
+    k: int,
+    chain=None,
+) -> DataFrame:
+    """ES ``combined_fields``: BM25F — the fields are scored as ONE
+    combined field (mira-era ``cross_fields`` done right, per the ES
+    docs): per-term freq is the boost-weighted SUM of per-field freqs,
+    the document length is the boost-weighted sum of field lengths, and
+    df/N/avgdl are collection statistics of that combined field. Unlike
+    multi_match best_fields (max over independently-scored fields) a doc
+    mentioning the term in EVERY field beats one stuffing a single field.
+
+    ES constraints kept: boosts must be >= 1; all fields must share one
+    analyzer — so over a chained index the field list must be exactly
+    the chained column (mixing chained and default-grammar term spaces
+    in one combined field would be meaningless). operator=and requires
+    every query term somewhere in the combined field.
+    """
+    from .analyze import tokenize_text, tokens_df
+    from .bm25 import SCORE_DECIMALS, bm25_score_expr
+    from .postings import corpus_stats
+
+    text = sub["query"]
+    raw_fields = list(sub.get("fields") or [text_col])
+    operator = str(sub.get("operator", "or")).lower()
+    if operator not in ("or", "and"):
+        raise ValueError(f"combined_fields operator {operator!r} (or|and)")
+    if any("*" in f for f in raw_fields):
+        raise ValueError("combined_fields field wildcards not supported")
+    fields: list[tuple[str, float]] = []
+    for f in raw_fields:
+        name, _, boost = f.partition("^")
+        bv = float(boost) if boost else 1.0
+        if bv < 1.0:
+            # ES rejects per-field boosts below 1 in combined_fields
+            raise ValueError(
+                f"combined_fields boost must be >= 1 (got {f!r})"
+            )
+        fields.append((name, bv))
+    if chain is not None and any(name != text_col for name, _ in fields):
+        raise ValueError(
+            "combined_fields requires fields sharing one analyzer: over "
+            f"an index with an analysis chain only [{text_col!r}] is "
+            "combinable — use multi_match for per-field scoring"
+        )
+    terms = sorted(set(
+        chain.tokens(text) if chain is not None else tokenize_text(text)
+    ))
+    if not terms:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    # weighted per-field token relations -> ONE combined field
+    wtf_parts, wdl_parts = [], []
+    for fld, boost in fields:
+        t = tokens_df(docs.select(id_col, fld), text_col=fld, id_col=id_col,
+                      chain=chain)
+        wtf_parts.append(
+            t.groupBy("doc_id", "term")
+            .agg((F.count(F.lit(1)) * F.lit(boost)).alias("wtf"))
+        )
+        wdl_parts.append(
+            t.groupBy("doc_id")
+            .agg((F.count(F.lit(1)) * F.lit(boost)).alias("wdl"))
+        )
+    ctf = wtf_parts[0]
+    for x in wtf_parts[1:]:
+        ctf = ctf.unionByName(x)
+    ctf = ctf.groupBy("doc_id", "term").agg(F.sum("wtf").alias("tf"))
+    cdl = wdl_parts[0]
+    for x in wdl_parts[1:]:
+        cdl = cdl.unionByName(x)
+    cdl = cdl.groupBy("doc_id").agg(F.sum("wdl").alias("dl"))
+    stats = corpus_stats(cdl)
+    tdf = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    cand = ctf
+    if filters:
+        # collection statistics stay corpus-wide (ES semantics); only
+        # the scored candidate set narrows
+        allowed = docs.filter(filter_expr(filters, id_col)).select(
+            F.col(id_col).alias("doc_id")
+        )
+        cand = cand.join(allowed.hint("broadcast"), "doc_id", "left_semi")
+    scored = (
+        cand.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(tdf.join(qterms, "term")), "term")
+        .join(cdl, "doc_id")
+        .withColumn("contrib", bm25_score_expr(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"),
+            F.count_distinct("term").alias("_nm"),
+        )
+    )
+    if operator == "and":
+        scored = scored.filter(F.col("_nm") == F.lit(len(terms)))
+    return (
+        scored.drop("_nm")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def combined_fields_oracle_sql(
+    query: str,
+    fields: list[str],
+    k: int = 10,
+    operator: str = "or",
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB twin of ``_combined_fields_topk`` (default grammar): the
+    boost-weighted combined-field tf/dl/df replayed in SQL."""
+    from .analyze import SPLIT_RE_DUCKDB, tokenize_text
+    from .bm25 import B, K1, SCORE_DECIMALS
+
+    parsed = []
+    for f in fields:
+        name, _, boost = f.partition("^")
+        parsed.append((name, float(boost) if boost else 1.0))
+    terms = sorted(set(tokenize_text(query)))
+    terms_values = ", ".join(f"('{t}')" for t in terms)
+    tok = """(SELECT doc_id, t AS term
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(lower({col}), '{re}')) AS t
+              FROM {tbl}) WHERE t <> '')"""
+    wtf = " UNION ALL ".join(
+        f"SELECT doc_id, term, count(*)::DOUBLE * {boost} AS wtf FROM "
+        + tok.format(col=name, re=SPLIT_RE_DUCKDB, tbl=doc_table)
+        + " GROUP BY doc_id, term"
+        for name, boost in parsed
+    )
+    wdl = " UNION ALL ".join(
+        f"SELECT doc_id, count(*)::DOUBLE * {boost} AS wdl FROM "
+        + tok.format(col=name, re=SPLIT_RE_DUCKDB, tbl=doc_table)
+        + " GROUP BY doc_id"
+        for name, boost in parsed
+    )
+    having = (
+        f"HAVING count(DISTINCT c.term) = {len(terms)}"
+        if operator == "and" else ""
+    )
+    return f"""
+WITH ctf AS (SELECT doc_id, term, sum(wtf) AS tf FROM ({wtf}) GROUP BY 1, 2),
+cdl AS (SELECT doc_id, sum(wdl) AS dl FROM ({wdl}) GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM cdl),
+tdf AS (SELECT term, count(*)::DOUBLE AS df FROM ctf GROUP BY 1),
+qterms(term) AS (VALUES {terms_values}),
+scored AS (
+    SELECT c.doc_id,
+           sum(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+               * c.tf * ({K1} + 1)
+               / (c.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))) AS score
+    FROM ctf c JOIN qterms q USING (term) JOIN tdf f USING (term)
+    JOIN cdl d USING (doc_id) CROSS JOIN stats s
+    GROUP BY c.doc_id {having})
+SELECT doc_id, round(score, {SCORE_DECIMALS}) AS score
+FROM scored
+ORDER BY round(score, {SCORE_DECIMALS}) DESC, doc_id ASC
+LIMIT {k}"""
 
 
 def _parse_sqs(q: str) -> dict[str, list]:
@@ -1846,6 +2014,14 @@ def search(
         if kind == "multi_match":
             return page(
                 _multi_match_topk(
+                    spark, docs, sub, filters, id_col, text_col,
+                    k=offset + size, chain=idx_chain,
+                ),
+                hl_terms=_hl_tokens(sub["query"]),
+            )
+        if kind == "combined_fields":
+            return page(
+                _combined_fields_topk(
                     spark, docs, sub, filters, id_col, text_col,
                     k=offset + size, chain=idx_chain,
                 ),

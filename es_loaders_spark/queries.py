@@ -3687,3 +3687,26 @@ def dsl_span_near_stemmed(spark, sf_dir):
     out = dsl.search(spark, _T(spark, sf_dir, "documents"), body,
                      index_dir=_ensure_chain_index(spark, sf_dir))
     return out.select("doc_id")
+
+
+from .dsl import combined_fields_oracle_sql as _cf_sql  # noqa: E402
+
+
+@q(
+    "dsl_combined_fields",
+    _cf_sql("query src1 hash", ["text", "source^2"], k=15),
+    extra=True,  # local gate: driver gate is at its 50-row cap
+)
+def dsl_combined_fields(spark, sf_dir):
+    """ES ``combined_fields`` (dsl._combined_fields_topk): BM25F over
+    text + source^2 — ONE combined field whose term freqs and length are
+    the boost-weighted sums, with collection stats of the combination,
+    so a doc matching across BOTH fields outranks single-field stuffing
+    (the multi_match best_fields contrast). The oracle replays the
+    weighted unions in SQL."""
+    from . import dsl
+
+    body = {"query": {"combined_fields": {
+        "query": "query src1 hash", "fields": ["text", "source^2"]}},
+        "size": 15}
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
