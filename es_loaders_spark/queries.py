@@ -3710,3 +3710,29 @@ def dsl_combined_fields(spark, sf_dir):
         "query": "query src1 hash", "fields": ["text", "source^2"]}},
         "size": 15}
     return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
+# --- r6 late rotation: give this round's new operators driver-gate rows ---
+# (the gate caps at 50; retired twins keep their DuckDB oracles in the
+# local pytest mini-driver, and all three outgoing rows are r05 driver-
+# green family twins of rows still in the gate)
+_RETIRED_R6B = [
+    "dsl_dis_max",        # r05 green; compound family keeps boosting/
+                          # constant_score/function_score_weights rows
+    "dsl_string_stats",   # r05 green; stats family keeps extended_stats
+    "dsl_more_like_this", # r05 green; index-served MLT parity stays
+                          # pytest-gated
+]
+_PROMOTED_R6B = [
+    "dsl_query_string_phrase_stemmed",  # chained phrase stop-gaps
+    "dsl_span_near_stemmed",            # chained span gap arithmetic
+    "dsl_combined_fields",              # BM25F
+]
+for _n in _RETIRED_R6B:
+    EXTRA_QUERIES[_n] = QUERIES.pop(_n)
+    if _n in ORACLES:
+        EXTRA_ORACLES[_n] = ORACLES.pop(_n)
+for _n in _PROMOTED_R6B:
+    QUERIES[_n] = EXTRA_QUERIES.pop(_n)
+    if _n in EXTRA_ORACLES:
+        ORACLES[_n] = EXTRA_ORACLES.pop(_n)
