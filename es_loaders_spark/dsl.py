@@ -1689,6 +1689,22 @@ def search(
         # script parser, so the derived expression stays inside
         # whole-stage codegen (never a Python UDF).
         docs = _apply_runtime_mappings(docs, body["runtime_mappings"])
+    if body.get("post_filter") is not None:
+        # ES post_filter: restricts HITS without touching aggs or scores.
+        # Aggs bodies here are size:0 (no hits), so a post_filter there
+        # would silently do nothing — refuse. For hit-returning queries
+        # it merges into filter context below: identical hits AND scores
+        # (filter context never shifts BM25 stats — corpus stats stay
+        # unfiltered), and no aggs exist in that path to diverge.
+        if "aggs" in body:
+            raise ValueError(
+                "post_filter with a size:0 aggs body has no effect (aggs "
+                "ignore post_filter and no hits are returned) — put the "
+                "condition in the query's bool.filter instead"
+            )
+        if "knn" in body or body.get("pit") is not None:
+            raise ValueError("post_filter is not supported with knn/pit "
+                             "search (knn takes a pre-filter)")
     if "knn" in body:
         # ES knn search section. With `ann_index_dir`: approximate
         # serving from a built ANN index (similarity.ann_topk — IVF or
@@ -1733,9 +1749,15 @@ def search(
         vec = F.transform(F.col(vec_field), lambda x: x.cast("double"))
         sim = _dot(vec, q) / (_norm(vec) * _norm(q))
         score = (F.lit(1.0) + sim) / F.lit(2.0)
+        scored = base.select(F.col(id_col), F.round(score, 4).alias("score"))
+        if body.get("min_score") is not None:
+            # applied BEFORE the limit, so the page backfills with the
+            # next above-threshold hits exactly as ES does
+            scored = scored.filter(
+                F.col("score") >= F.lit(float(body["min_score"]))
+            )
         return (
-            base.select(F.col(id_col), F.round(score, 4).alias("score"))
-            .orderBy(F.desc("score"), F.asc(id_col))
+            scored.orderBy(F.desc("score"), F.asc(id_col))
             .limit(k)
         )
     if body.get("pit") is not None:
@@ -1821,8 +1843,23 @@ def search(
         )
 
     scoring, filters = _split_scoring(body.get("query"))
+    if body.get("post_filter") is not None:
+        # merge into filter context (see the guard above for why this is
+        # hit- and score-identical to ES's post-scoring filter here)
+        pf = body["post_filter"]
+        both = [qy for qy in (filters, pf) if qy]
+        filters = both[0] if len(both) == 1 else {"bool": {"filter": both}}
     size = int(body.get("size", 10))
     if scoring is not None:
+        if body.get("track_total_hits"):
+            # a scoring top-k never enumerates the full match set; ES
+            # itself makes exact totals an opt-in extra cost. Use a
+            # filter-context query (exact total attached per row) or
+            # dsl.count() (index-served) for the number.
+            raise ValueError(
+                "track_total_hits is supported for filter-context queries "
+                "— for a scoring query run dsl.count() for the exact total"
+            )
         if body.get("sort") or body.get("search_after") is not None:
             # ES would sort ALL matching docs by the sort key (relevance
             # discarded); that is a filter query here, not a top-k — fail
@@ -1839,6 +1876,21 @@ def search(
             hl_terms: list[str] | None = None,
             hl_phrase: bool = False,
         ) -> DataFrame:
+            if body.get("min_score") is not None:
+                # every relation reaching page() is a score-desc-ordered
+                # prefix (top offset+size); score ≥ m selects a PREFIX of
+                # that ordering, so filtering after the branch's
+                # truncation equals ES's filter-then-paginate for the
+                # requested page. Compared on the rounded tie surface the
+                # branches already emit (cross-engine-stable).
+                if "score" not in scored.columns:
+                    raise ValueError(
+                        "min_score needs a scored query — this clause "
+                        "pages by doc_id without scores"
+                    )
+                scored = scored.filter(
+                    F.col("score") >= F.lit(float(body["min_score"]))
+                )
             out = scored.offset(offset) if offset else scored
             hl = body.get("highlight") or {}
             hl_fields = list((hl.get("fields") or {}).keys()) if hl_terms else []
@@ -2341,6 +2393,24 @@ def search(
                 _nested_elem_pred(nb["path"], nb["query"], id_col),
             ),
         )
+    if body.get("min_score") is not None:
+        # ES filter context scores every hit a constant — min_score over
+        # constants either keeps everything or nothing; almost certainly
+        # a mis-written request
+        raise ValueError(
+            "min_score needs a scoring query (filter-context hits carry "
+            "no scores)"
+        )
+    if body.get("track_total_hits"):
+        # ES hits.total, as a column on every returned row: the count of
+        # ALL query matches, computed BEFORE search_after/from/size so
+        # every page of one query reports the same total. A 1-row
+        # broadcast join, not a window over a single partition — the
+        # per-row attach stays embarrassingly parallel at any corpus
+        # size. ES's integer form (a lower-bound cap) is deliberately
+        # not supported: any truthy value tracks exactly.
+        total = out.agg(F.count(F.lit(1)).alias("total_hits"))
+        out = out.crossJoin(total.hint("broadcast"))
     sort_cols = []
     for s in _as_list(body.get("sort")):
         (field, spec), = s.items() if isinstance(s, dict) else ((s, "asc"),)
@@ -2481,10 +2551,11 @@ def count(
 # stream to one row.
 _PARENT_PIPELINES = (
     "derivative", "cumulative_sum", "serial_diff", "moving_fn",
-    "bucket_script", "bucket_selector", "bucket_sort",
+    "bucket_script", "bucket_selector", "bucket_sort", "normalize",
 )
 _SIBLING_PIPELINES = (
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
+    "percentiles_bucket",
 )
 
 
@@ -2680,6 +2751,49 @@ def _apply_pipelines(
         elif kind == "bucket_script":
             cols = {nm: resolve(path, b) for nm, path in p["buckets_path"].items()}
             b = b.withColumn(name, _compile_script(p["script"], cols))
+        elif kind == "normalize":
+            # ES normalize pipeline: rescale a sibling metric across ALL
+            # buckets of this level. The window frame is the whole
+            # enclosing partition (unordered — every method needs the
+            # full bucket set); bucket frames are already reduced, so the
+            # per-partition row count is the bucket count, not the doc
+            # count. z-score uses population σ (ES's single-pass form).
+            col = resolve(p["buckets_path"], b)
+            wall = (
+                Window.partitionBy(*partition_cols)
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+            )
+            method = str(p["method"])
+            if method == "percent_of_sum":
+                expr = col / F.sum(col).over(wall)
+            elif method == "rescale_0_1":
+                expr = (col - F.min(col).over(wall)) / (
+                    F.max(col).over(wall) - F.min(col).over(wall)
+                )
+            elif method == "rescale_0_100":
+                expr = F.lit(100.0) * (col - F.min(col).over(wall)) / (
+                    F.max(col).over(wall) - F.min(col).over(wall)
+                )
+            elif method == "mean":
+                expr = (col - F.avg(col).over(wall)) / (
+                    F.max(col).over(wall) - F.min(col).over(wall)
+                )
+            elif method == "z-score":
+                expr = (col - F.avg(col).over(wall)) / F.stddev_pop(col).over(
+                    wall
+                )
+            elif method == "softmax":
+                # max-shifted (softmax is shift-invariant): e^x overflows
+                # a double past x≈709, which real bucket sums exceed
+                sh = col - F.max(col).over(wall)
+                expr = F.exp(sh) / F.sum(F.exp(sh)).over(wall)
+            else:
+                raise ValueError(
+                    f"normalize method {method!r} (use percent_of_sum / "
+                    "rescale_0_1 / rescale_0_100 / mean / z-score / softmax)"
+                )
+            b = b.withColumn(name, expr)
         elif kind == "bucket_selector":
             cols = {nm: resolve(path, b) for nm, path in p["buckets_path"].items()}
             b = b.filter(
@@ -2903,6 +3017,123 @@ def _aggs(
                 )
                 for q in percents
             ]
+        if "matrix_stats" in spec:
+            # ES matrix_stats: per-field moments + the pairwise
+            # covariance/correlation matrix over numeric fields, skipping
+            # any document missing ONE of the fields (ES's row-wise
+            # completeness rule — reproduced by null-masking every input
+            # on the conjunction, so sibling aggs over the same pass are
+            # unaffected). variance/covariance are SAMPLE (n-1), ES's
+            # normalization; skewness/kurtosis are the population
+            # central-moment forms m3/m2^1.5 and m4/m2² (kurtosis
+            # NON-excess, as ES reports), computed from raw power sums so
+            # the DuckDB twin can run the identical arithmetic (Spark's
+            # builtin skewness/kurtosis and DuckDB's disagree on
+            # sample-bias correction).
+            fields = list(spec["matrix_stats"]["fields"])
+            if len(fields) < 2:
+                raise ValueError("matrix_stats needs >= 2 fields")
+            p = f"{name}_" if multi else ""
+            valid = F.lit(True)
+            for f in fields:
+                valid = valid & F.col(f).isNotNull()
+            masked = {f: F.when(valid, F.col(f).cast("double"))
+                      for f in fields}
+            exprs = []
+            for f in fields:
+                c = masked[f]
+                m1 = F.avg(c)
+                m2 = F.avg(c * c)
+                m3 = F.avg(c * c * c)
+                m4 = F.avg(c * c * c * c)
+                m2c = m2 - m1 * m1
+                m3c = m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1
+                m4c = (
+                    m4 - F.lit(4.0) * m1 * m3
+                    + F.lit(6.0) * m1 * m1 * m2
+                    - F.lit(3.0) * m1 * m1 * m1 * m1
+                )
+                exprs += [
+                    F.count(c).alias(f"{p}{f}_count"),
+                    m1.alias(f"{p}{f}_mean"),
+                    F.var_samp(c).alias(f"{p}{f}_variance"),
+                    (m3c / F.pow(m2c, F.lit(1.5))).alias(f"{p}{f}_skewness"),
+                    (m4c / (m2c * m2c)).alias(f"{p}{f}_kurtosis"),
+                ]
+            for i, fi in enumerate(fields):
+                for fj in fields[i + 1:]:
+                    exprs += [
+                        F.covar_samp(masked[fi], masked[fj]).alias(
+                            f"{p}{fi}_{fj}_covariance"
+                        ),
+                        F.corr(masked[fi], masked[fj]).alias(
+                            f"{p}{fi}_{fj}_correlation"
+                        ),
+                    ]
+            return exprs
+        if "t_test" in spec:
+            # ES t_test: two-sample Student's t between populations a and
+            # b ({"field", optional "filter"}), type heteroscedastic
+            # (Welch, the ES default) / homoscedastic (pooled) / paired.
+            # DELIBERATE DEVIATION: ES returns the two-sided p-value; the
+            # t→p conversion is an incomplete-beta special function that
+            # neither Spark SQL nor the DuckDB oracle can express, so the
+            # engine returns the t STATISTIC and the degrees of freedom
+            # (Welch–Satterthwaite for heteroscedastic) — the exact
+            # inputs of that textbook conversion. One pass: populations
+            # are null-masked columns over the same scan, never two jobs.
+            tt = spec["t_test"]
+            ttype = str(tt.get("type", "heteroscedastic")).lower()
+            p = f"{name}_" if multi else ""
+
+            def _pop(side: dict) -> Column:
+                c = F.col(side["field"]).cast("double")
+                if side.get("filter"):
+                    c = F.when(
+                        F.coalesce(
+                            filter_expr(side["filter"], id_col), F.lit(False)
+                        ),
+                        c,
+                    )
+                return c
+            ca, cb = _pop(tt["a"]), _pop(tt["b"])
+            if ttype == "paired":
+                if tt["a"].get("filter") or tt["b"].get("filter"):
+                    raise ValueError(
+                        "paired t_test compares two fields of the SAME "
+                        "rows — filters would unpair them (ES rejects "
+                        "this too)"
+                    )
+                d = F.when(
+                    F.col(tt["a"]["field"]).isNotNull()
+                    & F.col(tt["b"]["field"]).isNotNull(),
+                    ca - cb,
+                )
+                n = F.count(d)
+                t = F.avg(d) / (F.stddev_samp(d) / F.sqrt(n))
+                return [t.alias(f"{p}t"), (n - F.lit(1)).alias(f"{p}df")]
+            na, nb = F.count(ca).cast("double"), F.count(cb).cast("double")
+            ma, mb = F.avg(ca), F.avg(cb)
+            va, vb = F.var_samp(ca), F.var_samp(cb)
+            if ttype == "homoscedastic":
+                sp2 = ((na - F.lit(1.0)) * va + (nb - F.lit(1.0)) * vb) / (
+                    na + nb - F.lit(2.0)
+                )
+                t = (ma - mb) / F.sqrt(sp2 * (F.lit(1.0) / na + F.lit(1.0) / nb))
+                return [t.alias(f"{p}t"), (na + nb - F.lit(2.0)).alias(f"{p}df")]
+            if ttype != "heteroscedastic":
+                raise ValueError(
+                    f"t_test type {ttype!r} (use heteroscedastic / "
+                    "homoscedastic / paired)"
+                )
+            sea, seb = va / na, vb / nb
+            t = (ma - mb) / F.sqrt(sea + seb)
+            df = (
+                (sea + seb) * (sea + seb)
+                / (sea * sea / (na - F.lit(1.0))
+                   + seb * seb / (nb - F.lit(1.0)))
+            )
+            return [t.alias(f"{p}t"), df.alias(f"{p}df")]
         return None
 
     # parent pipeline aggs (derivative/cumulative_sum/…): siblings of the
@@ -3001,6 +3232,23 @@ def _aggs(
                     F.min(col).alias(f"{n}_min"), F.max(col).alias(f"{n}_max"),
                     F.avg(col).alias(f"{n}_avg"), F.sum(col).alias(f"{n}_sum"),
                     F.count(col).alias(f"{n}_count"),
+                ]
+            elif kind == "percentiles_bucket":
+                # ES percentiles_bucket over the sibling bucket metric
+                # stream. DEVIATION (documented, policy-consistent with
+                # the percentiles leaf): linear interpolation
+                # (Spark `percentile` == DuckDB `quantile_cont`), where
+                # ES picks the nearest bucket value without
+                # interpolating; identical whenever (p/100)·(n-1) lands
+                # on an integer rank.
+                percents = s[kind].get(
+                    "percents", [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0]
+                )
+                exprs += [
+                    F.percentile(col, F.lit(float(qq) / 100.0)).alias(
+                        f"{n}_p{f'{qq:g}'.replace('.', '_')}"
+                    )
+                    for qq in percents
                 ]
             else:
                 fn = {
@@ -4078,8 +4326,33 @@ def scroll(
     collected. The sort is made total by appending ``id_col`` asc when
     absent, so pages tile exactly (a non-total sort would skip/duplicate
     rows across pages). Scoring queries are rejected, as in search().
+
+    ``slice: {"id": i, "max": m}`` — ES sliced scroll: m clients each
+    iterate a DISJOINT 1/m of the hits in parallel (the bulk-export
+    scale path: one slice per worker, m independent pushed-down
+    predicates, no coordination). ES slices on a hash of ``_id``; here
+    the portable md5 hash (dedup.portable_hash60) so the partition is
+    reproducible cross-engine — the DuckDB twin of slice i of m is
+    ``CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+    AS BIGINT) % m = i``. Slices are a partition of the id space:
+    disjoint, and their union is exactly the unsliced hit set
+    (pytest-gated).
     """
     body = dict(body)
+    sl = body.pop("slice", None)
+    if sl is not None:
+        m, i = int(sl["max"]), int(sl["id"])
+        if not (m >= 2 and 0 <= i < m):
+            raise ValueError(
+                f"slice needs 0 <= id < max with max >= 2; got id={i} "
+                f"max={m}"
+            )
+        from .dedup import portable_hash60
+
+        docs = docs.filter(
+            portable_hash60(F.col(id_col).cast("string")) % F.lit(m)
+            == F.lit(i)
+        )
     sort = _as_list(body.get("sort"))
     keys = [
         (s if isinstance(s, str) else next(iter(s)))

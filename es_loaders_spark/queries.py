@@ -3712,6 +3712,272 @@ def dsl_combined_fields(spark, sf_dir):
     return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
 
 
+# ---------------------------------------------------------------------------
+# r6c — matrix_stats / t_test / percentiles_bucket / normalize aggs,
+# post_filter / min_score / track_total_hits search-body features,
+# sliced export. All extra=True (local oracle gate; rotation candidates
+# for the next driver-gate window).
+# ---------------------------------------------------------------------------
+
+@q(
+    "dsl_matrix_stats",
+    """WITH s AS (
+         SELECT CASE WHEN value IS NOT NULL AND user_id IS NOT NULL
+                     THEN CAST(value AS DOUBLE) END AS v,
+                CASE WHEN value IS NOT NULL AND user_id IS NOT NULL
+                     THEN CAST(user_id AS DOUBLE) END AS u
+         FROM events)
+       SELECT count(v) AS value_count,
+              round(avg(v), 4) AS value_mean,
+              round(var_samp(v), 4) AS value_variance,
+              round((avg(v*v*v) - 3*avg(v)*avg(v*v) + 2*power(avg(v), 3))
+                    / power(avg(v*v) - avg(v)*avg(v), 1.5), 4)
+                AS value_skewness,
+              round((avg(v*v*v*v) - 4*avg(v)*avg(v*v*v)
+                     + 6*avg(v)*avg(v)*avg(v*v) - 3*power(avg(v), 4))
+                    / power(avg(v*v) - avg(v)*avg(v), 2), 4)
+                AS value_kurtosis,
+              count(u) AS user_id_count,
+              round(avg(u), 4) AS user_id_mean,
+              round(var_samp(u), 4) AS user_id_variance,
+              round((avg(u*u*u) - 3*avg(u)*avg(u*u) + 2*power(avg(u), 3))
+                    / power(avg(u*u) - avg(u)*avg(u), 1.5), 4)
+                AS user_id_skewness,
+              round((avg(u*u*u*u) - 4*avg(u)*avg(u*u*u)
+                     + 6*avg(u)*avg(u)*avg(u*u) - 3*power(avg(u), 4))
+                    / power(avg(u*u) - avg(u)*avg(u), 2), 4)
+                AS user_id_kurtosis,
+              round(covar_samp(v, u), 4) AS value_user_id_covariance,
+              round(corr(v, u), 4) AS value_user_id_correlation
+       FROM s""",
+    extra=True,
+)
+def dsl_matrix_stats(spark, sf_dir):
+    """ES ``matrix_stats`` agg (dsl.py leaf): per-field moments + the
+    pairwise covariance/correlation matrix in ONE pass, rows missing any
+    field dropped (ES's completeness rule). Sample (n-1) variance /
+    covariance; skewness and kurtosis (non-excess) from raw power sums —
+    the identical arithmetic the oracle runs, since Spark's and DuckDB's
+    builtin skewness/kurtosis disagree on bias correction."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "aggs": {"m": {"matrix_stats": {"fields": ["value", "user_id"]}}},
+    }
+    out = dsl.search(spark, _T(spark, sf_dir, "events"), body,
+                     id_col="event_id")
+    return out.select(*[
+        F.col(c) if c.endswith("_count") else F.round(c, 4).alias(c)
+        for c in out.columns
+    ])
+
+
+@q(
+    "dsl_t_test",
+    """WITH s AS (
+         SELECT CASE WHEN event_type = 'click' THEN value END AS a,
+                CASE WHEN event_type = 'view' THEN value END AS b
+         FROM events),
+       g AS (
+         SELECT count(a)::DOUBLE AS na, count(b)::DOUBLE AS nb,
+                avg(a) AS ma, avg(b) AS mb,
+                var_samp(a) AS va, var_samp(b) AS vb
+         FROM s)
+       SELECT round((ma - mb) / sqrt(va/na + vb/nb), 4) AS t,
+              round(power(va/na + vb/nb, 2)
+                    / (power(va/na, 2) / (na - 1)
+                       + power(vb/nb, 2) / (nb - 1)), 4) AS df
+       FROM g""",
+    extra=True,
+)
+def dsl_t_test(spark, sf_dir):
+    """ES ``t_test`` agg (dsl.py leaf), Welch/heteroscedastic (the ES
+    default): click-vs-view event values as null-masked populations over
+    ONE scan. Documented deviation: returns the t statistic +
+    Welch–Satterthwaite df instead of ES's p-value (the t→p incomplete
+    beta isn't expressible in either engine's SQL)."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "aggs": {"tt": {"t_test": {
+            "a": {"field": "value",
+                  "filter": {"term": {"event_type": "click"}}},
+            "b": {"field": "value",
+                  "filter": {"term": {"event_type": "view"}}},
+            "type": "heteroscedastic",
+        }}},
+    }
+    out = dsl.search(spark, _T(spark, sf_dir, "events"), body,
+                     id_col="event_id")
+    return out.select(F.round("t", 4).alias("t"), F.round("df", 4).alias("df"))
+
+
+@q(
+    "dsl_percentiles_bucket",
+    """WITH b AS (
+         SELECT CAST(floor(value / 100) * 100 AS BIGINT) AS h_key,
+                sum(value) AS s
+         FROM events GROUP BY 1)
+       SELECT round(quantile_cont(s, 0.25), 4) AS pb_p25,
+              round(quantile_cont(s, 0.50), 4) AS pb_p50,
+              round(quantile_cont(s, 0.75), 4) AS pb_p75
+       FROM b""",
+    extra=True,
+)
+def dsl_percentiles_bucket(spark, sf_dir):
+    """ES ``percentiles_bucket`` sibling pipeline (dsl.py): percentiles
+    of a metric across the sibling histogram's bucket stream — linear
+    interpolation (Spark `percentile` ≡ DuckDB `quantile_cont`;
+    documented deviation from ES's nearest-bucket pick, consistent with
+    the engine's exact-percentiles policy)."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "aggs": {
+            "h": {"histogram": {"field": "value", "interval": 100},
+                  "aggs": {"s": {"sum": {"field": "value"}}}},
+            "pb": {"percentiles_bucket": {"buckets_path": "h>s",
+                                          "percents": [25, 50, 75]}},
+        },
+    }
+    out = dsl.search(spark, _T(spark, sf_dir, "events"), body,
+                     id_col="event_id")
+    return out.select(*[F.round(c, 4).alias(c) for c in out.columns])
+
+
+@q(
+    "dsl_normalize",
+    """WITH b AS (
+         SELECT CAST(floor(value / 100) * 100 AS BIGINT) AS h_key,
+                sum(value) AS value, count(*) AS doc_count
+         FROM events GROUP BY 1)
+       SELECT h_key, round(value, 4) AS value, doc_count,
+              round(value / sum(value) OVER (), 4) AS pct
+       FROM b""",
+    extra=True,
+)
+def dsl_normalize(spark, sf_dir):
+    """ES ``normalize`` pipeline agg (dsl.py): percent_of_sum of a
+    sibling metric across ALL buckets of the level — a window over the
+    already-reduced bucket frame (bucket-count rows, never doc rows)."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "aggs": {"h": {
+            "histogram": {"field": "value", "interval": 100},
+            "aggs": {
+                "s": {"sum": {"field": "value"}},
+                "pct": {"normalize": {"buckets_path": "s",
+                                      "method": "percent_of_sum"}},
+            },
+        }},
+    }
+    out = dsl.search(spark, _T(spark, sf_dir, "events"), body,
+                     id_col="event_id")
+    return out.select(
+        "h_key", F.round("value", 4).alias("value"), "doc_count",
+        F.round("pct", 4).alias("pct"),
+    )
+
+
+@q(
+    "sliced_scan",
+    "SELECT doc_id, n_chars FROM documents "
+    "WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 4 = 1",
+    extra=True,
+)
+def sliced_scan(spark, sf_dir):
+    """ES sliced scroll's partition predicate (dsl.scroll slice=):
+    slice 1 of 4 over the id space via the portable md5 hash
+    (dedup.portable_hash60) — one of 4 disjoint pushed-down predicates
+    that tile the corpus for parallel bulk export, reproduced exactly by
+    the DuckDB twin."""
+    from .dedup import portable_hash60
+
+    docs = _T(spark, sf_dir, "documents")
+    return docs.filter(
+        portable_hash60(F.col("doc_id").cast("string")) % F.lit(4) == F.lit(1)
+    ).select("doc_id", "n_chars")
+
+
+@q(
+    "dsl_track_total_hits",
+    """SELECT doc_id, lang, n_chars,
+              (SELECT count(*) FROM documents WHERE n_chars >= 300)
+                AS total_hits
+       FROM documents WHERE n_chars >= 300
+       ORDER BY doc_id LIMIT 20""",
+    extra=True,
+)
+def dsl_track_total_hits(spark, sf_dir):
+    """ES ``track_total_hits``: the exact pre-pagination match count
+    attached to every hit of a filter-context page (dsl.search) — a
+    1-row broadcast join, never a single-partition window."""
+    from . import dsl
+
+    body = {
+        "query": {"range": {"n_chars": {"gte": 300}}},
+        "track_total_hits": True,
+        "sort": [{"doc_id": "asc"}],
+        "size": 20,
+        "_source": ["doc_id", "lang", "n_chars", "total_hits"],
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
+@q(
+    "dsl_post_filter",
+    bm25_topk_oracle_sql(
+        BM25_QUERY, k=10,
+        candidate_clause=(
+            "p.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+        ),
+    ),
+    extra=True,
+)
+def dsl_post_filter(spark, sf_dir):
+    """ES ``post_filter`` on a scoring query (dsl.search): hits
+    restricted to lang='en' AFTER scoring — scores identical to the
+    unfiltered query (corpus stats untouched), the page backfilled from
+    the next matching hits, exactly ES's post-scoring filter (the aggs
+    divergence cannot arise: aggs bodies refuse post_filter loudly)."""
+    from . import dsl
+
+    body = {
+        "query": {"match": {"text": BM25_QUERY}},
+        "post_filter": {"term": {"lang": "en"}},
+        "size": 10,
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
+@q(
+    "dsl_min_score",
+    f"""SELECT doc_id, score FROM (
+          {bm25_topk_oracle_sql(BM25_QUERY, k=10)}
+        ) s WHERE score >= 1.0""",
+    extra=True,
+)
+def dsl_min_score(spark, sf_dir):
+    """ES ``min_score`` (dsl.search page()): hits below the threshold
+    drop from the ranked page — applied on the rounded tie surface, a
+    PREFIX of the score-desc ordering, so truncate-then-filter equals
+    ES's filter-then-paginate."""
+    from . import dsl
+
+    body = {
+        "query": {"match": {"text": BM25_QUERY}},
+        "min_score": 1.0,
+        "size": 10,
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
 # --- r6 late rotation: give this round's new operators driver-gate rows ---
 # (the gate caps at 50; retired twins keep their DuckDB oracles in the
 # local pytest mini-driver, and all three outgoing rows are r05 driver-

@@ -108,18 +108,23 @@ def test_registry_fits_driver_cap():
                  # r5 surface that stays gated (green r05 only)
                  "dsl_multi_match", "dsl_top_hits", "dsl_date_histogram",
                  "dsl_regexp", "dsl_query_string",
-                 "dsl_dis_max", "dsl_function_score",
+                 "dsl_function_score",
                  "dsl_collapse", "dsl_rescore", "dsl_suggest",
-                 "dsl_more_like_this", "dsl_composite",
+                 "dsl_composite",
                  "dsl_extended_stats",
                  "dsl_pipeline_aggs", "dsl_bucket_script_sort",
                  "dsl_script_score",
                  "dsl_rank_feature", "dsl_terms_set", "dsl_span_near",
                  "dsl_match_bool_prefix",
-                 "dsl_multi_terms", "dsl_rare_terms", "dsl_string_stats",
+                 "dsl_multi_terms", "dsl_rare_terms",
                  "dsl_nested", "dsl_nested_agg", "dsl_geo_distance",
                  "dsl_geotile_grid", "dsl_percolate",
                  "dsl_runtime_fields",
+                 # r6b late rotation: chained phrase/span + BM25F promoted;
+                 # dsl_dis_max / dsl_string_stats / dsl_more_like_this
+                 # retired to the local gate (r05 driver-green twins)
+                 "dsl_query_string_phrase_stemmed", "dsl_span_near_stemmed",
+                 "dsl_combined_fields",
                  # flagship (entry()) stays gated
                  "bm25_topk_wand"):
         assert must in qs
