@@ -227,6 +227,22 @@ def main() -> None:
         build_index(spark, docs, d3, n_shards=max(8, cpus), positions=True)
         samples["index_build_documents_positional"].append(time.time() - t0)
 
+        # --- routed search (r6c): ES ?routing= — the routed query opens
+        # ONE shard's posting files instead of all of them (global
+        # scores). Same warmed index, interleaved with the unrouted twin.
+        d4 = tempfile.mkdtemp(prefix="bench_idx4_")
+        shutil.rmtree(d4, ignore_errors=True)
+        tmp_dirs.append(d4)
+        build_index(spark, docs, d4, n_shards=max(8, cpus),
+                    positions=False, routing_field="source")
+        warm_index(spark, d4)
+        t0 = time.time()
+        topk(spark, d4, bm25_queries[0], k=20).collect()
+        samples["bm25_routed_unrouted_single"].append(time.time() - t0)
+        t0 = time.time()
+        topk(spark, d4, bm25_queries[0], k=20, routing="src1").collect()
+        samples["bm25_routed_single"].append(time.time() - t0)
+
         # --- exact join scorer (rank-identity baseline path) ---
         t0 = time.time()
         for q in bm25_queries:

@@ -196,6 +196,39 @@ def release_doc_id_caches(result: DataFrame | None = None) -> None:
         _ID_PERSISTS.pop().unpersist()
 
 
+def _routing_shard_col(col_name: str, n_shards: int):
+    """Column expr: shard id for a routing key — the portable md5 hash
+    (dedup.portable_hash60 of the stringified key) mod n_shards, so
+    Python (`routing_shard_id`) and DuckDB compute the identical id.
+    NULL keys raise in-task (ES's routing_required), not drop rows."""
+    from .dedup import portable_hash60
+
+    s = F.col(col_name).cast("string")
+    return (
+        F.when(
+            s.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"NULL routing value in {col_name!r}: every document "
+                    "of a routed index needs a routing key "
+                    "(ES routing_required)"
+                )
+            ).cast("int"),
+        )
+        .otherwise(F.pmod(portable_hash60(s), F.lit(n_shards)).cast("int"))
+    )
+
+
+def routing_shard_id(value, n_shards: int) -> int:
+    """Python twin of ``_routing_shard_col`` for query-side pruning:
+    first 15 hex chars of md5(utf8(str(value))) as an int, mod n_shards
+    (== dedup.portable_hash60 and its documented DuckDB expression)."""
+    import hashlib
+
+    h = int(hashlib.md5(str(value).encode("utf-8")).hexdigest()[:15], 16)
+    return h % int(n_shards)
+
+
 def _build_shard_fn(
     doclens_dir: str | None = None, positions: bool = True, chain=None
 ):
@@ -338,6 +371,7 @@ def build_index(
     align_shards: bool = False,
     warm: bool = False,
     analysis: dict | None = None,
+    routing_field: str | None = None,
 ) -> dict:
     """Build the sharded compressed index under ``index_dir``.
 
@@ -389,6 +423,12 @@ def build_index(
             return prior
         positions = bool(prior.get("positions", True))
         analysis = prior.get("analysis")  # resume: the index's chain wins
+        routing_field = prior.get("routing_field")  # and its routing
+    if routing_field is not None and align_shards:
+        raise ValueError(
+            "routing_field assigns shards by the routing key; "
+            "align_shards assigns them by scan split — pick one"
+        )
 
     from .analyze import AnalysisChain
 
@@ -404,6 +444,13 @@ def build_index(
             "count surviving tokens"
         )
     cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
+    if routing_field is not None:
+        if routing_field not in docs.columns:
+            raise ValueError(
+                f"routing_field {routing_field!r} is not a column of the "
+                f"input ({docs.columns})"
+            )
+        cols.append(F.col(routing_field).alias("_routing"))
     docs = docs.select(*cols + ([F.col("dl")] if has_dl else []))
     if align_shards:
         # shard = scan split; ids assigned per-row at scan time, no shuffle
@@ -434,6 +481,13 @@ def build_index(
                 "align_shards=False."
             )
         docs = docs.withColumn("shard", F.spark_partition_id().cast("int"))
+    elif routing_field is not None:
+        # ES document routing: shard = hash(routing) % n_shards, so every
+        # doc sharing a routing key lands in ONE shard and a routed query
+        # prunes to it (wand.topk(routing=...)). The portable md5 hash
+        # keeps the assignment reproducible in the DuckDB oracle. A NULL
+        # routing key fails the build loudly (ES: routing_required).
+        docs = docs.withColumn("shard", _routing_shard_col("_routing", n_shards)).drop("_routing")
     else:
         docs = docs.withColumn(
             "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
@@ -466,6 +520,7 @@ def build_index(
             "batch_bases": {},
             "positions": bool(positions),
             "analysis": analysis,
+            "routing_field": routing_field,
         }
 
     # --- stage 2: per-shard posting build — THE one heavy pass over text.
@@ -774,9 +829,27 @@ def append_documents(
 
     chain = AnalysisChain.from_config(stats.get("analysis"))
 
-    docs = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
+    routing_field = stats.get("routing_field")
+    if routing_field is not None:
+        # routed index: appends shard by the SAME routing hash, so the
+        # routed-query pruning contract survives every generation
+        if routing_field not in docs.columns:
+            raise ValueError(
+                f"this index has routing_field {routing_field!r}; the "
+                f"append input must carry that column ({docs.columns})"
+            )
+        docs = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"),
+            F.col(routing_field).alias("_routing"),
+        ).withColumn(
+            "shard", _routing_shard_col("_routing", n_shards)
+        ).drop("_routing")
+    else:
+        docs = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ).withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+        )
 
     agg = docs.agg(
         F.count("*").alias("n"),
@@ -895,6 +968,7 @@ def append_documents(
         "batch_bases": bases,
         "positions": positions,
         "analysis": stats.get("analysis"),
+        "routing_field": routing_field,
     }
     _write_json_atomic(stats_path, stats)
     return stats
@@ -940,12 +1014,19 @@ def reindex(
         raise ValueError(f"destination {dst_dir} already holds an index")
     # projecting to (doc_id, text) also drops any precomputed dl column —
     # it belongs to the OLD analysis and must never carry into the rebuild
-    live = filter_deleted(
-        spark,
-        src_dir,
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.col(text_col).alias("text")),
-    )
+    routing_field = src.get("routing_field")
+    sel = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
+    if routing_field is not None:
+        # a routed source stays routed: the rebuild re-derives every
+        # shard assignment from the routing column (which the corpus
+        # table must therefore still carry)
+        if routing_field not in docs.columns:
+            raise ValueError(
+                f"source index routes by {routing_field!r}; the reindex "
+                f"corpus must carry that column ({docs.columns})"
+            )
+        sel.append(F.col(routing_field).alias(routing_field))
+    live = filter_deleted(spark, src_dir, docs.select(*sel))
     from .catalog import ManifestCatalog
 
     try:
@@ -961,4 +1042,5 @@ def reindex(
         n_shards=int(n_shards or src_shards or 8),
         positions=bool(src.get("positions", True)) if positions is None else positions,
         analysis=src.get("analysis") if analysis is ... else analysis,
+        routing_field=routing_field,
     )

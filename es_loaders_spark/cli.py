@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> None:
         help="zero-shuffle build: shards carved from input scan splits "
         "in-task (corpus text never shuffles; --shards ignored)",
     )
+    b.add_argument(
+        "--routing-field", default=None,
+        help="ES document routing: shard docs by hash(column) so routed "
+             "queries prune to one shard (query --routing)",
+    )
 
     a = sub.add_parser("append", help="append a new document generation")
     a.add_argument("--input", required=True, help="parquet dir of (doc_id, text)")
@@ -62,6 +67,9 @@ def main(argv: list[str] | None = None) -> None:
                         "aliases (see `aliases` subcommand)")
     q.add_argument("--query", action="append", required=True, help="repeatable")
     q.add_argument("-k", type=int, default=10)
+    q.add_argument("--routing", action="append", default=None,
+                   help="ES ?routing=: prune to this routing key's shard "
+                        "(repeatable; needs a --routing-field build)")
 
     st = sub.add_parser("stats", help="index metadata (ES _cat/indices style)")
     st.add_argument("--index-dir", required=True)
@@ -176,6 +184,7 @@ def main(argv: list[str] | None = None) -> None:
             positions=not args.no_positions,
             align_shards=args.align_shards,
             analysis=json.loads(args.analysis) if args.analysis else None,
+            routing_field=args.routing_field,
         )
         print(json.dumps({"built": args.index_dir, **stats}))
     elif args.cmd == "reindex":
@@ -212,6 +221,22 @@ def main(argv: list[str] | None = None) -> None:
 
             index_dir = resolve_alias(args.alias_registry, args.index_dir)
         batch = {f"q{i}": text for i, text in enumerate(args.query)}
+        if args.routing:
+            # routed queries serve per-query through topk (the batch path
+            # melts all queries into one job over every shard)
+            from .wand import topk
+
+            for qid, text in batch.items():
+                for rank, r in enumerate(
+                    topk(spark, index_dir, text, k=args.k,
+                         routing=args.routing).collect(), 1
+                ):
+                    print(json.dumps({
+                        "query": text, "rank": rank,
+                        "doc_id": r["doc_id"], "score": r["score"],
+                        "routing": args.routing,
+                    }))
+            return
         rows = topk_batch(spark, index_dir, batch, k=args.k).collect()
         for r in rows:
             print(json.dumps({"query": batch[r["query_id"]], "rank": r["rank"],

@@ -373,6 +373,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         "batch_bases": dict(stats.get("batch_bases", {})),
         "analysis": stats.get("analysis"),
         "positions": bool(stats.get("positions", True)),
+        "routing_field": stats.get("routing_field"),
     }
     _write_json_atomic(stats_path, stats)
     # visible now — clear tombstones and sweep the aside state

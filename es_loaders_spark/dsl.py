@@ -1658,8 +1658,16 @@ def search(
     id_col: str = "doc_id",
     lookups: dict[str, DataFrame] | None = None,
     ann_index_dir: str | None = None,
+    routing: list | str | None = None,
 ) -> DataFrame:
     """``es.search(body=...)`` analogue over a documents-shaped table.
+
+    ``routing=`` (ES ``?routing=`` query param): on an index built with
+    ``build_index(routing_field=...)``, prune the search to the routing
+    keys' shards — wand.topk(routing=...) never opens the other shards'
+    posting files. Served paths only (plain match on the indexed column,
+    no filters): anything else refuses loudly rather than silently scan
+    every shard.
 
     Relevance (``match``) rides the compressed index when ``index_dir``
     is given (block-max WAND), else the exact join scorer; pure filters
@@ -1689,6 +1697,13 @@ def search(
         # script parser, so the derived expression stays inside
         # whole-stage codegen (never a Python UDF).
         docs = _apply_runtime_mappings(docs, body["runtime_mappings"])
+    if routing is not None and (
+        "aggs" in body or "knn" in body or body.get("pit") is not None
+    ):
+        raise ValueError(
+            "routing= serves the indexed match path — aggs/knn/pit "
+            "searches don't take routing"
+        )
     if body.get("post_filter") is not None:
         # ES post_filter: restricts HITS without touching aggs or scores.
         # Aggs bodies here are size:0 (no hits), so a post_filter there
@@ -1843,6 +1858,11 @@ def search(
         )
 
     scoring, filters = _split_scoring(body.get("query"))
+    if routing is not None and (scoring is None or "match" not in scoring):
+        raise ValueError(
+            "routing= supports the index-served plain match path (build "
+            "the index with routing_field= and query match on its column)"
+        )
     if body.get("post_filter") is not None:
         # merge into filter context (see the guard above for why this is
         # hit- and score-identical to ES's post-scoring filter here)
@@ -2309,8 +2329,15 @@ def search(
             from .wand import topk
 
             return page(
-                topk(spark, index_dir, text, k=offset + size),
+                topk(spark, index_dir, text, k=offset + size,
+                     routing=routing),
                 hl_terms=_hl_terms_for(index_dir, text, chain=idx_chain),
+            )
+        if routing is not None:
+            raise ValueError(
+                "routing= needs the index-served match path (indexed "
+                "column, operator=or, no filters) — this request would "
+                "scan every shard"
             )
         from .analyze import tokenize_text
         from .bm25 import bm25_topk

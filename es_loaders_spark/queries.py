@@ -3712,6 +3712,52 @@ def dsl_combined_fields(spark, sf_dir):
     return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
 
 
+_ROUTED_CACHE: dict = {}
+
+
+def _ensure_routed_index(spark, sf_dir, n_shards: int = 8):
+    import tempfile
+
+    from .build import build_index
+
+    if sf_dir not in _ROUTED_CACHE:
+        d = tempfile.mkdtemp(prefix="routed_idx_")
+        build_index(spark, _T(spark, sf_dir, "documents"), d,
+                    n_shards=n_shards, routing_field="source")
+        _ROUTED_CACHE[sf_dir] = d
+    return _ROUTED_CACHE[sf_dir]
+
+
+def _routed_oracle_sql() -> str:
+    from .build import routing_shard_id
+
+    sid = routing_shard_id("src1", 8)
+    return bm25_topk_oracle_sql(
+        BM25_QUERY, k=10,
+        candidate_clause=(
+            "p.doc_id IN (SELECT doc_id FROM documents WHERE "
+            "CAST(concat('0x', substr(md5(source), 1, 15)) AS BIGINT) "
+            f"% 8 = {sid})"
+        ),
+    )
+
+
+@q("bm25_topk_routed", _routed_oracle_sql(), extra=True)
+def bm25_topk_routed(spark, sf_dir):
+    """ES routed search (``?routing=``): the index shards by
+    hash(source) % 8 (build_index routing_field=), and the query prunes
+    to routing key src1's shard — wand.topk(routing=) opens only that
+    shard's posting files, scores stay GLOBAL (identical to the
+    unrouted query's). The oracle restricts candidates to the docs whose
+    source hashes to the same shard via the portable md5 hash — ES
+    semantics exactly: the whole shard is visible, including other keys
+    that collide into it."""
+    from .wand import topk
+
+    return topk(spark, _ensure_routed_index(spark, sf_dir), BM25_QUERY,
+                k=10, routing="src1")
+
+
 # ---------------------------------------------------------------------------
 # r6c — matrix_stats / t_test / percentiles_bucket / normalize aggs,
 # post_filter / min_score / track_total_hits search-body features,

@@ -431,6 +431,7 @@ class _WarmIndex:
             ),
         )
         batch_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+        self.n_shards = int(props.get("n_shards") or 0)
         self.dls_serve = (
             live.repartition(serve_parts, "shard").persist()
         )
@@ -553,6 +554,7 @@ def _query_terms(stats: dict, query: str) -> list[str]:
 def topk(
     spark: SparkSession, index_dir: str, query: str, k: int = 10,
     mode: str = "serve",
+    routing: list | str | None = None,
 ) -> DataFrame:
     """Distributed BM25 top-k over the sharded compressed index.
 
@@ -577,6 +579,34 @@ def topk(
     n_docs = int(stats["n_docs"])
     avgdl = float(stats["avgdl"])
 
+    shard_ids: list[int] | None = None
+    if routing is not None:
+        # ES routed search: prune to the routing keys' shards. Candidates
+        # come only from those shards' doclens/posting files (serve mode
+        # literally never opens the other shard=K dirs — the ES/Lucene
+        # shard-pruning contract at 10^12 docs); scores stay GLOBAL
+        # (stats.json n/avgdl + the corpus-wide terms table), so a routed
+        # hit scores identically to the unrouted query — a documented
+        # improvement over ES's per-shard-dfs default. As in ES, the
+        # routed search sees the WHOLE shard: other routing keys hashing
+        # to the same shard remain visible.
+        rf = stats.get("routing_field")
+        if not rf:
+            raise ValueError(
+                f"index {index_dir} was not built with routing_field= — "
+                "routed search needs a routed index"
+            )
+        if warm.n_shards <= 0:
+            raise ValueError("index manifest lacks n_shards; rebuild")
+        from .build import routing_shard_id
+
+        vals = [routing] if isinstance(routing, (str, int)) else list(routing)
+        if not vals:
+            raise ValueError("routing= needs at least one routing value")
+        shard_ids = sorted(
+            {routing_shard_id(v, warm.n_shards) for v in vals}
+        )
+
     if mode == "serve":
         term_dfs = {
             r["term"]: int(r["df"])
@@ -584,7 +614,12 @@ def topk(
         }
         if not term_dfs:
             return spark.createDataFrame([], "doc_id long, score double")
-        local = warm.dls_serve.mapInPandas(
+        src = warm.dls_serve
+        if shard_ids is not None:
+            # filter the cached doclens to the routed shards; the serving
+            # fn below then only opens those shards' posting dirs
+            src = src.filter(F.col("shard").isin(shard_ids))
+        local = src.mapInPandas(
             _serve_partition_fn(warm.gen_dirs, term_dfs, n_docs, avgdl, k),
             "doc_id long, score double",
         )
@@ -607,6 +642,12 @@ def topk(
     # warm cached doclens: pre-partitioned by shard, so the cogroup below
     # shuffles only the query terms' posting rows
     dls = warm.dls
+    if shard_ids is not None:
+        # routed: the posting scan's shard predicate reaches the
+        # partitioned parquet as a PartitionFilter (shard=K dirs pruned);
+        # the doclens side filters the warm cache in place
+        idx = idx.filter(F.col("shard").isin(shard_ids))
+        dls = dls.filter(F.col("shard").isin(shard_ids))
 
     def score_shard(key, idx_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
         if idx_pdf.empty or dl_pdf.empty:
