@@ -3765,6 +3765,90 @@ def bm25_topk_routed(spark, sf_dir):
 # for the next driver-gate window).
 # ---------------------------------------------------------------------------
 
+_BPE_RE_SQL = (
+    "''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+)
+_TOKS_DUCK = (
+    "list_filter(regexp_split_to_array(lower(text), "
+    f"'{SPLIT_RE_DUCKDB}'), x -> x <> '')"
+)
+_PH_MOD = (
+    "CAST(concat('0x', substr(md5({v}), 1, 15)) AS BIGINT) % 2147483647"
+)
+
+
+@q(
+    "token_counts",
+    f"""SELECT doc_id,
+          len({_TOKS_DUCK}) AS ws_tokens,
+          len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS bpe_tokens
+        FROM documents""",
+    extra=True,
+)
+def token_counts_q(spark, sf_dir):
+    """LLM token budgets per doc: analyzer tokens + the BPE-ish
+    pre-tokenizer count (textstats.bpe_token_count_col — the GPT-2
+    piece-boundary regex restricted to the Java∩RE2 dialect). Pure
+    Catalyst; the oracle runs the identical regex."""
+    from .textstats import token_counts
+
+    return token_counts(_T(spark, sf_dir, "documents"))
+
+
+@q(
+    "rolling_fingerprint",
+    f"""SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform({_TOKS_DUCK},
+                             t -> {_PH_MOD.format(v='t')})),
+            (acc, x) -> (acc * 1000003 + x) % 2147483647) AS rh
+        FROM documents""",
+    extra=True,
+)
+def rolling_fingerprint_q(spark, sf_dir):
+    """Rabin–Karp rolling-hash fingerprint of the token stream
+    (textstats.rolling_hash_col): one F.aggregate HOF, zero shuffle —
+    and INCREMENTAL, unlike the md5 whole-text fingerprint: chunk
+    hashes combine, so streamed 100-TB ingest fingerprints without
+    buffering whole documents. DuckDB twin: list_reduce over the
+    identical (acc·B + h) mod M arithmetic."""
+    from .textstats import rolling_hash_col
+
+    return _T(spark, sf_dir, "documents").select(
+        "doc_id", rolling_hash_col(F.col("text")).alias("rh")
+    )
+
+
+@q(
+    "winnow_fp",
+    f"""WITH tok AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 5 THEN
+                   list_transform(generate_series(1, len(toks) - 4),
+                     i -> {_PH_MOD.format(v="array_to_string(toks[i:i+4], ' ')")})
+                 ELSE [] END AS hs
+               FROM tok),
+        mn AS (SELECT doc_id,
+                 CASE WHEN len(hs) >= 4 THEN
+                   list_transform(generate_series(1, len(hs) - 3),
+                                  j -> list_aggregate(hs[j:j+3], 'min'))
+                 ELSE [] END AS mins
+               FROM sh)
+        SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM mn""",
+    extra=True,
+)
+def winnow_fp_q(spark, sf_dir):
+    """MOSS winnowing fingerprints (textstats.winnow_fingerprints,
+    k=5 w=4): every shared token run of length >= 8 between two docs
+    shares a fingerprint — bounded-density substring matching, the
+    substring-level complement to MinHash's set similarity. Array HOFs
+    end-to-end; the only shuffle is the caller's join on fp."""
+    from .textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_T(spark, sf_dir, "documents"))
+
+
 @q(
     "dsl_matrix_stats",
     """WITH s AS (
