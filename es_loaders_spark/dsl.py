@@ -3821,6 +3821,27 @@ def _aggs(
         ) if group_cols else base.agg(
             F.count_if(F.col(field).isNull()).alias("doc_count")
         )
+    if "significant_text" in spec:
+        # ES significant_text: significant_terms semantics over text
+        # RE-ANALYZED at query time (which the branch below already does
+        # for analyzed fields — this engine never needs fielddata), plus
+        # the filter_duplicate_text option: drop exact-duplicate
+        # foreground texts before counting, ES's guard against a
+        # boilerplate page dominating the foreground sample. One md5
+        # dedup over the FOREGROUND only (a query-sized set, not the
+        # corpus); background is never deduped, as in ES.
+        st_ = dict(spec["significant_text"])
+        if st_.pop("filter_duplicate_text", False):
+            w_ = Window.partitionBy(
+                F.md5(F.col(st_["field"]).cast("string"))
+            ).orderBy(*[F.col(c) for c in base.columns[:1]])
+            base = (
+                base.withColumn("_rn_sig", F.row_number().over(w_))
+                .filter(F.col("_rn_sig") == 1)
+                .drop("_rn_sig")
+            )
+        st_["_analyzed"] = True  # a text field analyzes even if ≠ text_col
+        spec = {"significant_terms": st_}
     if "significant_terms" in spec:
         # ES significant_terms: terms over-represented in the query's
         # foreground set vs the whole-index background, scored with ES's
@@ -3842,16 +3863,17 @@ def _aggs(
             )
         st = spec["significant_terms"]
         field = st["field"]
+        analyzed = bool(st.get("_analyzed")) or field == text_col
         topn = int(st.get("size", 10))
         min_doc = int(st.get("min_doc_count", 3))  # ES default 3
 
         def doc_terms(df: DataFrame) -> DataFrame:
-            if field == text_col:
+            if analyzed:
                 from .analyze import terms_array
 
                 return df.select(
                     F.explode(
-                        F.array_distinct(terms_array(F.col(text_col)))
+                        F.array_distinct(terms_array(F.col(field)))
                     ).alias("term")
                 )
             return df.select(F.col(field).alias("term")).where(

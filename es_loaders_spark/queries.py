@@ -954,6 +954,63 @@ def dsl_significant_terms(spark, sf_dir):
 ORACLES["dsl_significant_terms"] = _significant_terms_oracle_sql()
 
 
+def _significant_text_oracle_sql(size: int = 8, min_doc: int = 3) -> str:
+    """Twin of dsl significant_text with filter_duplicate_text: the
+    FOREGROUND sample dedupes exact-duplicate texts (md5, min doc_id
+    survives) before the JLH contrast; background stays undeduped."""
+    from .analyze import oracle_tokens_sql
+
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, term FROM ({oracle_tokens_sql()})
+        ),
+        fg_docs AS (
+            SELECT min(doc_id) AS doc_id FROM documents
+            WHERE lang = 'fr' GROUP BY md5(text)
+        ),
+        fg AS (
+            SELECT term, count(*) AS doc_count
+            FROM toks JOIN fg_docs USING (doc_id) GROUP BY term
+        ),
+        bg AS (SELECT term, count(*) AS bg_count FROM toks GROUP BY term),
+        tot AS (
+            SELECT (SELECT count(*) FROM fg_docs) AS fg_tot,
+                   (SELECT count(*) FROM documents) AS bg_tot
+        ),
+        scored AS (
+            SELECT term, doc_count, bg_count,
+                   round(((doc_count * 1.0 / fg_tot) - (bg_count * 1.0 / bg_tot))
+                         * ((doc_count * 1.0 / fg_tot) / (bg_count * 1.0 / bg_tot)),
+                         6) AS score
+            FROM fg JOIN bg USING (term), tot
+            WHERE doc_count >= {min_doc}
+        )
+        SELECT term, doc_count, bg_count, score FROM scored
+        WHERE score > 0
+        ORDER BY score DESC, term ASC LIMIT {size}
+    """
+
+
+@q("dsl_significant_text", _significant_text_oracle_sql(), extra=True)
+def dsl_significant_text(spark, sf_dir):
+    """ES ``significant_text`` (dsl.py): significant_terms semantics
+    over query-time re-analyzed text (no fielddata — this engine always
+    re-analyzes), plus ``filter_duplicate_text``: the foreground sample
+    drops exact-duplicate texts (md5 partition, first doc survives)
+    before counting, ES's boilerplate guard. Background undeduped, as in
+    ES."""
+    from . import dsl
+
+    body = {
+        "size": 0,
+        "query": {"term": {"lang": "fr"}},
+        "aggs": {"sig": {"significant_text": {
+            "field": "text", "size": 8, "filter_duplicate_text": True,
+        }}},
+    }
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
 @q(
     "stats_agg",
     "SELECT round(min(l_extendedprice), 4) AS min_v, round(max(l_extendedprice), 4) AS max_v, "

@@ -311,3 +311,34 @@ def test_normalize_methods(spark, events):
     assert sm == pytest.approx(e / e.sum())
     with pytest.raises(ValueError, match="normalize method"):
         run("nope")
+
+
+# ------------------------------------------------------------ significant_text
+
+def test_significant_text_filter_duplicate_text(spark):
+    """Boilerplate guard: 5 copies of the same promo text inflate a
+    term's foreground count without the filter, and count ONCE with it —
+    the background stays undeduped in both cases."""
+    promo = "buy cheap widgets now limited offer"
+    rows = [(i, promo, "fg") for i in range(5)]
+    rows += [(10 + i, f"organic doc about widgets number {i}", "fg")
+             for i in range(3)]
+    rows += [(100 + i, f"background text piece {i} nothing special", "bg")
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, body string, grp string")
+
+    def sig(filter_dups):
+        out = dsl.search(spark, df, {
+            "size": 0,
+            "query": {"term": {"grp": "fg"}},
+            "aggs": {"s": {"significant_text": {
+                "field": "body", "size": 20, "min_doc_count": 1,
+                "filter_duplicate_text": filter_dups,
+            }}},
+        }, text_col="body")
+        return {r.term: r.doc_count for r in out.collect()}
+
+    dup, dedup = sig(False), sig(True)
+    assert dup["cheap"] == 5      # the 5 copies each count
+    assert dedup["cheap"] == 1    # deduped foreground counts it once
+    assert dup["widgets"] == 8 and dedup["widgets"] == 4
