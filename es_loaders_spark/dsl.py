@@ -2489,6 +2489,58 @@ def search(
     return out
 
 
+def multi_index_topk(
+    spark: SparkSession,
+    indexes: dict[str, tuple[str, float]],
+    query: str,
+    k: int = 10,
+) -> DataFrame:
+    """ES multi-index search (``GET /idx1,idx2/_search``) with
+    ``indices_boost``: each index scores the query with its OWN corpus
+    statistics (per-index dfs/avgdl — exactly ES's cross-index
+    behavior), scores scale by the index's boost, and the global page is
+    the best k across indexes.
+
+    ``indexes``: {index_name: (index_dir, boost)}. Returns
+    (_index, doc_id, score), ordered (score desc, _index asc, doc_id
+    asc) — the deterministic cross-index tiebreak ES leaves unspecified.
+
+    Exactness of the per-index depth-k: a positive boost is monotone on
+    one index's ranking, so the global top-k draws only from each
+    index's own top-k — k rows per index move, never corpora. Each
+    per-index search is the warm pruned serve path (wand.topk); at
+    cluster scale this is N shard-local searches + a k·N-row merge, the
+    ES coordinating-node shape. Boost applies to the ROUNDED per-index
+    score and re-rounds (the engine's single tie surface, reproduced in
+    the DuckDB twin)."""
+    from .wand import topk as _wtopk
+
+    if not indexes:
+        raise ValueError("multi_index_topk needs at least one index")
+    parts = []
+    for name in sorted(indexes):
+        d, boost = indexes[name]
+        if float(boost) <= 0:
+            raise ValueError(
+                f"indices_boost for {name!r} must be positive, got {boost}"
+            )
+        parts.append(
+            _wtopk(spark, d, query, k=k).select(
+                F.lit(name).alias("_index"),
+                "doc_id",
+                F.round(
+                    F.col("score") * F.lit(float(boost)), 4
+                ).alias("score"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(
+        F.desc("score"), F.asc("_index"), F.asc("doc_id")
+    ).limit(k)
+
+
 def explain(
     spark: SparkSession,
     docs: DataFrame,

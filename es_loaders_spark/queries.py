@@ -3769,6 +3769,66 @@ def dsl_combined_fields(spark, sf_dir):
     return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
 
 
+_MULTI_IDX_CACHE: dict = {}
+
+
+def _ensure_split_indexes(spark, sf_dir):
+    """Two indexes over disjoint sub-corpora (lang='en' vs the rest) —
+    the multi-index search fixture, built once per sf_dir."""
+    import tempfile
+
+    from .build import build_index
+
+    if sf_dir not in _MULTI_IDX_CACHE:
+        docs = _T(spark, sf_dir, "documents")
+        den = tempfile.mkdtemp(prefix="mi_en_")
+        dxx = tempfile.mkdtemp(prefix="mi_xx_")
+        build_index(spark, docs.filter(F.col("lang") == "en"), den, n_shards=4)
+        build_index(spark, docs.filter(F.col("lang") != "en"), dxx, n_shards=4)
+        _MULTI_IDX_CACHE[sf_dir] = (den, dxx)
+    return _MULTI_IDX_CACHE[sf_dir]
+
+
+def _multi_index_oracle_sql(k: int = 10) -> str:
+    a = bm25_topk_oracle_sql(
+        BM25_QUERY, k=k,
+        doc_table="(SELECT * FROM documents WHERE lang = 'en')",
+    )
+    b = bm25_topk_oracle_sql(
+        BM25_QUERY, k=k,
+        doc_table="(SELECT * FROM documents WHERE lang <> 'en')",
+    )
+    return f"""
+        SELECT * FROM (
+          SELECT 'en' AS _index, doc_id, round(score * 2.0, 4) AS score
+          FROM ({a}) sa
+          UNION ALL
+          SELECT 'xx' AS _index, doc_id, round(score * 1.0, 4) AS score
+          FROM ({b}) sb
+        ) u
+        ORDER BY score DESC, _index ASC, doc_id ASC LIMIT {k}
+    """
+
+
+@q("multi_index_search", _multi_index_oracle_sql(), extra=True)
+def multi_index_search(spark, sf_dir):
+    """ES multi-index search with indices_boost (dsl.multi_index_topk):
+    the en index boosted 2.0 vs the rest at 1.0 (an exact-at-4dp
+    boost: a .5 multiplier of a 4-decimal score always lands on the
+    5th-decimal midpoint, where Spark's HALF_UP and DuckDB's rounding
+    disagree — the engine API accepts any positive boost; the FIXTURE
+    avoids manufactured midpoints), each scoring with its
+    OWN corpus stats (ES per-index dfs/avgdl), global top-k merged from
+    the per-index top-k pages. The oracle scores the two sub-corpora
+    independently and merges identically."""
+    from . import dsl
+
+    den, dxx = _ensure_split_indexes(spark, sf_dir)
+    return dsl.multi_index_topk(
+        spark, {"en": (den, 2.0), "xx": (dxx, 1.0)}, BM25_QUERY, k=10
+    )
+
+
 _ROUTED_CACHE: dict = {}
 
 

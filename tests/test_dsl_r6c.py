@@ -342,3 +342,33 @@ def test_significant_text_filter_duplicate_text(spark):
     assert dup["cheap"] == 5      # the 5 copies each count
     assert dedup["cheap"] == 1    # deduped foreground counts it once
     assert dup["widgets"] == 8 and dedup["widgets"] == 4
+
+
+# --------------------------------------------------------- multi-index search
+
+def test_multi_index_topk_boost_and_per_index_stats(spark, documents, tmp_path):
+    from es_loaders_spark.build import build_index
+    from es_loaders_spark.wand import evict_index, topk
+
+    den, dxx = str(tmp_path / "en"), str(tmp_path / "xx")
+    build_index(spark, documents.filter(F.col("lang") == "en"), den, n_shards=4)
+    build_index(spark, documents.filter(F.col("lang") != "en"), dxx, n_shards=4)
+    q = "spark merge table"
+    # manual merge from the per-index top-k pages (own stats per index)
+    a = [("en", r.doc_id, round(r.score * 2.0, 4))
+         for r in topk(spark, den, q, k=10).collect()]
+    b = [("xx", r.doc_id, round(r.score * 1.0, 4))
+         for r in topk(spark, dxx, q, k=10).collect()]
+    want = sorted(a + b, key=lambda t: (-t[2], t[0], t[1]))[:10]
+    got = [(r._index, r.doc_id, r.score) for r in dsl.multi_index_topk(
+        spark, {"en": (den, 2.0), "xx": (dxx, 1.0)}, q, k=10).collect()]
+    assert got == want
+    # a huge boost pushes one index's hits to the top wholesale
+    boosted = [r._index for r in dsl.multi_index_topk(
+        spark, {"en": (den, 1.0), "xx": (dxx, 100.0)}, q, k=5).collect()]
+    assert set(boosted) == {"xx"}
+    with pytest.raises(ValueError, match="positive"):
+        dsl.multi_index_topk(spark, {"en": (den, 0.0)}, q)
+    with pytest.raises(ValueError, match="at least one"):
+        dsl.multi_index_topk(spark, {}, q)
+    evict_index(den), evict_index(dxx)
