@@ -3985,6 +3985,42 @@ def _aggs(
     if "terms" in spec:
         t = spec["terms"]
         field, topn = t["field"], int(t.get("size", 10))
+        inc = t.get("include")
+        if isinstance(inc, dict):
+            # ES terms partitioning: a huge-cardinality terms agg pages
+            # as num_partitions disjoint requests, each seeing only the
+            # terms whose hash lands in its partition — the documented ES
+            # pattern for aggregating millions of keys without one
+            # response holding them all. Hash = the portable md5
+            # (dedup.portable_hash60 on the stringified key), so the
+            # partition function is reproducible in the DuckDB twin and
+            # across engines; the predicate applies BEFORE the count
+            # shuffle, so each request aggregates ~1/num_partitions of
+            # the key space.
+            np_, pid = int(inc["num_partitions"]), int(inc["partition"])
+            if not (np_ >= 2 and 0 <= pid < np_):
+                raise ValueError(
+                    f"terms include needs 0 <= partition < num_partitions "
+                    f"(>= 2); got partition={pid} num_partitions={np_}"
+                )
+            from .dedup import portable_hash60
+
+            base = base.filter(
+                portable_hash60(F.col(field).cast("string")) % F.lit(np_)
+                == F.lit(pid)
+            )
+        elif isinstance(inc, str):
+            # ES include as a string is a WHOLE-TERM regex (Lucene
+            # anchors it) — anchor explicitly, rlike is substring-based
+            base = base.filter(F.col(field).rlike(f"^(?:{inc})$"))
+        elif inc is not None:
+            base = base.filter(F.col(field).isin(_as_list(inc)))
+        exc = t.get("exclude")
+        if exc is not None:
+            if isinstance(exc, str):
+                base = base.filter(~F.col(field).rlike(f"^(?:{exc})$"))
+            else:
+                base = base.filter(~F.col(field).isin(_as_list(exc)))
         counted = base.groupBy(*group_cols, field).agg(
             F.count(F.lit(1)).alias("doc_count")
         )

@@ -4249,3 +4249,64 @@ for _n in _PROMOTED_R6B:
     QUERIES[_n] = EXTRA_QUERIES.pop(_n)
     if _n in EXTRA_ORACLES:
         ORACLES[_n] = EXTRA_ORACLES.pop(_n)
+
+
+@q(
+    "dsl_terms_partition",
+    "SELECT source, count(*) AS doc_count FROM documents "
+    "WHERE CAST(concat('0x', substr(md5(source), 1, 15)) AS BIGINT) % 3 = 1 "
+    "GROUP BY source ORDER BY doc_count DESC, source LIMIT 1000",
+    extra=True,
+)
+def dsl_terms_partition(spark, sf_dir):
+    """ES terms-agg partitioning ({"include": {"partition",
+    "num_partitions"}}): a huge-cardinality terms agg pages as disjoint
+    hash-partitions of the KEY space — partition 1 of 3 here, via the
+    portable md5 hash the DuckDB twin reproduces. The predicate applies
+    before the count shuffle, so each request aggregates ~1/N of the
+    keys."""
+    from . import dsl
+
+    body = {"size": 0, "aggs": {"src": {"terms": {
+        "field": "source", "size": 1000,
+        "include": {"partition": 1, "num_partitions": 3},
+    }}}}
+    return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
+
+
+# --- r6c rotation: this session's NEW operators take driver-gate rows ---
+# Retirees are all r05 driver-green (their operators keep a green row in
+# the r04 ∪ r05 ∪ r06 union) and stay DuckDB-gated in the local pytest
+# mini-driver; every promoted row is oracle-green at sf0.01 (the
+# driver's own scale) in tests/test_queries_oracle.py.
+_RETIRED_R6C = [
+    "dsl_multi_match",     # r05 green; combined_fields (BM25F) stays gated
+    "dsl_top_hits",        # r05 green; top_metrics family covered
+    "dsl_date_histogram",  # r05 green; histogram family stays gated
+    "dsl_regexp",          # r05 green; wildcard/fuzzy leaves stay gated
+    "dsl_rescore",         # r05 green
+    "dsl_suggest",         # r05 green
+    "dsl_composite",       # r05 green
+    "dsl_extended_stats",  # r05 green; matrix_stats supersedes in-gate
+    "dsl_rank_feature",    # r05 green
+    "dsl_terms_set",       # r05 green
+    "dsl_multi_terms",     # r05 green
+    "dsl_rare_terms",      # r05 green
+    "dsl_geotile_grid",    # r05 green; geo_distance stays gated
+    "dsl_runtime_fields",  # r05 green
+]
+_PROMOTED_R6C = [
+    "dsl_matrix_stats", "dsl_t_test", "dsl_percentiles_bucket",
+    "dsl_normalize", "sliced_scan", "dsl_track_total_hits",
+    "dsl_post_filter", "dsl_min_score", "bm25_topk_routed",
+    "token_counts", "rolling_fingerprint", "winnow_fp",
+    "dsl_significant_text", "multi_index_search",
+]
+for _n in _RETIRED_R6C:
+    EXTRA_QUERIES[_n] = QUERIES.pop(_n)
+    if _n in ORACLES:
+        EXTRA_ORACLES[_n] = ORACLES.pop(_n)
+for _n in _PROMOTED_R6C:
+    QUERIES[_n] = EXTRA_QUERIES.pop(_n)
+    if _n in EXTRA_ORACLES:
+        ORACLES[_n] = EXTRA_ORACLES.pop(_n)

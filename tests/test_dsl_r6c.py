@@ -372,3 +372,52 @@ def test_multi_index_topk_boost_and_per_index_stats(spark, documents, tmp_path):
     with pytest.raises(ValueError, match="at least one"):
         dsl.multi_index_topk(spark, {}, q)
     evict_index(den), evict_index(dxx)
+
+
+# ------------------------------------------------------ terms agg partitioning
+
+def test_terms_partitioning_tiles_the_key_space(spark, documents):
+    full = {r.source: r.doc_count for r in dsl.search(spark, documents, {
+        "size": 0,
+        "aggs": {"s": {"terms": {"field": "source", "size": 100000}}},
+    }).collect()}
+    seen = {}
+    for pid in range(3):
+        part = dsl.search(spark, documents, {
+            "size": 0,
+            "aggs": {"s": {"terms": {
+                "field": "source", "size": 100000,
+                "include": {"partition": pid, "num_partitions": 3},
+            }}},
+        }).collect()
+        for r in part:
+            assert r.source not in seen, "key appeared in two partitions"
+            seen[r.source] = r.doc_count
+    assert seen == full
+    with pytest.raises(ValueError, match="partition"):
+        dsl.search(spark, documents, {
+            "size": 0,
+            "aggs": {"s": {"terms": {"field": "source",
+                                     "include": {"partition": 3,
+                                                 "num_partitions": 3}}}},
+        })
+
+
+def test_terms_include_regex_and_exclude_list(spark, documents):
+    got = {r.source for r in dsl.search(spark, documents, {
+        "size": 0,
+        "aggs": {"s": {"terms": {"field": "source", "size": 1000,
+                                 "include": "src1.*",
+                                 "exclude": ["src1"]}}},
+    }).collect()}
+    assert got, "regex include matched nothing"
+    assert all(s.startswith("src1") for s in got)
+    assert "src1" not in got  # excluded exactly
+    # whole-term anchoring: 'rc1' must NOT match anything (substring
+    # would); ES anchors the include regex
+    none = dsl.search(spark, documents, {
+        "size": 0,
+        "aggs": {"s": {"terms": {"field": "source", "size": 10,
+                                 "include": "rc1.*"}}},
+    }).collect()
+    assert none == []

@@ -106,25 +106,28 @@ def test_registry_fits_driver_cap():
                  "bm25_topk_highlight", "phrase_prefix_indexed",
                  "ann_ivf_fixed",
                  # r5 surface that stays gated (green r05 only)
-                 "dsl_multi_match", "dsl_top_hits", "dsl_date_histogram",
-                 "dsl_regexp", "dsl_query_string",
+                 "dsl_query_string",
                  "dsl_function_score",
-                 "dsl_collapse", "dsl_rescore", "dsl_suggest",
-                 "dsl_composite",
-                 "dsl_extended_stats",
+                 "dsl_collapse",
                  "dsl_pipeline_aggs", "dsl_bucket_script_sort",
                  "dsl_script_score",
-                 "dsl_rank_feature", "dsl_terms_set", "dsl_span_near",
+                 "dsl_span_near",
                  "dsl_match_bool_prefix",
-                 "dsl_multi_terms", "dsl_rare_terms",
                  "dsl_nested", "dsl_nested_agg", "dsl_geo_distance",
-                 "dsl_geotile_grid", "dsl_percolate",
-                 "dsl_runtime_fields",
+                 "dsl_percolate",
                  # r6b late rotation: chained phrase/span + BM25F promoted;
                  # dsl_dis_max / dsl_string_stats / dsl_more_like_this
                  # retired to the local gate (r05 driver-green twins)
                  "dsl_query_string_phrase_stemmed", "dsl_span_near_stemmed",
                  "dsl_combined_fields",
+                 # r6c rotation: this session's new operators (all
+                 # oracle-green at sf0.01 locally); 14 r05-green twins
+                 # retired to the local gate
+                 "dsl_matrix_stats", "dsl_t_test", "dsl_percentiles_bucket",
+                 "dsl_normalize", "sliced_scan", "dsl_track_total_hits",
+                 "dsl_post_filter", "dsl_min_score", "bm25_topk_routed",
+                 "token_counts", "rolling_fingerprint", "winnow_fp",
+                 "dsl_significant_text", "multi_index_search",
                  # flagship (entry()) stays gated
                  "bm25_topk_wand"):
         assert must in qs
