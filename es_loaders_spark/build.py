@@ -196,6 +196,23 @@ def release_doc_id_caches(result: DataFrame | None = None) -> None:
         _ID_PERSISTS.pop().unpersist()
 
 
+def _require_string_routing(docs, routing_field: str) -> None:
+    """Routing keys must be STRING columns: the build side hashes
+    Spark's cast-to-string rendering while the query side hashes
+    Python's str() — for doubles (scientific notation) and booleans
+    ("true" vs "True") the two renderings differ, silently pruning a
+    routed query to the WRONG shard. ES routing values are strings too;
+    cast explicitly at ingest to pick ONE rendering."""
+    dt = dict(docs.dtypes).get(routing_field)
+    if dt != "string":
+        raise ValueError(
+            f"routing_field {routing_field!r} must be a string column, "
+            f"got {dt}: Spark's CAST and Python's str() render "
+            "doubles/booleans differently, so build-side and query-side "
+            "hashes would disagree — cast it to string at ingest"
+        )
+
+
 def _routing_shard_col(col_name: str, n_shards: int):
     """Column expr: shard id for a routing key — the portable md5 hash
     (dedup.portable_hash60 of the stringified key) mod n_shards, so
@@ -450,6 +467,7 @@ def build_index(
                 f"routing_field {routing_field!r} is not a column of the "
                 f"input ({docs.columns})"
             )
+        _require_string_routing(docs, routing_field)
         cols.append(F.col(routing_field).alias("_routing"))
     docs = docs.select(*cols + ([F.col("dl")] if has_dl else []))
     if align_shards:
@@ -838,6 +856,7 @@ def append_documents(
                 f"this index has routing_field {routing_field!r}; the "
                 f"append input must carry that column ({docs.columns})"
             )
+        _require_string_routing(docs, routing_field)
         docs = docs.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"),
             F.col(routing_field).alias("_routing"),

@@ -225,6 +225,7 @@ def index_stats(index_dir: str) -> dict:
         "generations": int(stats.get("generations", 1)),
         "positions": bool(stats.get("positions", True)),
         "analysis": stats.get("analysis"),
+        "routing_field": stats.get("routing_field"),
         "format": stats.get("format"),
         "applied_batches": list(stats.get("applied_batches", [])),
         "tables": {},

@@ -1813,6 +1813,16 @@ def search(
             spark, index_dir, txt, k=int(body.get("size", 10)), generations=g
         )
     if "aggs" in body:
+        if body.get("min_score") is not None or body.get("track_total_hits"):
+            # ES applies min_score to the docs FEEDING the aggs; this
+            # branch would silently ignore it (same reasoning as the
+            # post_filter refusal above — a silent no-op over a size:0
+            # aggs body is a wrong answer, not a convenience)
+            raise ValueError(
+                "min_score/track_total_hits with an aggs body is not "
+                "supported — filter the scored doc set explicitly (ES "
+                "applies min_score to the docs feeding aggregations)"
+            )
         qd = body.get("query", {}) or {}
         base = _parent_child_query(docs, qd, id_col)
         if base is None and index_dir is not None and len(qd) == 1 and "match" in qd:

@@ -3882,8 +3882,11 @@ def bm25_topk_routed(spark, sf_dir):
 # for the next driver-gate window).
 # ---------------------------------------------------------------------------
 
+# SQL-quoted twin of textstats.BPE_SPLIT_RE (explicit ASCII whitespace
+# class — Java \s and RE2 \s disagree on \x0B)
 _BPE_RE_SQL = (
-    "''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+    "''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    "| ?[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]+"
 )
 _TOKS_DUCK = (
     "list_filter(regexp_split_to_array(lower(text), "

@@ -101,8 +101,13 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 # runs, space-prefixed punctuation runs. (The full GPT-2 pattern's
 # \s+(?!\S) lookahead is not RE2-expressible — whitespace runs between
 # tokens are simply not counted, which is what a tokens-per-doc budget
-# wants anyway.)
-BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+# wants anyway.) Whitespace is an EXPLICIT ASCII class, not \s: Java's
+# \s includes vertical tab, RE2's does not, so \s would make the two
+# engines disagree on documents containing \x0B.
+BPE_SPLIT_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^A-Za-z0-9 \t\n\r\f\x0B]+"
+)
 
 # rolling-hash parameters (Rabin–Karp over the analyzer token stream):
 # per-token value = portable md5 hash mod M, combined acc = (acc·B + h)
@@ -126,12 +131,11 @@ def _tokens_arr(text_col: Column) -> Column:
 
 
 def _phash_mod(t: Column) -> Column:
-    # portable_hash60 inlined (dedup.py) so the DuckDB twin is the
-    # documented md5 expression, reduced mod ROLL_MOD
-    return (
-        F.conv(F.substring(F.md5(F.encode(t, "utf-8")), 1, 15), 16, 10)
-        .cast("long") % F.lit(ROLL_MOD)
-    )
+    # ONE hash definition engine-wide (dedup.portable_hash60 — the
+    # documented DuckDB md5 expression), reduced mod ROLL_MOD
+    from .dedup import portable_hash60
+
+    return portable_hash60(t) % F.lit(ROLL_MOD)
 
 
 def rolling_hash_col(text_col: Column) -> Column:

@@ -421,3 +421,14 @@ def test_terms_include_regex_and_exclude_list(spark, documents):
                                  "include": "rc1.*"}}},
     }).collect()
     assert none == []
+
+
+def test_min_score_and_total_hits_refused_with_aggs(spark, documents):
+    for extra in ({"min_score": 2.0}, {"track_total_hits": True}):
+        with pytest.raises(ValueError, match="aggs"):
+            dsl.search(spark, documents, {
+                "size": 0,
+                "query": {"match": {"text": "spark"}},
+                "aggs": {"l": {"terms": {"field": "lang"}}},
+                **extra,
+            })

@@ -185,3 +185,33 @@ def test_build_guards(spark, documents, tmp_path):
     with pytest.raises(Exception, match="routing"):
         build_index(spark, bad, str(tmp_path / "c"), n_shards=4,
                     routing_field="source")
+
+
+def test_routed_plans_carry_the_shard_predicate(spark, documents, routed_idx):
+    """The deletion test above shows behavior; this pins the MECHANISM:
+    the routed plan filters the doclens source (and, in cogroup mode,
+    the posting scan) on the routed shard id — an implementation that
+    merely tolerated missing shard dirs would show no such predicate."""
+    from tests.test_plans import explain_str
+
+    sid = routing_shard_id("src1", 8)
+    for mode in ("serve", "cogroup"):
+        routed_plan = explain_str(
+            topk(spark, routed_idx, Q, k=5, routing="src1", mode=mode)
+        )
+        plain_plan = explain_str(topk(spark, routed_idx, Q, k=5, mode=mode))
+        assert f"shard#" in routed_plan
+        # the literal routed shard id appears in a filter condition
+        assert f"IN ({sid})" in routed_plan or f"= {sid}" in routed_plan, (
+            mode, routed_plan[:2000])
+        assert f"IN ({sid})" not in plain_plan and f"= {sid}" not in plain_plan
+
+
+def test_non_string_routing_column_refused(spark, documents, tmp_path):
+    """Build-side Spark CAST and query-side Python str() render doubles
+    and booleans differently — a routed query would prune to the WRONG
+    shard. Refuse at build time instead."""
+    df = documents.withColumn("rkey", F.col("doc_id") * 1.5)
+    with pytest.raises(ValueError, match="string column"):
+        build_index(spark, df, str(tmp_path / "d"), n_shards=4,
+                    routing_field="rkey")
