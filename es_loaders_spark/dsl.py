@@ -112,6 +112,85 @@ def _haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
 _MAX_MERCATOR_LAT = 85.05112878  # Web-Mercator clamp (ES GeoTileUtils)
 
 
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_plan(precision: int):
+    """Shared bit plan for the Spark and SQL geohash renderers: geohash
+    = base32 of the bit-interleaved binary expansions of the scaled
+    lon/lat integers (lon contributes bit 0, the classic layout). One
+    plan, two renderers — the twins cannot drift."""
+    if not (1 <= precision <= 12):
+        raise ValueError(f"geohash precision 1..12, got {precision}")
+    total = 5 * precision
+    lon_bits = (total + 1) // 2  # lon leads, gets the extra bit when odd
+    lat_bits = total // 2
+    # (source, source_bit, code_bit) triples, code bit 0 = MSB of the code
+    triples = []
+    for i in range(lon_bits):
+        triples.append(("x", lon_bits - 1 - i, total - 1 - 2 * i))
+    for j in range(lat_bits):
+        triples.append(("y", lat_bits - 1 - j, total - 2 - 2 * j))
+    return total, lon_bits, lat_bits, triples
+
+
+def geohash_key(lat: Column, lon: Column, precision: int) -> Column:
+    """Classic geohash cell id at ``precision`` chars (ES geohash_grid
+    bucket key). Scaled-integer Morton interleave + base32 — an unrolled
+    pure-arithmetic expression (shifts/ands/adds), whole-stage codegen,
+    no UDF. ``geohash_key_sql`` renders the IDENTICAL plan as DuckDB
+    SQL for the oracle twin."""
+    total, lon_bits, lat_bits, triples = _geohash_plan(precision)
+    x = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0)
+                * F.lit(float(1 << lon_bits))),
+        F.lit(float((1 << lon_bits) - 1)),
+    ).cast("long")
+    y = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0)
+                * F.lit(float(1 << lat_bits))),
+        F.lit(float((1 << lat_bits) - 1)),
+    ).cast("long")
+    code = F.lit(0).cast("long")
+    for src, sbit, cbit in triples:
+        v = x if src == "x" else y
+        code = code + (
+            F.shiftright(v, sbit).bitwiseAND(F.lit(1)) * F.lit(1 << cbit)
+        )
+    alphabet = F.array(*[F.lit(ch) for ch in _GEOHASH32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (
+                F.shiftright(code, 5 * (precision - 1 - c))
+                .bitwiseAND(F.lit(31)) + F.lit(1)
+            ).cast("int"),
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_key_sql(lat: str, lon: str, precision: int) -> str:
+    """DuckDB rendering of the SAME _geohash_plan (see geohash_key)."""
+    total, lon_bits, lat_bits, triples = _geohash_plan(precision)
+    x = (f"least(CAST(floor(({lon} + 180.0) / 360.0 * {1 << lon_bits}) "
+         f"AS BIGINT), {(1 << lon_bits) - 1})")
+    y = (f"least(CAST(floor(({lat} + 90.0) / 180.0 * {1 << lat_bits}) "
+         f"AS BIGINT), {(1 << lat_bits) - 1})")
+    terms = " + ".join(
+        f"((({x if src == 'x' else y} >> {sbit}) & 1) * {1 << cbit})"
+        for src, sbit, cbit in triples
+    )
+    code = f"({terms})"
+    chars = " || ".join(
+        f"substr('{_GEOHASH32}', "
+        f"CAST((({code} >> {5 * (precision - 1 - c)}) & 31) + 1 AS INT), 1)"
+        for c in range(precision)
+    )
+    return f"({chars})"
+
+
 def geotile_key(lat: Column, lon: Column, precision: int) -> Column:
     """Web-Mercator tile key "z/x/y" (ES geotile_grid bucket key).
 
@@ -3522,6 +3601,25 @@ def _aggs(
                 F.count(F.lit(1)).alias("doc_count")
             )
         return exploded.agg(F.count(F.lit(1)).alias("doc_count"))
+    if "geohash_grid" in spec:
+        # ES geohash_grid: classic geohash cells at `precision` chars —
+        # the same one-groupBy shape as geotile_grid, bucket key from
+        # the unrolled Morton/base32 arithmetic (geohash_key)
+        g = spec["geohash_grid"]
+        pt = F.col(g["field"])
+        grouped = base.withColumn(
+            f"{name}_key",
+            geohash_key(
+                pt.getField("lat"), pt.getField("lon"),
+                int(g.get("precision", 5)),
+            ),
+        )
+        sub = spec.get("aggs")
+        if sub:
+            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
+        return grouped.groupBy(*group_cols, f"{name}_key").agg(
+            F.count(F.lit(1)).alias("doc_count")
+        )
     if "geotile_grid" in spec:
         # ES geotile_grid: Web-Mercator map tiles "z/x/y" at the given
         # precision — pure floor math, whole-stage codegen, one groupBy.

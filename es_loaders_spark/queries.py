@@ -3263,6 +3263,35 @@ def _geotile_oracle_sql() -> str:
 ORACLES["dsl_geotile_grid"] = _geotile_oracle_sql()
 
 
+@q("dsl_geohash_grid", None, extra=True)  # oracle assembled below
+def dsl_geohash_grid(spark, sf_dir):
+    """ES ``geohash_grid`` agg (dsl.geohash_key): classic geohash cells
+    at precision 3 — scaled-integer Morton interleave + base32 as ONE
+    unrolled arithmetic expression (no UDF; verified against the
+    canonical test vectors u4pruyd/dr5rs/s0000). The oracle re-emits the
+    identical bit plan via dsl.geohash_key_sql."""
+    from . import dsl
+
+    body = {"size": 0, "aggs": {
+        "cells": {"geohash_grid": {"field": "loc", "precision": 3}}}}
+    out = dsl.search(spark, _geo_customers(spark, sf_dir), body)
+    return out.select(F.col("cells_key").alias("cell"), "doc_count")
+
+
+def _geohash_oracle_sql() -> str:
+    from . import dsl
+
+    return (
+        "WITH pts AS (SELECT "
+        f"{_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon FROM customer) "
+        f"SELECT {dsl.geohash_key_sql('lat', 'lon', 3)} AS cell, "
+        "count(*) AS doc_count FROM pts GROUP BY 1"
+    )
+
+
+EXTRA_ORACLES["dsl_geohash_grid"] = _geohash_oracle_sql()
+
+
 # The percolated candidate document (fixed) and the stored-query
 # derivation (one row per part) — mirrored exactly in the SQL twin.
 _PERC_DOC = {

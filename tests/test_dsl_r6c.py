@@ -432,3 +432,60 @@ def test_min_score_and_total_hits_refused_with_aggs(spark, documents):
                 "aggs": {"l": {"terms": {"field": "lang"}}},
                 **extra,
             })
+
+
+# --------------------------------------------------------------- geohash_grid
+
+def _reference_geohash(lat, lon, p):
+    """Textbook range-bisection geohash — an INDEPENDENT algorithm from
+    the engine's scaled-integer Morton form."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    latr, lonr = [-90.0, 90.0], [-180.0, 180.0]
+    bits, even, out, ch = 0, True, "", 0
+    while len(out) < p:
+        rng, v = (lonr, lon) if even else (latr, lat)
+        mid = (rng[0] + rng[1]) / 2
+        if v >= mid:
+            ch, rng[0] = ch * 2 + 1, mid
+        else:
+            ch, rng[1] = ch * 2, mid
+        even, bits = not even, bits + 1
+        if bits == 5:
+            out, bits, ch = out + b32[ch], 0, 0
+    return out
+
+
+def test_geohash_key_matches_reference_bisection(spark):
+    from es_loaders_spark.dsl import geohash_key
+
+    pts = [(57.64911, 10.40744), (40.71, -74.0), (0.0, 0.0),
+           (-33.8688, 151.2093), (-90.0, -180.0), (90.0, 180.0),
+           (13.37, -42.42), (-77.85, 166.67)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    for p in (1, 4, 7, 12):
+        got = [r.g for r in df.select(
+            geohash_key(F.col("lat"), F.col("lon"), p).alias("g")).collect()]
+        assert got == [_reference_geohash(la, lo, p) for la, lo in pts], p
+    # the classic published vector, for the reader
+    assert _reference_geohash(57.64911, 10.40744, 7) == "u4pruyd"
+    with pytest.raises(ValueError, match="precision"):
+        df.select(geohash_key(F.col("lat"), F.col("lon"), 13))
+
+
+def test_geohash_grid_agg_with_subagg(spark):
+    df = spark.createDataFrame(
+        [(1, 57.64911, 10.40744, 5.0), (2, 57.649, 10.407, 7.0),
+         (3, 40.71, -74.0, 9.0)],
+        "doc_id long, lat double, lon double, v double",
+    )
+    df = df.select(
+        "doc_id", "v",
+        F.struct(F.col("lat"), F.col("lon")).alias("loc"),
+    )
+    rows = dsl.search(spark, df, {
+        "size": 0,
+        "aggs": {"g": {"geohash_grid": {"field": "loc", "precision": 4},
+                       "aggs": {"s": {"sum": {"field": "v"}}}}},
+    }).collect()
+    out = {r.g_key: (r.doc_count, r.value) for r in rows}
+    assert out == {"u4pr": (2, 12.0), "dr5r": (1, 9.0)}
