@@ -112,6 +112,39 @@ def _haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
 _MAX_MERCATOR_LAT = 85.05112878  # Web-Mercator clamp (ES GeoTileUtils)
 
 
+def _ipv4_num(col: Column) -> Column:
+    """Dotted-quad IPv4 string → u32 value (split + arithmetic, pure
+    codegen). DuckDB twin: the identical split_part/CAST arithmetic —
+    see _IPV4_NUM_SQL in queries.py."""
+    p = F.split(col, r"\.")
+    return (
+        F.element_at(p, 1).cast("long") * F.lit(16777216)
+        + F.element_at(p, 2).cast("long") * F.lit(65536)
+        + F.element_at(p, 3).cast("long") * F.lit(256)
+        + F.element_at(p, 4).cast("long")
+    )
+
+
+def _ipv4_int(s: str) -> int:
+    a, b, c, d = (int(x) for x in str(s).split("."))
+    for o in (a, b, c, d):
+        if not 0 <= o <= 255:
+            raise ValueError(f"bad IPv4 address {s!r}")
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+def _cidr_bounds(mask: str) -> tuple[int, int]:
+    """CIDR "a.b.c.d/p" → [lo, hi) u32 bounds (network base, not the
+    literal address — ES masks off host bits the same way)."""
+    addr, _, bits = str(mask).partition("/")
+    p = int(bits)
+    if not 0 <= p <= 32:
+        raise ValueError(f"bad CIDR prefix in {mask!r}")
+    span = 1 << (32 - p)
+    lo = (_ipv4_int(addr) // span) * span
+    return lo, lo + span
+
+
 _GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 
@@ -3502,6 +3535,44 @@ def _aggs(
                 cond = cond & (F.col(field) >= F.lit(frm))
             if to is not None:
                 cond = cond & (F.col(field) < F.lit(to))
+            tagged.append(F.when(cond, F.lit(key)))
+        grouped = base.withColumn(
+            f"{name}_key",
+            F.explode(F.array_compact(F.array(*tagged))),
+        )
+        sub = spec.get("aggs")
+        if sub:
+            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
+        return grouped.groupBy(*group_cols, f"{name}_key").agg(
+            F.count(F.lit(1)).alias("doc_count")
+        )
+    if "ip_range" in spec:
+        # ES ip_range agg: IPv4 ranges (from inclusive, to EXCLUSIVE —
+        # unlike from/to strings in queries, matching ES's range-agg
+        # convention) or CIDR masks ("10.0.0.0/25" → [base, base+2^(32-p))).
+        # Same independent exploded-tag shape as range; the address
+        # compares as its u32 value (split + arithmetic, codegen — the
+        # identical expression is SQL-renderable for the oracle).
+        r = spec["ip_range"]
+        field = r["field"]
+        ipnum = _ipv4_num(F.col(field))
+        tagged = []
+        for rg in r["ranges"]:
+            if "mask" in rg:
+                lo, hi = _cidr_bounds(rg["mask"])
+                key = rg.get("key") or rg["mask"]
+                cond = (ipnum >= F.lit(lo)) & (ipnum < F.lit(hi))
+            else:
+                frm, to = rg.get("from"), rg.get("to")
+                key = rg.get("key") or (
+                    f"{frm if frm is not None else '*'}-"
+                    f"{to if to is not None else '*'}"
+                )
+                cond = F.lit(True)
+                if frm is not None:
+                    cond = cond & (ipnum >= F.lit(_ipv4_int(frm)))
+                if to is not None:
+                    cond = cond & (ipnum < F.lit(_ipv4_int(to)))
             tagged.append(F.when(cond, F.lit(key)))
         grouped = base.withColumn(
             f"{name}_key",

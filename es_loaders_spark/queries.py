@@ -3998,6 +3998,66 @@ def winnow_fp_q(spark, sf_dir):
     return winnow_fingerprints(_T(spark, sf_dir, "documents"))
 
 
+def _ip_range_oracle_sql() -> str:
+    from .dsl import _cidr_bounds, _ipv4_int
+
+    lo_m, hi_m = _cidr_bounds("10.96.0.0/11")
+    a, b, c = (_ipv4_int(x) for x in
+               ("10.50.0.0", "10.120.0.0", "10.120.0.0"))
+    return f"""
+        WITH ips AS (
+          SELECT printf('10.%d.%d.%d', user_id % 200, (user_id * 7) % 256,
+                        (user_id * 13) % 256) AS ip
+          FROM events),
+        num AS (
+          SELECT CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+               + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+               + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+               + CAST(split_part(ip, '.', 4) AS BIGINT) AS n
+          FROM ips)
+        SELECT key, count(*) AS doc_count FROM (
+          SELECT unnest(list_filter([
+            CASE WHEN n < {a} THEN '*-10.50.0.0' END,
+            CASE WHEN n >= {a} AND n < {b}
+                 THEN '10.50.0.0-10.120.0.0' END,
+            CASE WHEN n >= {lo_m} AND n < {hi_m} THEN '10.96.0.0/11' END,
+            CASE WHEN n >= {c} THEN '10.120.0.0-*' END
+          ], x -> x IS NOT NULL)) AS key FROM num)
+        GROUP BY 1
+    """
+
+
+@q("dsl_ip_range", _ip_range_oracle_sql(), extra=True)
+def dsl_ip_range(spark, sf_dir):
+    """ES ``ip_range`` agg (dsl.py): IPv4 from/to ranges + an
+    OVERLAPPING CIDR mask bucket, independent exploded-tag semantics —
+    the address compares as its u32 value via pure split/cast codegen;
+    the CIDR bucket's bounds come from the same _cidr_bounds helper the
+    oracle's SQL was generated with (host bits masked off, ES
+    behavior)."""
+    from . import dsl
+
+    ips = _T(spark, sf_dir, "events").select(
+        F.format_string(
+            "10.%d.%d.%d",
+            (F.col("user_id") % 200).cast("int"),
+            (F.col("user_id") * 7 % 256).cast("int"),
+            (F.col("user_id") * 13 % 256).cast("int"),
+        ).alias("ip")
+    )
+    body = {"size": 0, "aggs": {"r": {"ip_range": {
+        "field": "ip",
+        "ranges": [
+            {"to": "10.50.0.0"},
+            {"from": "10.50.0.0", "to": "10.120.0.0"},
+            {"mask": "10.96.0.0/11"},
+            {"from": "10.120.0.0"},
+        ],
+    }}}}
+    out = dsl.search(spark, ips, body)
+    return out.select(F.col("r_key").alias("key"), "doc_count")
+
+
 @q(
     "dsl_matrix_stats",
     """WITH s AS (

@@ -489,3 +489,33 @@ def test_geohash_grid_agg_with_subagg(spark):
     }).collect()
     out = {r.g_key: (r.doc_count, r.value) for r in rows}
     assert out == {"u4pr": (2, 12.0), "dr5r": (1, 9.0)}
+
+
+# -------------------------------------------------------------------- ip_range
+
+def test_ip_range_buckets_and_cidr(spark):
+    df = spark.createDataFrame(
+        [(1, "10.0.0.5"), (2, "10.0.0.255"), (3, "10.0.1.0"),
+         (4, "192.168.1.1"), (5, "9.255.255.255")],
+        "doc_id long, ip string",
+    )
+    rows = dsl.search(spark, df, {
+        "size": 0,
+        "aggs": {"r": {"ip_range": {"field": "ip", "ranges": [
+            {"to": "10.0.0.0"},                      # only doc 5
+            {"from": "10.0.0.0", "to": "10.0.1.0"},  # docs 1,2 (to EXCL)
+            {"mask": "10.0.0.0/23"},                 # docs 1,2,3 (overlap)
+            {"from": "192.168.0.0", "key": "private192"},
+        ]}}},
+    }).collect()
+    got = {r.r_key: r.doc_count for r in rows}
+    assert got == {"*-10.0.0.0": 1, "10.0.0.0-10.0.1.0": 2,
+                   "10.0.0.0/23": 3, "private192": 1}
+    # CIDR base with host bits set masks down to the network base
+    from es_loaders_spark.dsl import _cidr_bounds, _ipv4_int
+    lo, hi = _cidr_bounds("10.0.1.77/23")
+    assert lo == _ipv4_int("10.0.0.0") and hi == _ipv4_int("10.0.2.0")
+    with pytest.raises(ValueError, match="CIDR"):
+        _cidr_bounds("10.0.0.0/33")
+    with pytest.raises(ValueError, match="IPv4"):
+        _ipv4_int("10.0.0.300")
