@@ -519,3 +519,24 @@ def test_ip_range_buckets_and_cidr(spark):
         _cidr_bounds("10.0.0.0/33")
     with pytest.raises(ValueError, match="IPv4"):
         _ipv4_int("10.0.0.300")
+
+
+# ------------------------------------------------- randomized consistency web
+
+def test_min_score_web_random_thresholds(spark, documents):
+    """Every observed score value used as a threshold must reproduce the
+    python-filtered full ranking — 12 seeded draws."""
+    import random
+
+    full = dsl.search(spark, documents, {
+        "query": {"match": {"text": "spark merge table key"}}, "size": 60,
+    }).collect()
+    scores = sorted({r.score for r in full})
+    rng = random.Random(606)
+    for thr in rng.sample(scores, min(12, len(scores))):
+        kept = dsl.search(spark, documents, {
+            "query": {"match": {"text": "spark merge table key"}},
+            "min_score": thr, "size": 60,
+        }).collect()
+        want = [(r.doc_id, r.score) for r in full if r.score >= thr]
+        assert [(r.doc_id, r.score) for r in kept] == want, thr
