@@ -213,6 +213,28 @@ def _require_string_routing(docs, routing_field: str) -> None:
         )
 
 
+def routing_shard_ids(index_dir: str, routing) -> list[int]:
+    """Shard ids a routed request targets: the portable hash of each
+    routing value mod the index's n_shards (manifest). Refuses unrouted
+    indexes — a routed request against a doc_id-sharded index would
+    silently search the wrong shard."""
+    stats = load_stats(index_dir)
+    if not stats.get("routing_field"):
+        raise ValueError(
+            f"index {index_dir} was not built with routing_field= — "
+            "routed requests need a routed index"
+        )
+    n = int(
+        ManifestCatalog(index_dir).load("shards").props.get("n_shards") or 0
+    )
+    if n <= 0:
+        raise ValueError("index manifest lacks n_shards; rebuild")
+    vals = [routing] if isinstance(routing, (str, int)) else list(routing)
+    if not vals:
+        raise ValueError("routing= needs at least one routing value")
+    return sorted({routing_shard_id(v, n) for v in vals})
+
+
 def _routing_shard_col(col_name: str, n_shards: int):
     """Column expr: shard id for a routing key — the portable md5 hash
     (dedup.portable_hash60 of the stringified key) mod n_shards, so

@@ -2703,6 +2703,7 @@ def count(
     id_col: str = "doc_id",
     index_dir: str | None = None,
     text_col: str = "text",
+    routing: list | str | None = None,
 ) -> DataFrame:
     """``es.count`` analogue → one-row DataFrame (n bigint).
 
@@ -2711,8 +2712,22 @@ def count(
     corpus scan; everything else filters ``docs``. (term stays on the
     scan path: filter_expr's term is exact keyword equality engine-wide,
     and an index-served token count would silently change that.)
+
+    ``routing=`` (ES ``GET /idx/_count?routing=``): prune the posting
+    read to the routing keys' shards (PartitionFilters on the shard=K
+    dirs; conjunction stays exact — a routed doc's postings live wholly
+    in its shard). Index-served match path only; the scan fallback
+    refuses rather than silently counting every shard.
     """
     q = (body or {}).get("query", {})
+    shard_ids: list[int] | None = None
+    if routing is not None:
+        if index_dir is None:
+            raise ValueError("routing= needs index_dir (routed _count is "
+                             "index-served)")
+        from .build import routing_shard_ids
+
+        shard_ids = routing_shard_ids(index_dir, routing)
     if index_dir is not None and len(q) == 1:
         (kind, sub), = q.items()
         terms_q, op = None, "or"
@@ -2729,7 +2744,8 @@ def count(
             from .deletes import filter_deleted
             from .phrase import tf_postings
 
-            tp = tf_postings(spark, index_dir, sorted(set(terms_q)))
+            tp = tf_postings(spark, index_dir, sorted(set(terms_q)),
+                             shards=shard_ids)
             if op == "and" and len(set(terms_q)) > 1:
                 hits = (
                     tp.groupBy("doc_id")
@@ -2741,6 +2757,11 @@ def count(
                 hits = tp.select("doc_id").distinct()
             hits = filter_deleted(spark, index_dir, hits)
             return hits.agg(F.count(F.lit(1)).alias("n"))
+    if routing is not None:
+        raise ValueError(
+            "routing= supports the index-served match count (match on the "
+            "indexed column) — this request would scan every shard"
+        )
     return docs.filter(filter_expr(q, id_col)).agg(F.count(F.lit(1)).alias("n"))
 
 

@@ -96,6 +96,7 @@ def tf_postings(
     table: str = "shards",
     prefix: str | None = None,
     like_pattern: str | None = None,
+    shards: list[int] | None = None,
 ) -> DataFrame:
     """(term, doc_id, tf) for the given terms (or a term prefix), from
     the compressed index.
@@ -108,6 +109,10 @@ def tf_postings(
     from .build import read_generations
 
     idx = read_generations(spark, index_dir, table)
+    if shards is not None:
+        # routed read: the shard predicate reaches the shard=K-partitioned
+        # parquet as a PartitionFilter — only the routed dirs are opened
+        idx = idx.filter(F.col("shard").isin([int(s) for s in shards]))
     if terms is not None:
         idx = idx.filter(F.col("term").isin(terms))
     if prefix is not None:

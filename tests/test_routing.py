@@ -215,3 +215,34 @@ def test_non_string_routing_column_refused(spark, documents, tmp_path):
     with pytest.raises(ValueError, match="string column"):
         build_index(spark, df, str(tmp_path / "d"), n_shards=4,
                     routing_field="rkey")
+
+
+def test_routed_count(spark, documents, routed_idx):
+    """ES GET /idx/_count?routing= — index-served, pruned to the routed
+    shard; equals the python-computed count of routed-shard docs
+    containing the term."""
+    sid = routing_shard_id("src1", 8)
+    srcs = dict(documents.select("doc_id", "source").collect())
+    texts = dict(documents.select("doc_id", "text").collect())
+    want = sum(
+        1 for i, s in srcs.items()
+        if routing_shard_id(s, 8) == sid and "spark" in texts[i].split()
+    )
+    got = dsl.count(
+        spark, documents, {"query": {"match": {"text": "spark"}}},
+        index_dir=routed_idx, routing="src1",
+    ).collect()[0].n
+    assert got == want and want > 0
+    # unrouted count is strictly larger (other shards contribute)
+    full = dsl.count(
+        spark, documents, {"query": {"match": {"text": "spark"}}},
+        index_dir=routed_idx,
+    ).collect()[0].n
+    assert full > got
+    # scan-path count with routing refuses
+    with pytest.raises(ValueError, match="routing"):
+        dsl.count(spark, documents, {"query": {"term": {"lang": "en"}}},
+                  index_dir=routed_idx, routing="src1").collect()
+    with pytest.raises(ValueError, match="index_dir"):
+        dsl.count(spark, documents, {"query": {"match": {"text": "spark"}}},
+                  routing="src1")
