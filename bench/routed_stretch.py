@@ -67,19 +67,27 @@ def main() -> None:
 
     queries = ["web page link crawl", "hash join group filter",
                "spark index crawl data"]
-    # untimed warmup of both paths (codegen/cache effects off the clock)
-    topk(spark, routed, queries[0], k=20).collect()
-    topk(spark, routed, queries[0], k=20, routing="k007").collect()
+    # untimed warmup of EVERY query on BOTH paths: the first run of a
+    # query pays its cold posting-file reads and warms the OS page cache
+    # for whoever runs next — warming only one query would let the first
+    # timed unrouted runs absorb the cold I/O and gift their routed
+    # twins a warm cache (review r6c)
+    for q in queries:
+        topk(spark, routed, q, k=20).collect()
+        topk(spark, routed, q, k=20, routing="k007").collect()
 
     unrouted, routed_t = [], []
-    for _ in range(args.passes):
-        for q in queries:
-            t0 = time.time()
-            topk(spark, routed, q, k=20).collect()
-            unrouted.append(time.time() - t0)
-            t0 = time.time()
-            topk(spark, routed, q, k=20, routing="k007").collect()
-            routed_t.append(time.time() - t0)
+    for p in range(args.passes):
+        for qi, q in enumerate(queries):
+            # alternate which path runs first within each pair, so any
+            # residual ordering effect cancels across the sample set
+            order = ((None, unrouted), ("k007", routed_t))
+            if (p + qi) % 2:
+                order = order[::-1]
+            for rt, sink in order:
+                t0 = time.time()
+                topk(spark, routed, q, k=20, routing=rt).collect()
+                sink.append(time.time() - t0)
     out["unrouted_single_min_sec"] = round(min(unrouted), 3)
     out["routed_single_min_sec"] = round(min(routed_t), 3)
     out["unrouted_single_avg_sec"] = round(sum(unrouted) / len(unrouted), 3)

@@ -213,26 +213,41 @@ def _require_string_routing(docs, routing_field: str) -> None:
         )
 
 
-def routing_shard_ids(index_dir: str, routing) -> list[int]:
+def routing_shard_ids(
+    index_dir: str, routing, *, stats: dict | None = None,
+    n_shards: int | None = None,
+) -> list[int]:
     """Shard ids a routed request targets: the portable hash of each
-    routing value mod the index's n_shards (manifest). Refuses unrouted
-    indexes — a routed request against a doc_id-sharded index would
-    silently search the wrong shard."""
-    stats = load_stats(index_dir)
+    routing value mod the index's n_shards. THE one resolution contract
+    (wand.topk passes its warm-cached stats/n_shards; cold callers let
+    it read stats.json + the manifest). Refuses unrouted indexes — a
+    routed request against a doc_id-sharded index would silently search
+    the wrong shard — and non-string routing values: the routed column
+    is string-typed (_require_string_routing), and str(True)="True" /
+    str(1.5) would hash a rendering the index never stored."""
+    stats = stats if stats is not None else load_stats(index_dir)
     if not stats.get("routing_field"):
         raise ValueError(
             f"index {index_dir} was not built with routing_field= — "
             "routed requests need a routed index"
         )
-    n = int(
-        ManifestCatalog(index_dir).load("shards").props.get("n_shards") or 0
-    )
-    if n <= 0:
+    if n_shards is None:
+        n_shards = int(
+            ManifestCatalog(index_dir).load("shards").props.get("n_shards")
+            or 0
+        )
+    if n_shards <= 0:
         raise ValueError("index manifest lacks n_shards; rebuild")
-    vals = [routing] if isinstance(routing, (str, int)) else list(routing)
+    vals = [routing] if isinstance(routing, str) else list(routing)
     if not vals:
         raise ValueError("routing= needs at least one routing value")
-    return sorted({routing_shard_id(v, n) for v in vals})
+    bad = [v for v in vals if not isinstance(v, str)]
+    if bad:
+        raise ValueError(
+            f"routing values must be strings (the routed column is "
+            f"string-typed); got {bad[:3]!r}"
+        )
+    return sorted({routing_shard_id(v, n_shards) for v in vals})
 
 
 def _routing_shard_col(col_name: str, n_shards: int):

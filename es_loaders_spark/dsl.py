@@ -114,8 +114,8 @@ _MAX_MERCATOR_LAT = 85.05112878  # Web-Mercator clamp (ES GeoTileUtils)
 
 def _ipv4_num(col: Column) -> Column:
     """Dotted-quad IPv4 string → u32 value (split + arithmetic, pure
-    codegen). DuckDB twin: the identical split_part/CAST arithmetic —
-    see _IPV4_NUM_SQL in queries.py."""
+    codegen). DuckDB twin: the identical split_part/CAST arithmetic,
+    inlined in queries._ip_range_oracle_sql."""
     p = F.split(col, r"\.")
     return (
         F.element_at(p, 1).cast("long") * F.lit(16777216)
@@ -1816,6 +1816,24 @@ def search(
             "routing= serves the indexed match path — aggs/knn/pit "
             "searches don't take routing"
         )
+    if "knn" in body and ("aggs" in body or body.get("track_total_hits")):
+        # the knn branch returns before the aggs/total handling — a
+        # silent drop would be a wrong answer (same standard as the
+        # post_filter/min_score refusals; knn DOES honor min_score)
+        raise ValueError(
+            "knn search does not support aggs/track_total_hits here — "
+            "run the aggregation as its own request over the knn hits"
+        )
+    if body.get("pit") is not None and (
+        "aggs" in body
+        or body.get("min_score") is not None
+        or body.get("track_total_hits")
+    ):
+        raise ValueError(
+            "pit search supports the plain as-of match page — "
+            "aggs/min_score/track_total_hits are not applied to pit "
+            "results (refusing rather than silently ignoring them)"
+        )
     if body.get("post_filter") is not None:
         # ES post_filter: restricts HITS without touching aggs or scores.
         # Aggs bodies here are size:0 (no hits), so a post_filter there
@@ -3501,6 +3519,28 @@ def _aggs(
             f"got {sorted(aggs)}"
         )
     (name, spec), = aggs.items()
+
+    def _keyed_buckets(grouped: DataFrame) -> DataFrame:
+        # shared footer of every keyed bucketing branch below: recurse
+        # into sub-aggs per bucket, else count docs per bucket
+        sub = spec.get("aggs")
+        if sub:
+            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
+        return grouped.groupBy(*group_cols, f"{name}_key").agg(
+            F.count(F.lit(1)).alias("doc_count")
+        )
+
+    def _tagged_buckets(tagged: list) -> DataFrame:
+        # exploded-tag buckets (range/ip_range/filters/geo_distance/
+        # date_range): independent, possibly overlapping ranges — one
+        # exploded row per matching bucket, one shuffle total
+        return _keyed_buckets(
+            base.withColumn(
+                f"{name}_key",
+                F.explode(F.array_compact(F.array(*tagged))),
+            )
+        )
+
     if "date_histogram" in spec:
         h = spec["date_histogram"]
         field = h["field"]
@@ -3515,26 +3555,14 @@ def _aggs(
         if unit is None:
             raise ValueError(f"unsupported date_histogram interval {iv!r}")
         bucket = F.date_trunc(unit, F.col(field)).alias(f"{name}_key")
-        sub = spec.get("aggs")
-        grouped = base.withColumn(f"{name}_key", bucket)
-        if sub:
-            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
-        return grouped.groupBy(*group_cols, f"{name}_key").agg(
-            F.count(F.lit(1)).alias("doc_count")
-        )
+        return _keyed_buckets(base.withColumn(f"{name}_key", bucket))
     if "histogram" in spec:
         h = spec["histogram"]
         field, interval = h["field"], h["interval"]
         bucket = (F.floor(F.col(field) / F.lit(interval)) * F.lit(interval)).alias(
             f"{name}_key"
         )
-        sub = spec.get("aggs")
-        grouped = base.withColumn(f"{name}_key", bucket)
-        if sub:
-            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
-        return grouped.groupBy(*group_cols, f"{name}_key").agg(
-            F.count(F.lit(1)).alias("doc_count")
-        )
+        return _keyed_buckets(base.withColumn(f"{name}_key", bucket))
     if "range" in spec:
         # ES range agg: each range is evaluated INDEPENDENTLY (from
         # inclusive, to exclusive; overlapping ranges each count the doc),
@@ -3557,16 +3585,7 @@ def _aggs(
             if to is not None:
                 cond = cond & (F.col(field) < F.lit(to))
             tagged.append(F.when(cond, F.lit(key)))
-        grouped = base.withColumn(
-            f"{name}_key",
-            F.explode(F.array_compact(F.array(*tagged))),
-        )
-        sub = spec.get("aggs")
-        if sub:
-            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
-        return grouped.groupBy(*group_cols, f"{name}_key").agg(
-            F.count(F.lit(1)).alias("doc_count")
-        )
+        return _tagged_buckets(tagged)
     if "ip_range" in spec:
         # ES ip_range agg: IPv4 ranges (from inclusive, to EXCLUSIVE —
         # unlike from/to strings in queries, matching ES's range-agg
@@ -3595,16 +3614,7 @@ def _aggs(
                 if to is not None:
                     cond = cond & (ipnum < F.lit(_ipv4_int(to)))
             tagged.append(F.when(cond, F.lit(key)))
-        grouped = base.withColumn(
-            f"{name}_key",
-            F.explode(F.array_compact(F.array(*tagged))),
-        )
-        sub = spec.get("aggs")
-        if sub:
-            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
-        return grouped.groupBy(*group_cols, f"{name}_key").agg(
-            F.count(F.lit(1)).alias("doc_count")
-        )
+        return _tagged_buckets(tagged)
     if "filters" in spec:
         # ES filters agg: named sub-queries, each bucket = docs matching
         # that filter (independent, overlapping allowed). Same exploded-
@@ -3616,16 +3626,7 @@ def _aggs(
             )
             for nm, qd in sorted(named.items())
         ]
-        grouped = base.withColumn(
-            f"{name}_key",
-            F.explode(F.array_compact(F.array(*tagged))),
-        )
-        sub = spec.get("aggs")
-        if sub:
-            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
-        return grouped.groupBy(*group_cols, f"{name}_key").agg(
-            F.count(F.lit(1)).alias("doc_count")
-        )
+        return _tagged_buckets(tagged)
     if "children" in spec:
         # ES children agg: switch the aggregation context from the
         # current (parent) docs to their children of the given type —
@@ -3706,12 +3707,7 @@ def _aggs(
                 int(g.get("precision", 5)),
             ),
         )
-        sub = spec.get("aggs")
-        if sub:
-            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
-        return grouped.groupBy(*group_cols, f"{name}_key").agg(
-            F.count(F.lit(1)).alias("doc_count")
-        )
+        return _keyed_buckets(grouped)
     if "geotile_grid" in spec:
         # ES geotile_grid: Web-Mercator map tiles "z/x/y" at the given
         # precision — pure floor math, whole-stage codegen, one groupBy.
@@ -3724,12 +3720,7 @@ def _aggs(
                 int(g.get("precision", 7)),
             ),
         )
-        sub = spec.get("aggs")
-        if sub:
-            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
-        return grouped.groupBy(*group_cols, f"{name}_key").agg(
-            F.count(F.lit(1)).alias("doc_count")
-        )
+        return _keyed_buckets(grouped)
     if "geo_distance" in spec:
         # ES geo_distance agg: distance-from-origin range buckets — the
         # same independent/overlapping bucket semantics as the range agg
@@ -3755,16 +3746,7 @@ def _aggs(
             if to is not None:
                 cond = cond & (dist < F.lit(float(to)))
             tagged.append(F.when(cond, F.lit(key)))
-        grouped = base.withColumn(
-            f"{name}_key",
-            F.explode(F.array_compact(F.array(*tagged))),
-        )
-        sub = spec.get("aggs")
-        if sub:
-            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
-        return grouped.groupBy(*group_cols, f"{name}_key").agg(
-            F.count(F.lit(1)).alias("doc_count")
-        )
+        return _tagged_buckets(tagged)
     if "composite" in spec:
         # ES composite agg: a FLAT multi-source bucket stream, paginated
         # by after-key — the scale path for high-cardinality bucket sets
@@ -3871,15 +3853,7 @@ def _aggs(
             if to is not None:
                 cond = cond & (F.col(field) < F.lit(to).cast("timestamp"))
             tagged.append(F.when(cond, F.lit(key)))
-        grouped = base.withColumn(
-            f"{name}_key", F.explode(F.array_compact(F.array(*tagged)))
-        )
-        sub = spec.get("aggs")
-        if sub:
-            return _recurse(grouped, sub, group_cols + [f"{name}_key"])
-        return grouped.groupBy(*group_cols, f"{name}_key").agg(
-            F.count(F.lit(1)).alias("doc_count")
-        )
+        return _tagged_buckets(tagged)
     if "auto_date_histogram" in spec:
         # ES auto_date_histogram: pick the smallest calendar interval that
         # keeps the bucket count within `buckets`. The unit ladder here is

@@ -590,21 +590,10 @@ def topk(
         # improvement over ES's per-shard-dfs default. As in ES, the
         # routed search sees the WHOLE shard: other routing keys hashing
         # to the same shard remain visible.
-        rf = stats.get("routing_field")
-        if not rf:
-            raise ValueError(
-                f"index {index_dir} was not built with routing_field= — "
-                "routed search needs a routed index"
-            )
-        if warm.n_shards <= 0:
-            raise ValueError("index manifest lacks n_shards; rebuild")
-        from .build import routing_shard_id
+        from .build import routing_shard_ids
 
-        vals = [routing] if isinstance(routing, (str, int)) else list(routing)
-        if not vals:
-            raise ValueError("routing= needs at least one routing value")
-        shard_ids = sorted(
-            {routing_shard_id(v, warm.n_shards) for v in vals}
+        shard_ids = routing_shard_ids(
+            index_dir, routing, stats=stats, n_shards=warm.n_shards
         )
 
     if mode == "serve":
