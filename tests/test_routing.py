@@ -246,3 +246,40 @@ def test_routed_count(spark, documents, routed_idx):
     with pytest.raises(ValueError, match="index_dir"):
         dsl.count(spark, documents, {"query": {"match": {"text": "spark"}}},
                   routing="src1")
+
+
+def test_routing_composes_with_analysis_chain(spark, documents, tmp_path):
+    """Routing and analysis chains are orthogonal index settings — a
+    routed+chained index must analyze with the chain AND prune to the
+    routed shard, and both settings must survive an append."""
+    d = str(tmp_path / "rc")
+    build_index(
+        spark, documents, d, n_shards=8, routing_field="source",
+        analysis={"stopwords": ["the", "a"], "stemmer": "minimal_english"},
+    )
+    full = [(r.doc_id, r.score)
+            for r in topk(spark, d, "the tables", k=10**6).collect()]
+    assert full, "chained query (stemmed 'tables', stopped 'the') matched"
+    got = [(r.doc_id, r.score)
+           for r in topk(spark, d, "the tables", k=10, routing="src1").collect()]
+    assert got == _routed_want(documents, full, "src1")
+    new = documents.select(
+        (F.col("doc_id") + 10**6).alias("doc_id"), "text", "source")
+    append_documents(spark, new, d)
+    st = load_stats(d)
+    assert st["routing_field"] == "source" and st["analysis"] is not None
+    evict_index(d)
+
+
+def test_routed_query_sees_deletes(spark, documents, tmp_path):
+    from es_loaders_spark.deletes import delete_ids
+
+    d = str(tmp_path / "rd")
+    build_index(spark, documents, d, n_shards=8, routing_field="source")
+    before = topk(spark, d, Q, k=5, routing="src1").collect()
+    victim = before[0].doc_id
+    delete_ids(spark, d, spark.createDataFrame([(victim,)], "doc_id long"))
+    after = [r.doc_id for r in topk(spark, d, Q, k=5, routing="src1").collect()]
+    assert victim not in after
+    assert after == [r.doc_id for r in before[1:]] + after[len(before) - 1:]
+    evict_index(d)
