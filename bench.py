@@ -236,6 +236,12 @@ def main() -> None:
         build_index(spark, docs, d4, n_shards=max(8, cpus),
                     positions=False, routing_field="source")
         warm_index(spark, d4)
+        # untimed warmup of BOTH paths first — the first query on a fresh
+        # index pays one-time costs that would otherwise load onto
+        # whichever timed row runs first (bench/routed_stretch.py applies
+        # the same discipline; review r6c)
+        topk(spark, d4, bm25_queries[0], k=20).collect()
+        topk(spark, d4, bm25_queries[0], k=20, routing="src1").collect()
         t0 = time.time()
         topk(spark, d4, bm25_queries[0], k=20).collect()
         samples["bm25_routed_unrouted_single"].append(time.time() - t0)

@@ -238,7 +238,15 @@ def routing_shard_ids(
         )
     if n_shards <= 0:
         raise ValueError("index manifest lacks n_shards; rebuild")
-    vals = [routing] if isinstance(routing, str) else list(routing)
+    if isinstance(routing, str):
+        vals = [routing]
+    elif isinstance(routing, (list, tuple, set, frozenset)):
+        vals = list(routing)
+    else:
+        raise ValueError(
+            f"routing values must be strings (got {type(routing).__name__}"
+            f" {routing!r}) — the routed column is string-typed"
+        )
     if not vals:
         raise ValueError("routing= needs at least one routing value")
     bad = [v for v in vals if not isinstance(v, str)]

@@ -223,7 +223,8 @@ def main(argv: list[str] | None = None) -> None:
         batch = {f"q{i}": text for i, text in enumerate(args.query)}
         if args.routing:
             # routed queries serve per-query through topk (the batch path
-            # melts all queries into one job over every shard)
+            # melts all queries into one job over every shard); no early
+            # return — flow must reach the shared spark.stop() below
             from .wand import topk
 
             for qid, text in batch.items():
@@ -236,11 +237,12 @@ def main(argv: list[str] | None = None) -> None:
                         "doc_id": r["doc_id"], "score": r["score"],
                         "routing": args.routing,
                     }))
-            return
-        rows = topk_batch(spark, index_dir, batch, k=args.k).collect()
-        for r in rows:
-            print(json.dumps({"query": batch[r["query_id"]], "rank": r["rank"],
-                              "doc_id": r["doc_id"], "score": r["score"]}))
+        else:
+            rows = topk_batch(spark, index_dir, batch, k=args.k).collect()
+            for r in rows:
+                print(json.dumps({
+                    "query": batch[r["query_id"]], "rank": r["rank"],
+                    "doc_id": r["doc_id"], "score": r["score"]}))
     elif args.cmd == "phrase":
         from .phrase import phrase_docs
 

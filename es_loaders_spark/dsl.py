@@ -201,7 +201,12 @@ def geohash_key(lat: Column, lon: Column, precision: int) -> Column:
         )
         for c in range(precision)
     ]
-    return F.concat(*chars)
+    # NULL coordinates → NULL key (the agg branch drops the row, like ES
+    # dropping docs missing the geo field) — without this, F.least would
+    # silently bucket nulls into the all-ones "zzz…" corner cell
+    return F.when(
+        lat.isNotNull() & lon.isNotNull(), F.concat(*chars)
+    )
 
 
 def geohash_key_sql(lat: str, lon: str, precision: int) -> str:
@@ -248,11 +253,17 @@ def geotile_key(lat: Column, lon: Column, precision: int) -> Column:
         * n
     )
     clamp = lambda c: F.least(F.greatest(c, F.lit(0.0)), n - F.lit(1.0))  # noqa: E731
-    return F.concat_ws(
-        "/",
-        F.lit(str(precision)),
-        clamp(x).cast("long").cast("string"),
-        clamp(y).cast("long").cast("string"),
+    # NULL coordinates → NULL key (dropped by the agg branch, like ES
+    # dropping docs missing the geo field): concat_ws skips NULL args,
+    # which would otherwise silently emit a malformed "z/x"-style key
+    return F.when(
+        lat.isNotNull() & lon.isNotNull(),
+        F.concat_ws(
+            "/",
+            F.lit(str(precision)),
+            clamp(x).cast("long").cast("string"),
+            clamp(y).cast("long").cast("string"),
+        ),
     )
 
 
@@ -2625,6 +2636,11 @@ def search(
     out = out.limit(size)
     src = body.get("_source")
     if isinstance(src, list) and src:
+        # a requested total must never be silently projected away: ES
+        # returns hits.total OUTSIDE _source, so the column rides along
+        # even when the _source list omits it
+        if body.get("track_total_hits") and "total_hits" not in src:
+            src = [*src, "total_hits"]
         out = out.select(*src)
     return out
 
@@ -3522,7 +3538,12 @@ def _aggs(
 
     def _keyed_buckets(grouped: DataFrame) -> DataFrame:
         # shared footer of every keyed bucketing branch below: recurse
-        # into sub-aggs per bucket, else count docs per bucket
+        # into sub-aggs per bucket, else count docs per bucket. A NULL
+        # bucket key = the doc's field was missing — ES drops such docs
+        # from bucket aggs (the `missing` agg counts them); a silent
+        # NULL bucket (or, for the geo grids, a corner-cell bucket)
+        # would inflate counts
+        grouped = grouped.filter(F.col(f"{name}_key").isNotNull())
         sub = spec.get("aggs")
         if sub:
             return _recurse(grouped, sub, group_cols + [f"{name}_key"])
@@ -4058,9 +4079,13 @@ def _aggs(
         # corpus); background is never deduped, as in ES.
         st_ = dict(spec["significant_text"])
         if st_.pop("filter_duplicate_text", False):
+            # survivor = the duplicate group's MIN id (the documented
+            # contract the oracle's min(doc_id) mirrors) — ordering by
+            # base.columns[0] would be nondeterministic on tables whose
+            # first column isn't the unique id (review r6c)
             w_ = Window.partitionBy(
                 F.md5(F.col(st_["field"]).cast("string"))
-            ).orderBy(*[F.col(c) for c in base.columns[:1]])
+            ).orderBy(F.col(id_col))
             base = (
                 base.withColumn("_rn_sig", F.row_number().over(w_))
                 .filter(F.col("_rn_sig") == 1)

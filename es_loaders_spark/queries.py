@@ -3911,12 +3911,12 @@ def bm25_topk_routed(spark, sf_dir):
 # for the next driver-gate window).
 # ---------------------------------------------------------------------------
 
-# SQL-quoted twin of textstats.BPE_SPLIT_RE (explicit ASCII whitespace
-# class — Java \s and RE2 \s disagree on \x0B)
-_BPE_RE_SQL = (
-    "''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
-    "| ?[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]+"
-)
+# SQL-quoted twin of textstats.BPE_SPLIT_RE — DERIVED from the one
+# constant (only the SQL quote escaping differs), so an edit to the
+# Python pattern can never silently drift from the oracle's
+from .textstats import BPE_SPLIT_RE as _BPE_SPLIT_RE
+
+_BPE_RE_SQL = _BPE_SPLIT_RE.replace("'", "''")
 _TOKS_DUCK = (
     "list_filter(regexp_split_to_array(lower(text), "
     f"'{SPLIT_RE_DUCKDB}'), x -> x <> '')"

@@ -540,3 +540,27 @@ def test_min_score_web_random_thresholds(spark, documents):
         }).collect()
         want = [(r.doc_id, r.score) for r in full if r.score >= thr]
         assert [(r.doc_id, r.score) for r in kept] == want, thr
+
+
+def test_geo_grids_drop_null_coordinates(spark):
+    df = spark.createDataFrame(
+        [(1, 57.64911, 10.40744), (2, None, 10.0), (3, 40.71, None)],
+        "doc_id long, lat double, lon double",
+    ).select("doc_id", F.struct(F.col("lat"), F.col("lon")).alias("loc"))
+    for agg in ({"geohash_grid": {"field": "loc", "precision": 4}},
+                {"geotile_grid": {"field": "loc", "precision": 5}}):
+        rows = dsl.search(spark, df, {"size": 0, "aggs": {"g": agg}}).collect()
+        # only doc 1 buckets; nulls drop (no corner cell, no null bucket)
+        assert len(rows) == 1 and rows[0].doc_count == 1, (agg, rows)
+
+
+def test_track_total_hits_survives_source_projection(spark, documents):
+    out = dsl.search(spark, documents, {
+        "query": {"range": {"n_chars": {"gte": 300}}},
+        "track_total_hits": True, "sort": [{"doc_id": "asc"}], "size": 5,
+        "_source": ["doc_id", "lang"],
+    })
+    rows = out.collect()
+    n = documents.filter(F.col("n_chars") >= 300).count()
+    assert out.columns == ["doc_id", "lang", "total_hits"]
+    assert rows and all(r.total_hits == n for r in rows)
