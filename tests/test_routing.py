@@ -283,3 +283,19 @@ def test_routed_query_sees_deletes(spark, documents, tmp_path):
     assert victim not in after
     assert after == [r.doc_id for r in before[1:]] + after[len(before) - 1:]
     evict_index(d)
+
+
+def test_routed_web_every_key(spark, documents, routed_idx):
+    """Exhaustive key web: for EVERY distinct routing key, the routed
+    page equals the unrouted ranking restricted to that key's shard —
+    one full ranking collected once, ten routed queries checked."""
+    full = [(r.doc_id, r.score)
+            for r in topk(spark, routed_idx, Q, k=10**6).collect()]
+    keys = sorted(r.source for r in
+                  documents.select("source").distinct().collect())
+    assert len(keys) >= 5
+    for key in keys:
+        got = [(r.doc_id, r.score)
+               for r in topk(spark, routed_idx, Q, k=8,
+                             routing=key).collect()]
+        assert got == _routed_want(documents, full, key, k=8), key
