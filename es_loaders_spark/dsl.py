@@ -112,6 +112,32 @@ def _haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
 _MAX_MERCATOR_LAT = 85.05112878  # Web-Mercator clamp (ES GeoTileUtils)
 
 
+_FIXED_MS = {
+    "ms": 1, "1ms": 1,
+    "s": 1000, "1s": 1000, "second": 1000,
+    "m": 60_000, "1m": 60_000, "minute": 60_000,
+    "h": 3_600_000, "1h": 3_600_000, "hour": 3_600_000,
+    "d": 86_400_000, "1d": 86_400_000, "day": 86_400_000,
+    "w": 604_800_000, "1w": 604_800_000, "week": 604_800_000,
+}
+
+
+def _fixed_interval_ms(spec) -> int:
+    """Fixed-length interval ("90m", "1h", "day") → milliseconds.
+    Calendar units of varying length (month/quarter/year) refuse —
+    their bucket widths aren't constants."""
+    s = str(spec).strip().lower()
+    if s in _FIXED_MS:
+        return _FIXED_MS[s]
+    m = re.fullmatch(r"(\d+)\s*(ms|s|m|h|d|w)", s)
+    if m:
+        return int(m.group(1)) * _FIXED_MS[m.group(2)]
+    raise ValueError(
+        f"not a fixed-length interval: {spec!r} (month/quarter/year vary "
+        "in length; use ms/s/m/h/d/w forms)"
+    )
+
+
 def _ipv4_num(col: Column) -> Column:
     """Dotted-quad IPv4 string → u32 value (split + arithmetic, pure
     codegen). DuckDB twin: the identical split_part/CAST arithmetic,
@@ -3273,6 +3299,30 @@ def _aggs(
                 )
                 for q in percents
             ]
+        if "rate" in spec:
+            # ES rate agg (inside a date_histogram): bucket sum (or doc
+            # count) per `unit` of time. DELIBERATE DEVIATION: the
+            # enclosing bucket interval is passed EXPLICITLY as
+            # rate.interval (ES infers it from the parent
+            # date_histogram; the leaf compiler here is context-free)
+            # and must be a FIXED-length unit — month/quarter/year
+            # refuse, sidestepping ES's calendar-ratio table entirely.
+            rs = spec["rate"]
+            if "interval" not in rs:
+                raise ValueError(
+                    "rate needs an explicit 'interval' equal to the "
+                    "enclosing date_histogram's fixed interval (this "
+                    "engine does not infer it; deviation documented)"
+                )
+            factor = _fixed_interval_ms(rs["interval"]) / _fixed_interval_ms(
+                rs.get("unit", rs["interval"])
+            )
+            alias = f"{name}_value" if multi else "value"
+            val = (
+                F.sum(F.col(rs["field"])) if rs.get("field")
+                else F.count(F.lit(1))
+            )
+            return [(val / F.lit(float(factor))).alias(alias)]
         if "matrix_stats" in spec:
             # ES matrix_stats: per-field moments + the pairwise
             # covariance/correlation matrix over numeric fields, skipping

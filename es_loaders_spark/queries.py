@@ -4366,6 +4366,34 @@ def dsl_terms_partition(spark, sf_dir):
     return dsl.search(spark, _T(spark, sf_dir, "documents"), body)
 
 
+@q(
+    "dsl_rate",
+    "SELECT date_trunc('hour', ts) AS h_key, "
+    "round(sum(value) / 60.0, 4) AS r_value, "
+    "count(*) AS doc_count FROM events GROUP BY 1",
+    extra=True,
+)
+def dsl_rate(spark, sf_dir):
+    """ES ``rate`` agg under an hourly date_histogram: per-minute sum
+    rate (hourly sum / 60). Documented deviation: the enclosing
+    interval is stated explicitly in the rate spec (ES infers it from
+    the parent; the leaf compiler here is context-free) and must be a
+    fixed-length unit — the calendar-ratio table for month/quarter is
+    deliberately out of scope."""
+    from . import dsl
+
+    body = {"size": 0, "aggs": {"h": {
+        "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+        "aggs": {"r": {"rate": {"field": "value", "interval": "1h",
+                                "unit": "minute"}}},
+    }}}
+    out = dsl.search(spark, _T(spark, sf_dir, "events"), body,
+                     id_col="event_id")
+    return out.select(
+        "h_key", F.round("value", 4).alias("r_value"), "doc_count"
+    )
+
+
 # --- r6c rotation: this session's NEW operators take driver-gate rows ---
 # Retirees are all r05 driver-green (their operators keep a green row in
 # the r04 ∪ r05 ∪ r06 union) and stay DuckDB-gated in the local pytest

@@ -564,3 +564,39 @@ def test_track_total_hits_survives_source_projection(spark, documents):
     n = documents.filter(F.col("n_chars") >= 300).count()
     assert out.columns == ["doc_id", "lang", "total_hits"]
     assert rows and all(r.total_hits == n for r in rows)
+
+
+# ------------------------------------------------------------------- rate agg
+
+def test_rate_agg_under_date_histogram(spark, events):
+    import numpy as np
+
+    body = {"size": 0, "aggs": {"h": {
+        "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+        "aggs": {"r": {"rate": {"field": "value", "interval": "1h",
+                                "unit": "minute"}},
+                 "s": {"sum": {"field": "value"}}},
+    }}}
+    rows = dsl.search(spark, events, body, id_col="event_id").collect()
+    assert rows
+    for r in rows:
+        # rate per minute = hourly sum / 60, exactly
+        assert r.r_value == pytest.approx(r.s_value / 60.0)
+    # doc-count rate (no field): docs per minute
+    body2 = {"size": 0, "aggs": {"h": {
+        "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+        "aggs": {"r": {"rate": {"interval": "1h", "unit": "minute"}}},
+    }}}
+    rows2 = dsl.search(spark, events, body2, id_col="event_id").collect()
+    assert all(r.value == pytest.approx(r.doc_count / 60.0) for r in rows2)
+    # refusals: missing interval; calendar-length units
+    with pytest.raises(ValueError, match="interval"):
+        dsl.search(spark, events, {"size": 0, "aggs": {"h": {
+            "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+            "aggs": {"r": {"rate": {"field": "value"}}}}}},
+            id_col="event_id")
+    with pytest.raises(ValueError, match="fixed-length"):
+        dsl.search(spark, events, {"size": 0, "aggs": {"h": {
+            "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+            "aggs": {"r": {"rate": {"field": "value", "interval": "month"}}},
+        }}}, id_col="event_id")
