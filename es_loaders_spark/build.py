@@ -118,8 +118,15 @@ def assign_doc_ids(docs: DataFrame, url_col: str = "url") -> DataFrame:
     SURVEY §1.4).
     """
     spark = docs.sparkSession
+    # Persist the (url-only) input before range partitioning: the range
+    # sampler and the shuffle job otherwise each evaluate the full input
+    # subtree — on an opaque source (mapInPandas synthesis, a UDF-derived
+    # column) that is TWO full passes for one assignment. The cache holds
+    # just the projected url rows and is dropped as soon as the offsets
+    # job has materialized the range-partitioned copy below.
+    src = docs.persist()
     parted = (
-        docs.repartitionByRange(
+        src.repartitionByRange(
             max(docs.sparkSession.sparkContext.defaultParallelism, 2), F.col(url_col)
         )
         .withColumn("_pid", F.spark_partition_id())
@@ -133,6 +140,8 @@ def assign_doc_ids(docs: DataFrame, url_col: str = "url") -> DataFrame:
         .persist()
     )
     counts = parted.groupBy("_pid").count().collect()
+    # parted is materialized now; consumers read ITS cache, never src
+    src.unpersist()
     offsets = {}
     acc = 0
     for row in sorted(counts, key=lambda r: r["_pid"]):
@@ -161,6 +170,42 @@ def assign_doc_ids(docs: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 _ID_PERSISTS: list[DataFrame] = []
+
+# Shared driver-side thread pool for overlapping INDEPENDENT Spark jobs
+# inside a build (corpus-stats agg vs the posting write; the lineage
+# aggregates vs the terms-table build — guide §2.6). Module-level and
+# lazily created: no per-build executor churn, nothing to shut down on
+# error paths (an orphaned future is just a Spark job that completes).
+_AUX_POOL = None
+
+
+def _aux_pool():
+    global _AUX_POOL
+    if _AUX_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _AUX_POOL = ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="build-aux"
+        )
+    return _AUX_POOL
+
+
+def _build_terms_table(spark, shards_dir: str, terms_dir: str) -> tuple[int, int]:
+    """Global term document frequencies (for idf): one groupBy over the
+    block-0 rows of the shard table, written to ``terms_dir``. Returns
+    (n_terms, wall_ms); the CALLER commits the manifest entry (commit
+    order is part of the crash/resume contract)."""
+    t0 = time.time()
+    spark.sparkContext.setJobDescription("build_index: terms table")
+    tdf = (
+        spark.read.parquet(shards_dir)
+        .filter(F.col("block_id") == 0)  # df is per-(shard,term), on every block row
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    tdf.write.mode("overwrite").parquet(terms_dir)
+    n_terms = spark.read.parquet(terms_dir).count()
+    return n_terms, int((time.time() - t0) * 1000)
 
 
 def release_doc_id_caches(result: DataFrame | None = None) -> None:
@@ -557,7 +602,12 @@ def build_index(
         )
 
     # --- stage 1: corpus stats — single-row agg; a precomputed `dl` column
-    # (written at ingest) makes this a columnar scan with no tokenization ---
+    # (written at ingest) makes this a columnar scan with no tokenization.
+    # Submitted from a driver thread so it overlaps the posting build's
+    # job (guide §2.6: independent jobs back-fill each other's tails);
+    # the result is only consumed after both complete. ---
+    pool = _aux_pool()
+    stats_future = None
     if prior is not None:
         stats = prior
     else:
@@ -568,23 +618,30 @@ def build_index(
             if has_dl
             else F.size(_terms_array(F.col("text"), chain=chain))
         )
-        agg = docs.select("doc_id", dl_col.alias("dl")).agg(
-            F.count("*").alias("n"),
-            F.avg("dl").alias("avgdl"),
-            F.max("doc_id").alias("max_id"),
-        ).collect()[0]
-        stats = {
-            "format": INDEX_FORMAT,
-            "n_docs": int(agg["n"]),
-            "avgdl": float(agg["avgdl"] or 0.0),
-            "max_doc_id": int(agg["max_id"] if agg["max_id"] is not None else -1),
-            "generations": 1,
-            "applied_batches": [],
-            "batch_bases": {},
-            "positions": bool(positions),
-            "analysis": analysis,
-            "routing_field": routing_field,
-        }
+
+        def _stats_job():
+            spark.sparkContext.setJobDescription("build_index: corpus stats")
+            agg = docs.select("doc_id", dl_col.alias("dl")).agg(
+                F.count("*").alias("n"),
+                F.avg("dl").alias("avgdl"),
+                F.max("doc_id").alias("max_id"),
+            ).collect()[0]
+            return {
+                "format": INDEX_FORMAT,
+                "n_docs": int(agg["n"]),
+                "avgdl": float(agg["avgdl"] or 0.0),
+                "max_doc_id": int(
+                    agg["max_id"] if agg["max_id"] is not None else -1
+                ),
+                "generations": 1,
+                "applied_batches": [],
+                "batch_bases": {},
+                "positions": bool(positions),
+                "analysis": analysis,
+                "routing_field": routing_field,
+            }
+
+        stats_future = pool.submit(_stats_job)
 
     # --- stage 2: per-shard posting build — THE one heavy pass over text.
     # One shuffle by shard; the UDF tokenizes once, emits posting blocks,
@@ -593,6 +650,7 @@ def build_index(
     shards_dir = os.path.join(index_dir, "shards")
     done = cat.committed_partitions("shards", "postings") if resume else set()
     missing = sorted(set(range(n_shards)) - done)
+    terms_f = None
     if missing:
         div = _ALIGN_STRIDE if align_shards else 1
         cat.clean_uncommitted("shards", id_divisor=div)
@@ -687,30 +745,57 @@ def build_index(
             if align_shards
             else F.col("shard")
         )
-        lineage = {
-            r["k"]: r
-            for r in spark.read.parquet(shards_dir)
-            .withColumn("k", key)
-            .filter(F.col("k").isin(missing))
-            .groupBy("k")
-            .agg(
-                F.count_distinct("term").alias("terms"),
-                F.sum(F.when(F.col("block_id") == 0, F.col("df"))).alias("postings"),
-                F.sum(
-                    F.length("docs_payload") + F.length("tfs_payload")
-                ).alias("bytes"),
+
+        # the two lineage aggregates and the terms-table build (below)
+        # are independent jobs over the just-written parquet: run them
+        # concurrently from driver threads (guide §2.6). Commit ORDER is
+        # unchanged — shards/doclens commit first, terms commits after —
+        # so the crash/resume contract is exactly the serial one's.
+        def _lineage_job():
+            spark.sparkContext.setJobDescription("build_index: shard lineage")
+            return {
+                r["k"]: r
+                for r in spark.read.parquet(shards_dir)
+                .withColumn("k", key)
+                .filter(F.col("k").isin(missing))
+                .groupBy("k")
+                .agg(
+                    F.count_distinct("term").alias("terms"),
+                    F.sum(
+                        F.when(F.col("block_id") == 0, F.col("df"))
+                    ).alias("postings"),
+                    F.sum(
+                        F.length("docs_payload") + F.length("tfs_payload")
+                    ).alias("bytes"),
+                )
+                .collect()
+            }
+
+        def _docs_per_shard_job():
+            spark.sparkContext.setJobDescription("build_index: doclens lineage")
+            return {
+                r["k"]: r["cnt"]
+                for r in spark.read.parquet(doclens_dir)
+                .withColumn("k", key)
+                .filter(F.col("k").isin(missing))
+                .groupBy("k")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+
+        lineage_f = pool.submit(_lineage_job)
+        docs_per_shard_f = pool.submit(_docs_per_shard_job)
+        terms_dir = os.path.join(index_dir, "terms")
+        terms_f = None
+        if not cat.committed_partitions("terms", "terms"):
+            terms_f = pool.submit(
+                _build_terms_table, spark, shards_dir, terms_dir
             )
-            .collect()
-        }
-        docs_per_shard = {
-            r["k"]: r["cnt"]
-            for r in spark.read.parquet(doclens_dir)
-            .withColumn("k", key)
-            .filter(F.col("k").isin(missing))
-            .groupBy("k")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
+        lineage = lineage_f.result()
+        docs_per_shard = docs_per_shard_f.result()
+        if stats_future is not None:
+            stats = stats_future.result()
+            stats_future = None
         if align_shards and len(missing) == n_shards:
             # Guard against plan/runtime partition-count divergence: shard ids
             # come from spark_partition_id() at EXECUTION time, but n_shards
@@ -767,18 +852,16 @@ def build_index(
             ],
         )
 
-    # --- stage 3: global term document frequencies (for idf) ---
+    # --- stage 3: global term document frequencies (for idf). Usually
+    # already built concurrently with the lineage aggregates above; the
+    # manifest COMMIT happens here, strictly after the shards/doclens
+    # commits, preserving the serial crash/resume contract. ---
     terms_dir = os.path.join(index_dir, "terms")
     if not cat.committed_partitions("terms", "terms"):
-        t0 = time.time()
-        tdf = (
-            spark.read.parquet(shards_dir)
-            .filter(F.col("block_id") == 0)  # df is per-(shard,term), on every block row
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-        )
-        tdf.write.mode("overwrite").parquet(terms_dir)
-        n_terms = spark.read.parquet(terms_dir).count()
+        if terms_f is not None:
+            n_terms, terms_wall = terms_f.result()
+        else:
+            n_terms, terms_wall = _build_terms_table(spark, shards_dir, terms_dir)
         cat.commit(
             "terms",
             [
@@ -789,10 +872,13 @@ def build_index(
                     docs=0,
                     terms=n_terms,
                     bytes=0,
-                    wall_ms=int((time.time() - t0) * 1000),
+                    wall_ms=terms_wall,
                 )
             ],
         )
+
+    if stats_future is not None:  # no shards were missing (pure resume)
+        stats = stats_future.result()
 
     # --- stats.json last: atomic write, existence == complete build ---
     if batch_tag and batch_tag not in stats.setdefault("applied_batches", []):

@@ -280,6 +280,31 @@ def minhash_signatures(
     return minhash_signatures_from_hashed(hashed, num_hashes, seed)
 
 
+def minhash_sig_col(num_hashes: int = 32, seed: int = 42, xs_col: str = "_xs"):
+    """The MinHash signature as ONE array column over a pmod-reduced
+    hashed-shingle array column (``xs_col``) — row-local, zero shuffle.
+    Exposed so callers can compute (hs64, sig, buckets) in a single
+    projection instead of joining derived relations back on doc_id."""
+    a, b = _minhash_params(num_hashes, seed)
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col(xs_col),
+                lambda x: F.pmod(
+                    x * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE)
+                ),
+            )
+        )
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def xs_col(hs_col: str = "hs64"):
+    """pmod-reduce a hashed-shingle array into the MinHash input domain."""
+    return F.transform(F.col(hs_col), lambda x: F.pmod(x, F.lit(_MERSENNE)))
+
+
 def minhash_signatures_from_hashed(
     hsets: DataFrame, num_hashes: int = 32, seed: int = 42
 ) -> DataFrame:
@@ -289,22 +314,10 @@ def minhash_signatures_from_hashed(
     generation and exact-Jaccard verification. ``_xs`` (the pmod-reduced
     array) is its own projection so CollapseProject keeps it evaluated
     once per row, not once per hash function."""
-    a, b = _minhash_params(num_hashes, seed)
-    hashed = hsets.withColumn(
-        "_xs", F.transform(F.col("hs64"), lambda x: F.pmod(x, F.lit(_MERSENNE)))
+    hashed = hsets.withColumn("_xs", xs_col())
+    return hashed.select(
+        "doc_id", minhash_sig_col(num_hashes, seed).alias("sig")
     )
-    mins = [
-        F.array_min(
-            F.transform(
-                F.col("_xs"),
-                lambda x: F.pmod(
-                    x * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE)
-                ),
-            )
-        )
-        for i in range(num_hashes)
-    ]
-    return hashed.select("doc_id", F.array(*mins).alias("sig"))
 
 
 def minhash_lsh_pairs(

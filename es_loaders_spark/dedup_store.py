@@ -63,10 +63,8 @@ from .build import _write_json_atomic
 from .dedup import (
     exact_jaccard_for_pairs,
     hashed_shingle_sets,
-    minhash_signatures_from_hashed,
     release_dedup_caches,
     _lsh_candidates,
-    _persist_tracked,
 )
 
 _META = "meta.json"
@@ -98,11 +96,19 @@ def _signature_relation(
 ) -> DataFrame:
     """(doc_id, hs64, sig, buckets) for a document batch — one tokenize+
     shingle+hash pass feeds all three derived columns (dedup.py's
-    shared-relation discipline)."""
+    shared-relation discipline). All FOUR columns come out of one
+    row-local projection chain: the r6 version joined the signature
+    relation back onto the shingle relation on doc_id, shuffling the
+    hs64 payload through a join that a projection makes free (guide
+    §2.4 "remove shuffles outright")."""
+    from .dedup import minhash_sig_col, xs_col
+
     hsets = hashed_shingle_sets(df, n=n)
-    sig = minhash_signatures_from_hashed(hsets, num_hashes, seed)
     return (
-        hsets.join(sig, "doc_id")
+        hsets.withColumn("_xs", xs_col())
+        .select(
+            "doc_id", "hs64", minhash_sig_col(num_hashes, seed).alias("sig")
+        )
         .withColumn("buckets", band_buckets_col(num_hashes, bands))
     )
 
@@ -212,21 +218,45 @@ def build_dedup_store(
     _shutil.rmtree(os.path.join(store_dir, "bk"), ignore_errors=True)
     release_dedup_caches()
     docs = df.select("doc_id", F.col(text_col).alias("text"))
-    rel = _persist_tracked(
-        _signature_relation(docs, n, num_hashes, bands, seed)
-    )
+    # no persist of rel: it is written once and every downstream reader
+    # scans the materialized parquet — the r6 persist paid a cache-store
+    # pass for zero reuse
+    rel = _signature_relation(docs, n, num_hashes, bands, seed)
     rel.write.mode("overwrite").parquet(os.path.join(store_dir, "sig_gen0"))
     stored = spark.read.parquet(os.path.join(store_dir, "sig_gen0"))
-    _write_bk_table(stored, store_dir, bucket_prefixes, gen=0)
-    cand = _lsh_candidates(
-        stored.select("doc_id", "sig"), num_hashes, bands,
-        portable=False, max_bucket=max_bucket,
-    )
-    pairs = exact_jaccard_for_pairs(
-        cand, stored.select("doc_id", "hs64"), set_col="hs64"
-    ).filter(F.col("jaccard") >= threshold)
-    pairs.write.mode("overwrite").parquet(os.path.join(store_dir, "pairs_gen0"))
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+
+    # the bk membership write, the base-pairs computation and the max-id
+    # aggregate are INDEPENDENT given the materialized sig table: submit
+    # them from driver threads so the later jobs back-fill the tail of
+    # the earlier ones (guide §2.6) instead of running serially
+    def _bk_job() -> None:
+        spark.sparkContext.setJobDescription("dedup_store: bk membership")
+        _write_bk_table(stored, store_dir, bucket_prefixes, gen=0)
+
+    def _pairs_job() -> None:
+        spark.sparkContext.setJobDescription("dedup_store: base pairs")
+        cand = _lsh_candidates(
+            stored.select("doc_id", "sig"), num_hashes, bands,
+            portable=False, max_bucket=max_bucket,
+        )
+        pairs = exact_jaccard_for_pairs(
+            cand, stored.select("doc_id", "hs64"), set_col="hs64"
+        ).filter(F.col("jaccard") >= threshold)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "pairs_gen0")
+        )
+
+    def _max_job():
+        spark.sparkContext.setJobDescription("dedup_store: max doc_id")
+        return docs.agg(F.max("doc_id")).collect()[0][0]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(_bk_job), pool.submit(_pairs_job)]
+        max_id = pool.submit(_max_job).result()
+        for f in futs:
+            f.result()
     meta = {
         "n": n,
         "num_hashes": num_hashes,
@@ -288,13 +318,59 @@ def append_dedup_store(
 
     all_sigs = spark.read.parquet(*_gen_dirs(store_dir, "sig", g + 1))
 
+    bk_future = None
+    pool = None
     if meta.get("bucket_prefixes") is not None:
-        # pruned lookup: the new batch's membership lands as bk_gen{g},
-        # and the store-side read pushes the batch's touched PREFIXES
-        # into PartitionFilters — IO bounded by the batch's bucket
-        # spread, never the store size (module notes / test_dedup_store)
-        _write_bk_table(new_sig, store_dir, meta["bucket_prefixes"], gen=g)
-        members = store_members(spark, store_dir, generations=g + 1)
+        # pruned lookup: the store-side read pushes the batch's touched
+        # PREFIXES into PartitionFilters — IO bounded by the batch's
+        # bucket spread, never the store size (module notes /
+        # test_dedup_store). r7: the NEW batch's membership comes
+        # straight from its materialized sig table (posexplode of the
+        # stored buckets array) instead of reading back the bk_gen{g}
+        # partition, which removes the write→read dependency — the
+        # bk_gen{g} write (needed only by FUTURE appends) runs on a
+        # driver thread CONCURRENTLY with the candidate/verify jobs
+        # (guide §2.6), and the old-generation read lists only gen<g
+        # directories so the in-flight write cannot interfere.
+        from concurrent.futures import ThreadPoolExecutor
+
+        P = int(meta["bucket_prefixes"])
+        pool = ThreadPoolExecutor(max_workers=1)
+        bk_future = pool.submit(_write_bk_table, new_sig, store_dir, P, g)
+        new_members = new_sig.select(
+            "doc_id", F.posexplode("buckets").alias("band", "bucket")
+        )
+        touched_rows = new_members.select("band", "bucket").distinct()
+        # O(P) prefix values — query metadata, not data rows
+        prefixes = sorted(
+            {
+                int(r["bp"])
+                for r in new_members.select(
+                    F.pmod(F.col("bucket"), F.lit(P)).alias("bp")
+                )
+                .distinct()
+                .collect()
+            }
+        )
+        bk_root = os.path.join(store_dir, "bk")
+        # a generation whose batch produced zero signatures writes no
+        # bk partition dir — list only the ones that exist
+        old_dirs = [
+            d
+            for gg in range(g)
+            if os.path.exists(d := os.path.join(bk_root, f"gen={gg}"))
+        ]
+        if old_dirs:
+            old_members = (
+                spark.read.option("basePath", bk_root)
+                .parquet(*old_dirs)
+                .filter(F.col("bp").isin(prefixes))
+                .join(F.broadcast(touched_rows), ["band", "bucket"])
+                .select("doc_id", "band", "bucket")
+            )
+            members = old_members.unionByName(new_members)
+        else:
+            members = new_members
     else:
         # pre-r6 store (no bk_gen* tables): explode the signature store
         bk_all = all_sigs.select(
@@ -340,6 +416,11 @@ def append_dedup_store(
     pairs_dir = os.path.join(store_dir, f"pairs_gen{g}")
     pairs.write.mode("overwrite").parquet(pairs_dir)
 
+    if bk_future is not None:
+        # the generation becomes visible (meta.json) only after BOTH the
+        # pairs and the bk membership partitions are fully committed
+        bk_future.result()
+        pool.shutdown()
     meta["generations"] = g + 1
     meta["max_doc_id"] = int(new_min[1])
     if batch_tag is not None:

@@ -75,6 +75,28 @@ from .analyze import SPLIT_RE_DUCKDB, tokenize_text
 MUST, SHOULD, MUST_NOT = "MUST", "SHOULD", "MUST_NOT"
 MAX_LEAVES = 32  # joined leaf columns; beyond this the query is degenerate
 
+# Per-query tracked persists (the dedup.py discipline): the fast scan
+# path caches ONE small projected relation — (doc_id, dl, query-relevant
+# tokens) — that several leaf subplans reference; each new execute_tree
+# invocation releases the previous one's caches, so long sessions never
+# accumulate. A prior query's returned DataFrame stays correct (it just
+# recomputes if re-collected after the release).
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_query_string_caches() -> None:
+    """Unpersist the relations execute_tree keeps cached for its own
+    multi-reference leaf joins (called automatically at the start of the
+    next query; call explicitly to free memory after the last one)."""
+    while _TRACKED_PERSISTS:
+        _TRACKED_PERSISTS.pop().unpersist()
+
 
 @dataclass
 class Leaf:
@@ -559,6 +581,28 @@ def execute_tree(
             serve == "auto" and int(st["n_docs"]) < INDEX_SERVE_MIN_DOCS
         ):
             index_dir = None  # crossover: scan side is faster down here
+    release_query_string_caches()  # self-bounding: drop the previous query's
+    kw_leaves = [l for l in leaves if l.kind == "kwterm"]
+    term_vals = sorted({l.value for l in leaves if l.kind == "term"})
+    # fast scan path (guide §2.3 "project before the exchange" / §1.2
+    # "remove unnecessary passes"): the r5 scan side re-tokenized the
+    # corpus once PER derived relation — postings for term leaves, again
+    # per prefix/wildcard leaf, a full term_df for query-term dfs, a
+    # doc_lengths pass for stats and another for the dl join (~5 corpus
+    # passes for a terms+prefix query). Here ONE projected relation
+    # (doc_id, dl, query-relevant tokens only) is computed in a single
+    # tokenize pass and persisted (it is tiny: the in-array filter keeps
+    # only tokens a leaf can match); corpus stats, keyword-idf counts,
+    # term tfs/dfs and prefix/wildcard hits are all served from it.
+    # Fuzzy leaves need the full vocabulary, so they keep the general
+    # path. Results are value-identical: same tf/df/dl/avgdl inputs into
+    # the same expressions.
+    fast_scan = (
+        need_text and index_dir is None
+        and not any(l.kind == "fuzzy" for l in leaves)
+    )
+    rel = None
+    kw_idf: dict[int, float] = {}
     if need_text and index_dir is not None:
         from .build import read_generations
 
@@ -567,7 +611,7 @@ def execute_tree(
         import os as _os
 
         tdf = spark.read.parquet(_os.path.join(index_dir, "terms"))
-    elif need_text:
+    elif need_text and not fast_scan:
         # the scan side of a CHAINED index analyzes with the same chain
         # (postings/dl/vocab all chained), so crossover stays invisible
         text_side = docs.select(id_col, text_col)
@@ -577,6 +621,60 @@ def execute_tree(
                          chain=chain)
         stats = corpus_stats(dl)
         tdf = term_df(p)
+    elif fast_scan:
+        from .analyze import terms_array as _terms_array
+
+        tok_conds = []
+        if term_vals:
+            tok_conds.append(lambda t: t.isin(*term_vals))
+        for l in leaves:
+            if l.kind == "prefix":
+                v = l.value
+                tok_conds.append(lambda t, v=v: t.startswith(v))
+            elif l.kind == "wildcard":
+                pat = _wild_to_like(l.value)
+                tok_conds.append(lambda t, pat=pat: t.like(pat))
+
+        def _tok_pred(t):
+            out = tok_conds[0](t)
+            for c in tok_conds[1:]:
+                out = out | c(t)
+            return out
+
+        kw_fields = sorted({l.field for l in kw_leaves})
+        # _toks in its OWN projection: referenced by both dl and the
+        # filtered-token column, CollapseProject keeps the non-cheap
+        # tokenize evaluated once per row (dedup.py discipline)
+        base_proj = docs.select(
+            F.col(id_col).alias("doc_id"),
+            _terms_array(F.col(text_col), chain=chain).alias("_toks"),
+            *[F.col(f).alias(f"_kw_{f}") for f in kw_fields],
+        )
+        rel_cols = [F.col("doc_id"), F.size("_toks").alias("dl")]
+        if tok_conds:
+            rel_cols.append(F.filter(F.col("_toks"), _tok_pred).alias("_ftoks"))
+        rel = _persist_tracked(
+            base_proj.select(*rel_cols, *[F.col(f"_kw_{f}") for f in kw_fields])
+        )
+        # ONE action computes corpus stats AND every keyword df (the
+        # r5 path ran a separate docs.agg job for the keyword idfs)
+        agg_exprs = [F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")]
+        for l in kw_leaves:
+            agg_exprs.append(
+                F.sum(
+                    F.when(F.col(f"_kw_{l.field}") == F.lit(l.value), 1).otherwise(0)
+                ).alias(f"_d{l.id}")
+            )
+        row0 = rel.agg(*agg_exprs).first()
+        stats = CorpusStats(
+            n_docs=int(row0["_n"]), avgdl=float(row0["_avgdl"] or 0.0)
+        )
+        for l in kw_leaves:
+            df_kw = float(row0[f"_d{l.id}"])
+            kw_idf[l.id] = math.log(
+                1.0 + (float(row0["_n"]) - df_kw + 0.5) / (df_kw + 0.5)
+            )
+        dl = rel.select("doc_id", "dl")
 
     base = docs
     if filters:
@@ -587,8 +685,57 @@ def execute_tree(
         base = base.withColumnRenamed(id_col, "doc_id")
     sel = base
 
-    term_vals = sorted({l.value for l in leaves if l.kind == "term"})
-    if term_vals:
+    if fast_scan:
+        grp_leaves = [
+            l for l in leaves if l.kind in ("term", "prefix", "wildcard")
+        ]
+        if grp_leaves:
+            # one explode over the PRE-FILTERED token arrays (only tokens
+            # a leaf can match survive), one (doc, term) tf agg, dfs of
+            # the query terms derived from the same relation, and ONE
+            # groupBy(doc_id) computing every term/prefix/wildcard leaf
+            # column — replaces the per-leaf corpus passes and joins
+            src = (
+                rel.select("doc_id", "dl", F.explode("_ftoks").alias("term"))
+                .groupBy("doc_id", "dl", "term")
+                .agg(F.count(F.lit(1)).alias("tf"))
+            )
+            if term_vals:
+                from .bm25 import bm25_score_expr
+
+                dfs = (
+                    src.filter(F.col("term").isin(term_vals))
+                    .groupBy("term")
+                    .agg(F.count(F.lit(1)).alias("df"))
+                )
+                src = src.join(F.broadcast(dfs), "term", "left").withColumn(
+                    "_c", bm25_score_expr(stats)
+                )
+            aggs = []
+            for l in grp_leaves:
+                if l.kind == "term":
+                    aggs.append(
+                        F.max(
+                            F.when(F.col("term") == l.value, F.col("_c"))
+                        ).alias(f"_qs{l.id}")
+                    )
+                elif l.kind == "prefix":
+                    aggs.append(
+                        F.max(
+                            F.when(F.col("term").startswith(l.value), F.lit(1.0))
+                        ).alias(f"_qs{l.id}")
+                    )
+                else:  # wildcard
+                    aggs.append(
+                        F.max(
+                            F.when(
+                                F.col("term").like(_wild_to_like(l.value)),
+                                F.lit(1.0),
+                            )
+                        ).alias(f"_qs{l.id}")
+                    )
+            sel = sel.join(src.groupBy("doc_id").agg(*aggs), "doc_id", "left")
+    elif term_vals:
         from .bm25 import bm25_score_expr
 
         qterms = spark.createDataFrame([(t,) for t in term_vals], "term string")
@@ -632,7 +779,9 @@ def execute_tree(
                     spark, index_dir, sorted(set(words))
                 )
                 if len(set(words)) > 1:
-                    pp = pp.cache()
+                    # tracked persist (released on the next query) — the
+                    # bare r5 .cache() pinned pp forever
+                    pp = _persist_tracked(pp)
                 cur = pp.filter(F.col("term") == words[0]).select(
                     "doc_id", F.col("positions").alias("cur"))
                 prev_pos = pairs[0][0]
@@ -661,6 +810,19 @@ def execute_tree(
                     toks = tokens_df(docs.select(id_col, text_col),
                                      text_col=text_col, id_col=id_col,
                                      chain=chain)
+                    # ONE tokenize pass serves every phrase leaf: filter
+                    # the exploded tokens to the union of phrase words
+                    # and persist (tiny) — the per-word .filter branches
+                    # below each re-ran the full posexplode otherwise
+                    ph_words = sorted({
+                        t
+                        for ll in leaves
+                        if ll.kind == "phrase"
+                        for _, t in _phrase_pairs(ll.value)
+                    })
+                    toks = _persist_tracked(
+                        toks.filter(F.col("term").isin(ph_words))
+                    )
                 qpos0 = pairs[0][0]
                 cur = toks.filter(F.col("term") == words[0]).select(
                     "doc_id", F.col("pos").alias("p"))
@@ -671,7 +833,11 @@ def execute_tree(
                 tf_rel = cur.groupBy("doc_id").agg(
                     F.count(F.lit(1)).cast("double").alias("tf"))
             # phrase df is a METADATA scalar (one tiny job per phrase —
-            # phrases per query are few), like corpus_stats' collect
+            # phrases per query are few), like corpus_stats' collect.
+            # tf_rel is tiny (docs containing the phrase): persist it so
+            # the count action and the final scoring plan run the
+            # positional intersection ONCE, not twice
+            tf_rel = _persist_tracked(tf_rel)
             df_ph = tf_rel.count()
             from .postings import B, K1
 
@@ -687,7 +853,7 @@ def execute_tree(
                 ).alias(f"_qs{l.id}"),
             )
             sel = sel.join(ph, "doc_id", "left")
-        elif l.kind == "prefix":
+        elif l.kind == "prefix" and not fast_scan:
             if index_dir is not None:
                 from .phrase import tf_postings
 
@@ -699,7 +865,7 @@ def execute_tree(
                 .withColumn(f"_qs{l.id}", F.lit(1.0))
             )
             sel = sel.join(hits, "doc_id", "left")
-        elif l.kind == "wildcard":
+        elif l.kind == "wildcard" and not fast_scan:
             # constant-score multi-term rewrite over the vocabulary
             # (Lucene's default for wildcard), like prefix
             pat = _wild_to_like(l.value)
@@ -762,8 +928,14 @@ def execute_tree(
                 )
                 sel = sel.join(fcontrib, "doc_id", "left")
 
-    kw_leaves = [l for l in leaves if l.kind == "kwterm"]
-    if kw_leaves:
+    if kw_leaves and fast_scan:
+        # idfs precomputed by the fused rel aggregate above
+        for l in kw_leaves:
+            sel = sel.withColumn(
+                f"_qs{l.id}",
+                F.when(F.col(l.field) == F.lit(l.value), F.lit(kw_idf[l.id])),
+            )
+    elif kw_leaves:
         # ONE metadata aggregate computes every keyword df + the row count
         cnt_exprs = [F.count(F.lit(1)).alias("_n")] + [
             F.sum(
