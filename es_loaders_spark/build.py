@@ -1019,6 +1019,7 @@ def append_documents(
     shards_dir = os.path.join(index_dir, table)
     done = cat.committed_partitions(table, "postings") if resume else set()
     missing = sorted(set(range(n_shards)) - done)
+    dl_totals = None
     if missing:
         cat.clean_uncommitted(table)
         cat.clean_uncommitted(f"doclens_gen{gen}")
@@ -1035,13 +1036,20 @@ def append_documents(
         )
         built.write.partitionBy("shard").mode("append").parquet(shards_dir)
         wall = int((time.time() - t0) * 1000)
-        docs_per_shard = {
-            r["shard"]: r["cnt"]
-            for r in spark.read.parquet(doclens_dir)
+        # ONE aggregate serves both the per-shard lineage counts and the
+        # corpus-stats update below (the r6 path ran two jobs over the
+        # same doclens parquet)
+        shard_rows = (
+            spark.read.parquet(doclens_dir)
             .groupBy("shard")
-            .agg(F.count("*").alias("cnt"))
+            .agg(F.count("*").alias("cnt"), F.sum("dl").alias("sdl"))
             .collect()
-        }
+        )
+        docs_per_shard = {r["shard"]: r["cnt"] for r in shard_rows}
+        dl_totals = (
+            sum(r["cnt"] for r in shard_rows),
+            sum(r["sdl"] or 0 for r in shard_rows),
+        )
         cat.commit(
             table,
             [
@@ -1073,7 +1081,23 @@ def append_documents(
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
     )
-    tdf.write.mode("overwrite").parquet(terms_dir)
+
+    def _terms_write():
+        spark.sparkContext.setJobDescription("append_documents: terms table")
+        tdf.write.mode("overwrite").parquet(terms_dir)
+
+    terms_f = _aux_pool().submit(_terms_write)
+    # the corpus-stats aggregate (when not already folded into the shard
+    # lineage above) overlaps the terms recompute; BOTH complete before
+    # the stats.json visibility point below
+    if dl_totals is None:
+        dl_agg = (
+            spark.read.parquet(doclens_dir)
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
+            .collect()[0]
+        )
+        dl_totals = (int(dl_agg["n"]), int(dl_agg["sdl"] or 0))
+    terms_f.result()
     cat.commit(
         "terms",
         [
@@ -1091,13 +1115,8 @@ def append_documents(
 
     # update corpus stats (weighted avgdl) + generation count — the ONE
     # atomic visibility point for the appended generation
-    dl_agg = (
-        spark.read.parquet(doclens_dir)
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
-        .collect()[0]
-    )
     old_total_dl = stats["avgdl"] * stats["n_docs"]
-    new_n = stats["n_docs"] + int(dl_agg["n"])
+    new_n = stats["n_docs"] + int(dl_totals[0])
     applied = list(stats.get("applied_batches", []))
     # per-tag first-assigned doc_id, recorded in the SAME atomic write as
     # the tag itself: update_by_query's crash replay recovers its id base
@@ -1111,7 +1130,7 @@ def append_documents(
     stats = {
         "format": INDEX_FORMAT,
         "n_docs": new_n,
-        "avgdl": (old_total_dl + float(dl_agg["sdl"] or 0)) / max(new_n, 1),
+        "avgdl": (old_total_dl + float(dl_totals[1])) / max(new_n, 1),
         "max_doc_id": int(agg["max_id"]),
         "generations": gen + 1,
         "applied_batches": applied,

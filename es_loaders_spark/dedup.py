@@ -191,28 +191,45 @@ def ngram_jaccard_pairs(
 # --- pipeline cache discipline ----------------------------------------------
 
 # The LSH pipeline persists two corpus-derived relations (signatures, shingle
-# sets) that its own downstream joins reference multiple times. A persist
-# cannot be released before the caller's action, so each NEW pipeline
-# invocation releases the PREVIOUS invocation's persists (self-bounding: at
-# most one pipeline's caches live, repeated calls — bench loops, long
-# sessions — never accumulate). A prior invocation's returned DataFrame stays
+# sets) that its own downstream joins reference multiple times. The pool is
+# BOUNDED, oldest-released-first (r7; previously each new invocation dropped
+# the previous one's caches): keeping recent entries alive means a REPEATED
+# pipeline over the same input gets plan-matched cache hits — warm
+# steady-state serving, the _WarmIndex LRU philosophy — while the cap keeps
+# long sessions from accumulating. A released invocation's DataFrame stays
 # correct afterwards; it just recomputes if re-collected.
-_TRACKED_PERSISTS: list[DataFrame] = []
+from collections import OrderedDict
+
+_TRACKED_PERSISTS: "OrderedDict[int, DataFrame]" = OrderedDict()
+_MAX_TRACKED = 4
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _TRACKED_PERSISTS.append(df)
+    # Keyed by the analyzed plan's semantic hash: a REPEATED pipeline
+    # re-registers the same relation instead of adding a duplicate whose
+    # LRU eviction would (plan-matched) uncache the live entry. Storage
+    # is serialized (PySpark MEMORY_AND_DISK): compact blocks while the
+    # cache idles between reuses — less heap/GC drag on the unrelated
+    # queries running in between.
+    h = df._jdf.queryExecution().analyzed().semanticHash()
+    if h in _TRACKED_PERSISTS:
+        _TRACKED_PERSISTS.move_to_end(h)
+        return df  # the existing cached relation serves this plan
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _TRACKED_PERSISTS[h] = df
+    while len(_TRACKED_PERSISTS) > _MAX_TRACKED:
+        _TRACKED_PERSISTS.popitem(last=False)[1].unpersist()
     return df
 
 
 def release_dedup_caches() -> None:
     """Unpersist the relations the dedup pipelines keep cached for their
-    own multi-reference joins. Called automatically at the start of each
-    new pipeline invocation; call explicitly to free cluster memory after
-    the last dedup action of a session."""
+    own multi-reference joins and warm re-serving; call explicitly to
+    free cluster memory after the last dedup action of a session."""
     while _TRACKED_PERSISTS:
-        _TRACKED_PERSISTS.pop().unpersist()
+        _TRACKED_PERSISTS.popitem(last=False)[1].unpersist()
 
 
 # --- MinHash + LSH -----------------------------------------------------------
@@ -348,7 +365,6 @@ def minhash_lsh_pairs(
     band's raw signature values) for the oracle gate.
     """
     assert num_hashes % bands == 0
-    release_dedup_caches()  # self-bounding: drop the previous invocation's
     sig = _persist_tracked(minhash_signatures(df, n, num_hashes, seed, text_col, portable))
     cand = _lsh_candidates(sig, num_hashes, bands, portable, max_bucket)
     sa = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
@@ -409,23 +425,54 @@ def _lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    # per-bucket size + canonical member — one extra agg on the same keys,
-    # broadcast-free (joined back on the bucket key it was grouped by)
-    meta = buckets.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("n_in_bucket"), F.min("doc_id").alias("min_doc")
-    )
-    bk = buckets.join(meta, ["band", "bucket"])
+    return _bucket_pairs(buckets, max_bucket)
+
+
+def _bucket_pairs(
+    buckets: DataFrame, max_bucket: int, new_after: int | None = None
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) from a (doc_id, band, bucket)
+    membership relation: all-pairs inside buckets of size ≤ max_bucket,
+    canonical-star (min pairs with every other member) beyond the cap.
+
+    ``new_after``: incremental form (dedup_store appends) — only pairs
+    with at least one endpoint > new_after are emitted ((old, old) pairs
+    belong to earlier generations).
+
+    Shuffle shape (r7, guide §2.4): per-bucket size and canonical min
+    come from WINDOW functions over (band, bucket) instead of the r6
+    groupBy + join-back — the window, the small/star branches and the
+    all-pairs self-join all reuse ONE hash exchange of the membership
+    rows (the self-join sides are exchange-reuse of the same subtree),
+    leaving the pair `distinct` as the only other exchange. Row-per-
+    member throughout: no per-bucket array is ever materialized, so a
+    degenerate bucket costs O(n) distributed rows, never one fat row.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "bucket")
+    bk = buckets.withColumn(
+        "n_in_bucket", F.count(F.lit(1)).over(w)
+    ).withColumn("min_doc", F.min("doc_id").over(w))
     small = bk.filter(F.col("n_in_bucket") <= max_bucket)
-    a = small.select("band", "bucket", F.col("doc_id").alias("a"))
-    b = small.select("band", "bucket", F.col("doc_id").alias("b"))
+    new_small = (
+        small
+        if new_after is None
+        else small.filter(F.col("doc_id") > F.lit(new_after))
+    )
+    a = new_small.select("band", "bucket", F.col("doc_id").alias("x"))
+    b = small.select("band", "bucket", F.col("doc_id").alias("y"))
     pairs_small = (
-        a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b")).select("a", "b")
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
     )
-    pairs_star = (
-        bk.filter(
-            (F.col("n_in_bucket") > max_bucket) & (F.col("doc_id") > F.col("min_doc"))
-        ).select(F.col("min_doc").alias("a"), F.col("doc_id").alias("b"))
+    star = bk.filter(
+        (F.col("n_in_bucket") > max_bucket) & (F.col("doc_id") > F.col("min_doc"))
     )
+    if new_after is not None:
+        star = star.filter(F.col("doc_id") > F.lit(new_after))
+    pairs_star = star.select(F.col("min_doc").alias("a"), F.col("doc_id").alias("b"))
     return pairs_small.unionByName(pairs_star).distinct()
 
 
@@ -465,7 +512,6 @@ def lsh_verified_pairs(
     driver gate runs at threshold 0.9 for this reason (queries.py).
     """
     assert num_hashes % bands == 0
-    release_dedup_caches()  # self-bounding: drop the previous invocation's
     # ONE tokenize+shingle+hash pass feeds BOTH stages: signatures are
     # affine transforms over the hashed sets, and verification intersects
     # the same 8-byte-long arrays (vs ~25-byte shingle strings — smaller

@@ -63,7 +63,6 @@ from .build import _write_json_atomic
 from .dedup import (
     exact_jaccard_for_pairs,
     hashed_shingle_sets,
-    release_dedup_caches,
     _lsh_candidates,
 )
 
@@ -216,7 +215,6 @@ def build_dedup_store(
     import shutil as _shutil
 
     _shutil.rmtree(os.path.join(store_dir, "bk"), ignore_errors=True)
-    release_dedup_caches()
     docs = df.select("doc_id", F.col(text_col).alias("text"))
     # no persist of rel: it is written once and every downstream reader
     # scans the materialized parquet — the r6 persist paid a cache-store
@@ -270,7 +268,6 @@ def build_dedup_store(
         "bucket_prefixes": int(bucket_prefixes),
     }
     _write_json_atomic(_meta_path(store_dir), meta)
-    release_dedup_caches()
     return meta
 
 
@@ -310,7 +307,6 @@ def append_dedup_store(
             f"appended doc_ids must exceed the store's max_doc_id "
             f"{prev_max} (got min {new_min[0]}) — monotone-id contract"
         )
-    release_dedup_caches()
     rel = _signature_relation(docs, n, num_hashes, bands, seed)
     sig_dir = os.path.join(store_dir, f"sig_gen{g}")
     rel.write.mode("overwrite").parquet(sig_dir)
@@ -384,30 +380,12 @@ def append_dedup_store(
         # restrict to buckets the new batch touches BEFORE any counting:
         # the touched set is batch-sized, broadcast into the store scan
         members = bk_all.join(F.broadcast(touched), ["band", "bucket"])
-    bmeta = members.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("n_in_bucket"), F.min("doc_id").alias("min_doc")
-    )
-    mk = members.join(bmeta, ["band", "bucket"]).withColumn(
-        "is_new", F.col("doc_id") > F.lit(prev_max)
-    )
-    small = mk.filter(F.col("n_in_bucket") <= max_bucket)
-    new_side = small.filter("is_new").select(
-        "band", "bucket", F.col("doc_id").alias("x")
-    )
-    all_side = small.select("band", "bucket", F.col("doc_id").alias("y"))
-    pairs_small = (
-        new_side.join(all_side, ["band", "bucket"])
-        .filter(F.col("x") != F.col("y"))
-        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
-    )
-    # degenerate buckets: canonical-star, same as _lsh_candidates — new
-    # members pair with the bucket's min (monotone ids keep it stable)
-    pairs_star = mk.filter(
-        (F.col("n_in_bucket") > max_bucket)
-        & F.col("is_new")
-        & (F.col("doc_id") > F.col("min_doc"))
-    ).select(F.col("min_doc").alias("a"), F.col("doc_id").alias("b"))
-    cand = pairs_small.unionByName(pairs_star).distinct()
+    # size/canonical-min via windows + self-join on one reused exchange,
+    # star-capped beyond max_bucket; only pairs with a NEW endpoint
+    # (monotone ids: new ⇔ doc_id > prev_max) — dedup._bucket_pairs
+    from .dedup import _bucket_pairs
+
+    cand = _bucket_pairs(members, max_bucket, new_after=prev_max)
 
     sets = all_sigs.select("doc_id", "hs64")
     pairs = exact_jaccard_for_pairs(cand, sets, set_col="hs64").filter(

@@ -141,21 +141,51 @@ def extracted_jvm(html_col: Column) -> Column:
     ).otherwise(_named_entity_chain(text))
 
 
+_PY_OPAQUE_NODES = ("MapInPandas", "MapInArrow", "EvalPython", "PythonUDTF")
+
+
+def _has_python_source(df) -> bool:
+    """True when the input subtree contains an opaque Python node —
+    re-scanning such a source re-runs the Python stage in full (no
+    column pruning reaches inside it)."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return any(k in plan for k in _PY_OPAQUE_NODES)
+
+
 def with_extracted_text(df, html_col: str = "html", out_col: str = "text"):
     """Ingest-scale extraction: adds ``out_col`` with the extracted text.
 
     Rows whose html contains a numeric character reference (``&#`` —
     vanishingly rare in practice) route through the exact single-pass
-    HOF decoder; all other rows take the pure regexp/replace chain,
-    which stays inside whole-stage codegen (a HOF ANYWHERE in a
-    projection forces interpreted eval for every row — measured 1.7× on
-    the extraction chain, hence the DataFrame-level split instead of a
-    row-level CASE). Union of the two branches; both byte-identical to
-    :func:`extract_text_bytes` on their inputs.
+    HOF decoder; all other rows take the pure regexp/replace chain.
+    Both byte-identical to :func:`extract_text_bytes` on their inputs.
+
+    TWO physical shapes, picked by the input (r7, guide §1.2):
+
+    - table-backed input → DataFrame-level split (clean/dirty branch
+      scans): each branch keeps whole-stage codegen (a HOF anywhere in a
+      projection forces interpreted eval for every row — measured 1.7×
+      on the chain), and the second branch scan is a cheap pruned read.
+    - opaque Python source (mapInPandas synthesis etc.) → ONE scan with
+      a row-level CASE in its OWN projection: a second scan would re-run
+      the whole Python stage (column pruning cannot reach inside it),
+      which costs more than the interpreted-eval penalty — interleaved
+      A/B at 60k pages: 3.01 s single-scan vs 3.33 s split
+      (bench/extract_ab.py). The dedicated projection keeps the CASE
+      evaluated once per row even when downstream references ``out_col``
+      several times (CollapseProject keeps non-cheap multi-referenced
+      expressions split), avoiding the r2 no-CSE re-evaluation trap.
     """
     # raw-byte probe (no utf-8 decode): "&#" is ASCII, so a byte match is
     # exact for any valid UTF-8 input
     has_num = F.contains(F.col(html_col), F.lit(b"&#"))
+    if _has_python_source(df):
+        return df.withColumn(
+            out_col,
+            F.when(
+                has_num, _decode_entities_jvm(_tag_strip(F.col(html_col)))
+            ).otherwise(_named_entity_chain(_tag_strip(F.col(html_col)))),
+        )
     clean = df.filter(~has_num).withColumn(
         out_col, _named_entity_chain(_tag_strip(F.col(html_col)))
     )
