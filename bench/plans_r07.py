@@ -98,6 +98,21 @@ def main() -> None:
         f.write(plan_of(dsl.search(spark, docs, wq)))
     print("dumped dsl_query_string_web_scan")
 
+    # index-served boolean tree (the dsl_query_string_indexed bench row)
+    from es_loaders_spark.build import build_index
+
+    d3 = tempfile.mkdtemp(prefix="plans_qsidx_")
+    shutil.rmtree(d3, ignore_errors=True)
+    build_index(spark, docs, d3, n_shards=8, positions=True)
+    qb = {"query": {"query_string": {
+        "query": '(spark OR "key order")^2 AND batch* -lang:zh '
+                 'source:src3^1.5 n_chars:[120 TO 400]',
+        "serve": "index"}}, "size": 15}
+    with open(os.path.join(OUT, f"dsl_query_string_indexed_{SUFFIX}.txt"), "w") as f:
+        f.write(plan_of(dsl.search(spark, docs, qb, index_dir=d3)))
+    shutil.rmtree(d3, ignore_errors=True)
+    print("dumped dsl_query_string_indexed")
+
 
 if __name__ == "__main__":
     main()

@@ -97,14 +97,20 @@ def tf_postings(
     prefix: str | None = None,
     like_pattern: str | None = None,
     shards: list[int] | None = None,
+    prefixes: list[str] | None = None,
+    like_patterns: list[str] | None = None,
 ) -> DataFrame:
-    """(term, doc_id, tf) for the given terms (or a term prefix), from
-    the compressed index.
+    """(term, doc_id, tf) for the given terms (or term prefixes /
+    wildcard patterns), from the compressed index.
 
     Same pushdown-pruned read as ``positional_postings`` but decodes only
     the docs/tfs payloads — works on positions=False (BM25-only) indexes
     too. This is the index-served building block for scoring arbitrary
     term leaves (query_string, terms_set, ...) without a corpus scan.
+    Multiple selectors (``terms`` + ``prefixes`` + ``like_patterns``)
+    combine as ONE disjunctive filter, so a boolean query's term, prefix
+    and wildcard leaves share a single decode pass over the index
+    (r7; previously one scan per leaf kind).
     """
     from .build import read_generations
 
@@ -113,16 +119,23 @@ def tf_postings(
         # routed read: the shard predicate reaches the shard=K-partitioned
         # parquet as a PartitionFilter — only the routed dirs are opened
         idx = idx.filter(F.col("shard").isin([int(s) for s in shards]))
+    conds = []
     if terms is not None:
-        idx = idx.filter(F.col("term").isin(terms))
-    if prefix is not None:
-        idx = idx.filter(F.col("term").startswith(prefix))
-    if like_pattern is not None:
+        conds.append(F.col("term").isin(terms))
+    for p in ([prefix] if prefix is not None else []) + list(prefixes or []):
+        conds.append(F.col("term").startswith(p))
+    for pat in (
+        [like_pattern] if like_pattern is not None else []
+    ) + list(like_patterns or []):
         # wildcard expansion: a LIKE over the term column (leading
         # wildcards scan the whole dictionary, same caveat as ES)
-        idx = idx.filter(F.col("term").like(like_pattern))
-    if terms is None and prefix is None and like_pattern is None:
+        conds.append(F.col("term").like(pat))
+    if not conds:
         raise ValueError("tf_postings needs terms, a prefix or a pattern")
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    idx = idx.filter(cond)
     idx = idx.select("term", "min_doc", "docs_payload", "tfs_payload")
 
     def decode(batches):

@@ -705,67 +705,67 @@ def execute_tree(
         base = base.withColumnRenamed(id_col, "doc_id")
     sel = base
 
-    if fast_scan:
-        grp_leaves = [
-            l for l in leaves if l.kind in ("term", "prefix", "wildcard")
-        ]
-        if grp_leaves:
-            # one explode over the PRE-FILTERED token arrays (only tokens
-            # a leaf can match survive), one (doc, term) tf agg, dfs of
-            # the query terms derived from the same relation, and ONE
-            # groupBy(doc_id) computing every term/prefix/wildcard leaf
-            # column — replaces the per-leaf corpus passes and joins
-            src = (
-                rel.select("doc_id", "dl", F.explode("_ftoks").alias("term"))
-                .groupBy("doc_id", "dl", "term")
-                .agg(F.count(F.lit(1)).alias("tf"))
-            )
-            if term_vals:
-                from .bm25 import bm25_score_expr
+    grp_leaves = [l for l in leaves if l.kind in ("term", "prefix", "wildcard")]
+    grp_src = None
+    if grp_leaves and fast_scan:
+        # one explode over the PRE-FILTERED token arrays (only tokens
+        # a leaf can match survive), one (doc, term) tf agg, dfs of
+        # the query terms derived from the same relation, and ONE
+        # groupBy(doc_id) computing every term/prefix/wildcard leaf
+        # column — replaces the per-leaf corpus passes and joins
+        grp_src = (
+            rel.select("doc_id", "dl", F.explode("_ftoks").alias("term"))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        if term_vals:
+            from .bm25 import bm25_score_expr
 
-                dfs = (
-                    src.filter(F.col("term").isin(term_vals))
-                    .groupBy("term")
-                    .agg(F.count(F.lit(1)).alias("df"))
+            dfs = (
+                grp_src.filter(F.col("term").isin(term_vals))
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
+            )
+            grp_src = grp_src.join(F.broadcast(dfs), "term", "left").withColumn(
+                "_c", bm25_score_expr(stats)
+            )
+    elif grp_leaves and index_dir is not None:
+        # index-served twin of the fast path: term, prefix AND wildcard
+        # leaves share ONE pushdown-pruned posting decode (r7; each leaf
+        # kind previously ran its own scan + distinct + join), then the
+        # same single groupBy(doc_id) computes every leaf column. df
+        # attaches as a LEFT broadcast join (prefix/wildcard rows carry
+        # no df and score constant 1.0 under the when() guards).
+        from .phrase import tf_postings
+
+        grp_src = tf_postings(
+            spark, index_dir,
+            terms=term_vals or None,
+            prefixes=[l.value for l in leaves if l.kind == "prefix"] or None,
+            like_patterns=[
+                _wild_to_like(l.value) for l in leaves if l.kind == "wildcard"
+            ] or None,
+        )
+        if term_vals:
+            from .bm25 import bm25_score_expr
+
+            qterms = spark.createDataFrame(
+                [(t,) for t in term_vals], "term string"
+            )
+            grp_src = (
+                grp_src.join(
+                    F.broadcast(tdf.join(qterms, "term")), "term", "left"
                 )
-                src = src.join(F.broadcast(dfs), "term", "left").withColumn(
-                    "_c", bm25_score_expr(stats)
-                )
-            aggs = []
-            for l in grp_leaves:
-                if l.kind == "term":
-                    aggs.append(
-                        F.max(
-                            F.when(F.col("term") == l.value, F.col("_c"))
-                        ).alias(f"_qs{l.id}")
-                    )
-                elif l.kind == "prefix":
-                    aggs.append(
-                        F.max(
-                            F.when(F.col("term").startswith(l.value), F.lit(1.0))
-                        ).alias(f"_qs{l.id}")
-                    )
-                else:  # wildcard
-                    aggs.append(
-                        F.max(
-                            F.when(
-                                F.col("term").like(_wild_to_like(l.value)),
-                                F.lit(1.0),
-                            )
-                        ).alias(f"_qs{l.id}")
-                    )
-            sel = sel.join(src.groupBy("doc_id").agg(*aggs), "doc_id", "left")
+                .join(dl, "doc_id")
+                .withColumn("_c", bm25_score_expr(stats))
+            )
     elif term_vals:
+        # general path (fuzzy leaves present on the scan side): term
+        # contributions from the long postings relation
         from .bm25 import bm25_score_expr
 
         qterms = spark.createDataFrame([(t,) for t in term_vals], "term string")
-        if index_dir is not None:
-            # index-served: decode ONLY the query terms' posting blocks
-            from .phrase import tf_postings
-
-            src = tf_postings(spark, index_dir, term_vals)
-        else:
-            src = p.join(F.broadcast(qterms), "term")
+        src = p.join(F.broadcast(qterms), "term")
         contrib = (
             src
             .join(F.broadcast(tdf.join(qterms, "term")), "term")
@@ -777,6 +777,31 @@ def execute_tree(
             for l in leaves if l.kind == "term"
         ]
         sel = sel.join(contrib.groupBy("doc_id").agg(*aggs), "doc_id", "left")
+    if grp_src is not None:
+        aggs = []
+        for l in grp_leaves:
+            if l.kind == "term":
+                aggs.append(
+                    F.max(
+                        F.when(F.col("term") == l.value, F.col("_c"))
+                    ).alias(f"_qs{l.id}")
+                )
+            elif l.kind == "prefix":
+                aggs.append(
+                    F.max(
+                        F.when(F.col("term").startswith(l.value), F.lit(1.0))
+                    ).alias(f"_qs{l.id}")
+                )
+            else:  # wildcard
+                aggs.append(
+                    F.max(
+                        F.when(
+                            F.col("term").like(_wild_to_like(l.value)),
+                            F.lit(1.0),
+                        )
+                    ).alias(f"_qs{l.id}")
+                )
+        sel = sel.join(grp_src.groupBy("doc_id").agg(*aggs), "doc_id", "left")
 
     from .analyze import tokens_df
 
@@ -888,7 +913,7 @@ def execute_tree(
                 ).alias(f"_qs{l.id}"),
             )
             sel = sel.join(ph, "doc_id", "left")
-        elif l.kind == "prefix" and not fast_scan:
+        elif l.kind == "prefix" and grp_src is None:
             if index_dir is not None:
                 from .phrase import tf_postings
 
@@ -900,7 +925,7 @@ def execute_tree(
                 .withColumn(f"_qs{l.id}", F.lit(1.0))
             )
             sel = sel.join(hits, "doc_id", "left")
-        elif l.kind == "wildcard" and not fast_scan:
+        elif l.kind == "wildcard" and grp_src is None:
             # constant-score multi-term rewrite over the vocabulary
             # (Lucene's default for wildcard), like prefix
             pat = _wild_to_like(l.value)
